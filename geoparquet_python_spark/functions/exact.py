@@ -1,0 +1,56 @@
+"""Order-independent (bit-exact) floating aggregates.
+
+Spark computes double SUM/AVG with partial aggregation in arbitrary
+partition order; DuckDB computes them single-threaded (and 100-TB runs
+compute them in yet another order). IEEE double addition is not
+associative, so raw double sums are not reproducible — an engine whose
+correctness gate is a value-hash against an oracle (BASELINE.md) needs
+order-independent aggregates.
+
+Fix: accumulate in DECIMAL(38, scale). Decimal addition is exact, so
+any summation order yields the same result; casting the (identical)
+decimal back to DOUBLE yields the same double on any engine. The
+double→decimal rounding of each input is also engine-agnostic: ties
+(exact .5 ULP at the decimal scale) are not representable in binary
+floating point for scale ≥ 1, so "round to nearest decimal" has a
+unique answer regardless of tie-breaking mode.
+
+This is also the right 100-TB posture: reruns and retries of a job
+produce identical aggregates (deterministic pipelines are re-entrant).
+The decimal path costs ~2× a double sum JVM-side — still whole-stage
+codegen, no Python involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCALE = 6
+_DEC = f"decimal(38,{SCALE})"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Exact SUM of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Order-independent AVG: exact decimal sum / count, divided in
+    double (IEEE division is exactly specified → engine-agnostic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(_DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    """DuckDB-side mirror of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{SCALE}))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    """DuckDB-side mirror of :func:`davg`."""
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(38,{SCALE}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

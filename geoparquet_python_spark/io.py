@@ -1,0 +1,42 @@
+"""Table loading for the driver-generated star schema.
+
+Reference parity: the reference's only scan is ``pq.read_table(path)``
+(geoparquet/__init__.py:50≈ — reads all columns eagerly, no pushdown).
+Here every scan is a lazy ``spark.read.parquet`` DataFrame, so Catalyst
+column pruning and Parquet row-group predicate pushdown apply for free
+(SURVEY.md §4.2); at 100 TB that is the difference between reading the
+footprint of the query and reading the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geoparquet_python_spark.session import prepare
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at ANY scale factor (they
+# scale sublinearly or not at all in TPC-H-like schemas). Joins against
+# these should never shuffle the fact side.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

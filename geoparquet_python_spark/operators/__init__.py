@@ -1,0 +1,4 @@
+"""Operator/query modules. Importing this package registers every
+query in the central registry (geoparquet_python_spark.registry)."""
+
+import geoparquet_python_spark.operators.relational  # noqa: F401
