@@ -11,6 +11,7 @@ footprint of the query and reading the table.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from geoparquet_python_spark.session import prepare
 
@@ -35,7 +36,15 @@ BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark 4 can't type it,
+        # so nanosAsLong surfaces raw int64 nanos; convert to µs
+        # TimestampType here. Integer DIV (not double /): ns values
+        # ~1.7e18 exceed double's 2^53 exact-integer range. (Truncation
+        # toward zero == floor for post-1970 data; this table is 2024.)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,4 +1,7 @@
 """Operator/query modules. Importing this package registers every
 query in the central registry (geoparquet_python_spark.registry)."""
 
+import geoparquet_python_spark.operators.aggregation  # noqa: F401
 import geoparquet_python_spark.operators.relational  # noqa: F401
+import geoparquet_python_spark.operators.scalars  # noqa: F401
+import geoparquet_python_spark.operators.windows  # noqa: F401

@@ -1,0 +1,323 @@
+"""Aggregation operators (SURVEY.md §2.C rows C1–C9).
+
+All aggregates are Catalyst HashAggregate pairs (partial map-side +
+final reduce-side); double-valued results use the order-independent
+decimal accumulation from functions/exact.py so any partitioning at any
+scale yields bit-identical values (the 100 TB rerun produces the same
+bytes as the sf0.01 oracle run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+
+# --------------------------------------------------------------------------
+# C2/C3: global aggregate with distinct aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_global_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           {sql_dsum("l_extendedprice", "sum_price")},
+           {sql_davg("l_discount", "avg_discount")}
+    FROM lineitem
+    """,
+)
+def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-group aggregate: single-row global stats over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        davg("l_discount", "avg_discount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C4: approximate count-distinct (HLL++) — engine-specific sketch, so the
+# driver gets the rows-only check; the pytest suite bounds the error.
+# --------------------------------------------------------------------------
+
+
+@query("q_approx_distinct_parts")
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct per returnflag (rsd=0.01).
+
+    No oracle: DuckDB's approx sketch differs from Spark's by design.
+    tests/test_approx.py asserts ≤5% relative error vs exact counts.
+    At 100 TB this is THE way to count distincts: the sketch merges
+    associatively, so no exact-distinct shuffle of the full key set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# C1 variant: stddev/variance via explicit order-independent formula
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_qty_dispersion",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_q,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_q2
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           sum_q / n AS avg_qty,
+           (sum_q2 - (sum_q * sum_q) / n) / (n - 1) AS var_qty,
+           SQRT((sum_q2 - (sum_q * sum_q) / n) / (n - 1)) AS stddev_qty
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def q_qty_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev per group, order-independent.
+
+    Spark's built-in stddev uses a streaming (Welford-style) update whose
+    result depends on partition order; for oracle-exact (and re-run-
+    stable) results we compute it from exact decimal moments: every
+    double op after the sums (÷, ×, −, sqrt) is IEEE-deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(38,6)")).cast("double").alias("sum_q"),
+        F.sum((q * q).cast("decimal(38,6)")).cast("double").alias("sum_q2"),
+    )
+    n = F.col("n")
+    var = (F.col("sum_q2") - (F.col("sum_q") * F.col("sum_q")) / n) / (n - F.lit(1))
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.col("sum_q") / n).alias("avg_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# C6: rollup / cube (null group labels coalesced to 'ALL' on both sides)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_rollup_status_priority",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           {sql_dsum("o_totalprice", "total")}
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: (status, priority) → (status) → () subtotal hierarchy."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "q_cube_flag_status",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "q_grouping_sets_sql",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {sql_dsum("l_extendedprice", "sum_price")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (spark.sql over a temp view)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gps_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_price
+        FROM gps_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# C7: pivot (event_type → columns)
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot_events_daily",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def q_pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one count column per event type.
+
+    Passing explicit pivot values skips the extra distinct-values job
+    Spark otherwise runs — at scale the value list must be declared.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# C8: collect-to-set rendered as a deterministic sorted string
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_nations_per_region_list",
+    oracle="""
+    SELECT r_name,
+           COUNT(DISTINCT n_name) AS n_nations,
+           string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nation_list
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def q_nations_per_region_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → array_sort → concat_ws: set agg with a canonical
+    (order-insensitive) string rendering that DuckDB can mirror."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        F.broadcast(r)
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_name").alias("n_nations"),
+            F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias(
+                "nation_list"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# C9: min_by / max_by (arg-extrema on a unique ordering key)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_extreme_order_per_status",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS max_price_orderkey,
+           arg_min(o_orderkey, o_totalprice) AS min_price_orderkey,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_extreme_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by: which order hit the price extremes per status.
+
+    Deterministic because o_totalprice has no duplicate values within a
+    status group in this dataset AND extrema are unique; for general
+    data, break ties by max_by(key, struct(val, key)) — see
+    q_top3_orders_per_status in windows.py for the tie-safe pattern.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("max_price_orderkey"),
+            F.min_by("o_orderkey", "o_totalprice").alias("min_price_orderkey"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

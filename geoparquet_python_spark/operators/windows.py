@@ -1,0 +1,253 @@
+"""Window-function operators (SURVEY.md §2.C rows C10–C13).
+
+Window partitioning note for 100 TB: every window below partitions by a
+high-cardinality key (user_id, group key) so state per partition stays
+bounded; none uses a global (unpartitioned) window, which would funnel
+the table through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+
+# --------------------------------------------------------------------------
+# C10: ranking functions with tie-aware semantics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_part_size_ranks",
+    oracle="""
+    SELECT p_partkey,
+           p_brand,
+           p_size,
+           row_number()   OVER w_unique AS rn,
+           rank()         OVER w_ties   AS rnk,
+           dense_rank()   OVER w_ties   AS drnk,
+           ntile(4)       OVER w_unique AS quartile,
+           percent_rank() OVER w_ties   AS prank
+    FROM part
+    WINDOW w_unique AS (PARTITION BY p_brand ORDER BY p_size, p_partkey),
+           w_ties   AS (PARTITION BY p_brand ORDER BY p_size)
+    ORDER BY p_brand, p_size, p_partkey
+    """,
+)
+def q_part_size_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank/ntile/percent_rank per brand.
+
+    Two window specs on purpose: rank-family over the tie-ful key
+    (p_size) exercises real tie semantics; row_number/ntile need a
+    total order so p_partkey breaks ties deterministically.
+    """
+    p = load_table(spark, sf_dir, "part")
+    w_unique = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    w_ties = Window.partitionBy("p_brand").orderBy("p_size")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+        F.percent_rank().over(w_ties).alias("prank"),
+    ).orderBy("p_brand", "p_size", "p_partkey")
+
+
+@query(
+    "q_top3_orders_per_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_orderstatus, rn
+    """,
+)
+def q_top3_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the canonical row_number ≤ k pattern.
+
+    Tie-safe: the window order is (price DESC, key ASC) — a total
+    order, so the same 3 rows surface on any engine/partitioning.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_orderstatus", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# C11: lag/lead analytics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_event_value_deltas",
+    oracle="""
+    SELECT user_id, event_id, value,
+           value - lag(value) OVER w AS delta,
+           lead(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def q_event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user deltas via lag/lead ordered by the unique event_id.
+
+    (Ordering by event_id, not ts: the ns→µs truncation Spark applies
+    to the events timestamps can never reorder an integer key.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# C12: explicit frame (moving aggregate, decimal-exact)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_moving_value_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS moving_sum,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS frame_n
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def q_moving_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving sum per user (ROWS BETWEEN 2 PRECEDING AND CURRENT)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# C13: cumulative aggregate over time
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cumulative_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER (
+             ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cum_revenue
+    FROM daily
+    ORDER BY month
+    """,
+)
+def q_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue + running total.
+
+    The unpartitioned window is safe here because it runs over the
+    *aggregated* series (≤ one row per month) — the pattern at scale:
+    reduce first, window over the small result.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "month",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_revenue"),
+    ).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# C11 variant: first/last over an explicit full-partition frame
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_first_last_event_per_user",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id)  OVER w AS last_event,
+           first_value(value)    OVER w AS first_value,
+           last_value(value)     OVER w AS last_value
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    ORDER BY user_id
+    """,
+)
+def q_first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with the full-partition frame (the classic
+    default-frame gotcha: without UNBOUNDED FOLLOWING, last_value is
+    just the current row — both engines get the explicit frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("event_id").over(w).alias("first_event"),
+            F.last("event_id").over(w).alias("last_event"),
+            F.first("value").over(w).alias("first_value"),
+            F.last("value").over(w).alias("last_value"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )

@@ -24,6 +24,10 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDFs / toPandas (vectorized JVM<->Python hops).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark 4 rejects TIMESTAMP(NANOS) parquet (PARQUET_TYPE_ILLEGAL);
+    # read nanos as raw int64 and let sources/events.py convert — the
+    # only ns-precision table is `events` (TESTDATA.md).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

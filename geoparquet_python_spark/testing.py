@@ -34,8 +34,14 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             s = s.astype("datetime64[us]")
-        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.notna().any() else None, (bytes, bytearray)):
-            s = s.map(lambda b: None if b is None else bytes(b))
+        elif s.dtype == object and s.notna().any():
+            first = s.dropna().iloc[0]
+            if isinstance(first, (bytes, bytearray)):
+                s = s.map(lambda b: None if b is None else bytes(b))
+            elif type(first).__name__ == "date":
+                # Spark DateType → datetime.date objects; DuckDB DATE →
+                # datetime64. Normalize both to datetime64[us].
+                s = pd.to_datetime(s).astype("datetime64[us]")
         out[c] = s
     df = pd.DataFrame(out)
     if len(df):
