@@ -2,6 +2,10 @@
 query in the central registry (geoparquet_python_spark.registry)."""
 
 import geoparquet_python_spark.operators.aggregation  # noqa: F401
+import geoparquet_python_spark.operators.dedup  # noqa: F401
+import geoparquet_python_spark.operators.multimodal  # noqa: F401
 import geoparquet_python_spark.operators.relational  # noqa: F401
 import geoparquet_python_spark.operators.scalars  # noqa: F401
+import geoparquet_python_spark.operators.similarity  # noqa: F401
+import geoparquet_python_spark.operators.textanalysis  # noqa: F401
 import geoparquet_python_spark.operators.windows  # noqa: F401

@@ -1,0 +1,350 @@
+"""Deduplication operators (SURVEY.md §2.F F1/F2 + BASELINE.json
+north-star: exact, n-gram Jaccard, MinHash+LSH, SimHash).
+
+Scale design:
+- exact dedup: hash-groupBy — one shuffle on the content hash, perfect
+  partitioning, no skew (hashes are uniform).
+- n-gram Jaccard: inverted-index join on shingles — candidate pairs
+  are only docs sharing ≥1 shingle (never the n² cross join).
+- MinHash-LSH: band-bucket join — candidates are docs agreeing on a
+  full band; b/r tune the recall/candidate-count tradeoff.
+- SimHash: 60-bit signature per doc; near-pairs by Hamming distance.
+
+Hash determinism: everything uses md5-derived 60-bit integers
+(functions/text.md5_long), reproducible in the DuckDB oracle — so even
+the *probabilistic* pipelines are oracle-checked end to end: both
+engines agree on exactly which candidate pairs the banding yields.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.text import (
+    SQL_MD5_LONG,
+    md5_long,
+    shingles,
+    sql_shingles_cte,
+    tokens,
+)
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+# MinHash parameters: 32 hash functions in 16 bands × 2 rows.
+# P(candidate | jaccard=j) = 1 - (1 - j²)^16: ≈ 0.78 at j=0.3,
+# ≈ 0.999 at j=0.6. Raising r sharpens the threshold (fewer false
+# candidates at billion-doc scale); the oracle mirrors b/r exactly, so
+# correctness holds for any setting.
+_N_HASHES = 32
+_BAND_R = 2
+_N_BANDS = _N_HASHES // _BAND_R
+_JACCARD_T = 0.3
+
+
+# --------------------------------------------------------------------------
+# F1: exact dedup by content hash
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keep_doc_id
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5(text), keep the smallest doc_id.
+
+    One shuffle on a uniform 128-bit key — the canonical 100 TB exact
+    dedup (no sort, no window; the min-id pick is a plain aggregate).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# F2a: exact n-gram Jaccard via inverted-index join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_JACCARD_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs: 3-word-shingle Jaccard ≥ 0.3.
+
+    Inverted-index shape: explode shingles → self-equi-join on the
+    shingle → count intersections per pair. Only docs sharing a
+    shingle ever meet (at corpus scale add a stop-shingle cutoff on
+    pathologically frequent shingles; the skew join is AQE-split).
+    Jaccard = i/(|A|+|B|−i): integer counts, exact double division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(shingles("toks", k=3)).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("i") * F.lit(1.0) / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# F2b: MinHash + LSH banding (oracle-mirrored banding)
+# --------------------------------------------------------------------------
+
+
+def _sql_minhash() -> str:
+    """CTEs: mh(doc_id, j, v), bands(doc_id, band, sig), cand pairs."""
+    return f"""
+    mh AS (
+      SELECT doc_id, j,
+             MIN({SQL_MD5_LONG.format(expr="CAST(j AS VARCHAR) || '|' || s")}) AS v
+      FROM sh CROSS JOIN range({_N_HASHES}) t(j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, j // {_BAND_R} AS band,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id, j // {_BAND_R}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "q_minhash_lsh_neardup",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    {_sql_minhash()},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_JACCARD_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, fully oracle-checked.
+
+    Pipeline: shingle set → 32 minhashes (min over per-seed 60-bit
+    hashes, computed with transform/array_min inside one projection —
+    no explode for the signature) → 16 two-row bands → band-bucket
+    equi-join for candidates → exact Jaccard refine ≥ 0.3.
+
+    The only shuffles: the band-bucket join (on band key — uniform)
+    and the refine join. At 100 TB the banding replaces the n² problem
+    with |buckets| small joins; skewed buckets (boilerplate docs) are
+    AQE-split or capped with a bucket-size limit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", shingles("toks", k=3).alias("sh")
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "sh",
+                lambda s, j=j: md5_long(F.concat(F.lit(f"{j}|"), s)),
+            )
+        ).alias(f"sig_{j}")
+        for j in range(_N_HASHES)
+    ]
+    signed = docs.select("doc_id", "sh", *sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{b * _BAND_R + r}").cast("string")
+                        for r in range(_BAND_R)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    banded = signed.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard refine on the candidate set only
+    sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter * F.lit(1.0) / union
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# F2c: SimHash signatures + Hamming near-pairs
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+_HAMMING_T = 12
+
+
+def _sql_simhash_cte() -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    words AS (
+      SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {SQL_MD5_LONG.format(expr="w")} AS h FROM words
+    ),
+    bitsums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bitsums
+    )"""
+
+
+@query(
+    "q_simhash_signatures",
+    oracle=f"""
+    WITH {_sql_simhash_cte()}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
+    """,
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document from distinct-word hashes.
+
+    bit_b(doc) = sign(Σ_words ±1 by hash-bit b): one explode + one
+    groupBy with 60 integer-sum aggregates — a single shuffle on
+    doc_id regardless of corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
+    )
+    hashed = words.select("doc_id", md5_long(F.col("w")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    bitsums = hashed.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash = term if simhash is None else simhash + term
+    return bitsums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "q_simhash_near_pairs",
+    oracle=f"""
+    WITH {_sql_simhash_cte()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming(sig_a, sig_b) ≤ 12.
+
+    Test-scale pairing is a self-join; the 100 TB path blocks on
+    signature chunks (pigeonhole: ≤12-bit distance ⇒ some 12-bit-wide
+    chunk of 5 matches exactly) — same output, bounded candidates.
+    """
+    sig = q_simhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= _HAMMING_T)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,301 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.F
+F4 + BASELINE.json north-star: token counting, TF-IDF, language-ID
+heuristic, quality scoring, document fingerprinting).
+
+All tokenization/hashing stays JVM-side (split/explode/md5); the only
+shuffles are the analytic groupBys on doc_id / term — both
+high-cardinality, skew-free keys at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.text import (
+    SQL_MD5_LONG,
+    md5_long,
+    shingles,
+    sql_shingles_cte,
+    tokens,
+)
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+
+# --------------------------------------------------------------------------
+# F4: token counting / per-document stats
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_token_stats",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           length(text) AS n_chars_text,
+           len(str_split(text, ' ')) AS n_tokens,
+           len(list_distinct(str_split(text, ' '))) AS n_unique_tokens,
+           len(list_distinct(str_split(text, ' '))) * 1.0
+             / len(str_split(text, ' ')) AS type_token_ratio
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts + type/token ratio, zero shuffles
+    (pure projection — this is the shape of a 100 TB token-count
+    pass: map-only over the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        d.where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars_text"),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+            (
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks)
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# F4: TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             tf * round(ln(n_docs * 1.0 / df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, tfidf, rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS rank
+      FROM scored WHERE doc_id < 20
+    )
+    WHERE rank <= 5
+    ORDER BY doc_id, rank
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-5 terms per doc.
+
+    idf is rounded to 6 decimals on both sides (ln is libm-backed);
+    tf·idf products and the (tfidf DESC, term) ranking are then
+    deterministic. The doc-frequency table is broadcast back onto the
+    term-frequency table: at corpus scale df has |vocab| rows — small.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "term", "tf", (F.col("tf") * idf).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.where(F.col("doc_id") < 20)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# F4: stopword-profile language-ID heuristic
+# --------------------------------------------------------------------------
+
+# Marker profiles over the corpus vocabulary (a real deployment ships
+# per-language stopword lists; the operator shape is identical).
+_LANG_MARKERS = {
+    "en": ["the", "a", "value", "row"],
+    "de": ["order", "group", "hash"],
+    "es": ["data", "table", "scan"],
+    "fr": ["query", "join", "merge"],
+    "zh": ["spark", "stream", "batch"],
+}
+
+
+def _sql_marker_score(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(str_split(text, ' '), "
+        f"x -> list_contains([{arr}], x))) AS score_{lang}"
+    )
+
+
+@query(
+    "q_language_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {", ".join(_sql_marker_score(lang) for lang in _LANG_MARKERS)}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           score_en, score_de, score_es, score_fr, score_zh,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_es
+              AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr
+              AND score_de >= score_zh THEN 'de'
+             WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             WHEN score_fr >= score_zh THEN 'fr'
+             ELSE 'zh'
+           END AS predicted_lang
+    FROM scores
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: count marker-token hits per
+    language, argmax with a fixed tie-break order (en>de>es>fr>zh).
+    Map-only — no shuffle; the marker lists are compile-time constants
+    (broadcast-free)."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: F.expr(
+            "size(filter(split(text, ' '), x -> x IN ({})))".format(
+                ", ".join(f"'{m}'" for m in markers)
+            )
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    df = d.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_MARKERS],
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return df.withColumn("predicted_lang", predicted).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# F4: quality scoring
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_quality",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(str_split(text, ' ')) AS n_tokens,
+             len(list_distinct(str_split(text, ' '))) AS n_unique,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           n_unique * 1.0 / n_tokens AS ttr,
+           (n_chars - (n_tokens - 1)) * 1.0 / n_tokens AS mean_word_len,
+           least(n_tokens / 64.0, 1.0) * 0.4
+             + (n_unique * 1.0 / n_tokens) * 0.4
+             + least(((n_chars - (n_tokens - 1)) * 1.0 / n_tokens) / 8.0, 1.0) * 0.2
+             AS quality_score
+    FROM s
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + lexical diversity +
+    mean word length, combined with fixed weights. All IEEE-exact
+    double arithmetic (ratios of integers) — no rounding needed."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length("text").alias("n_chars"),
+    )
+    n_tokens = F.col("n_tokens").cast("double")
+    ttr = F.col("n_unique") * F.lit(1.0) / F.col("n_tokens")
+    mwl = (F.col("n_chars") - (F.col("n_tokens") - 1)) * F.lit(1.0) / F.col("n_tokens")
+    quality = (
+        F.least(n_tokens / 64.0, F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + F.least(mwl / 8.0, F.lit(1.0)) * 0.2
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        ttr.alias("ttr"),
+        mwl.alias("mean_word_len"),
+        quality.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# F4: document fingerprinting (min-hash-of-shingles, winnowing-style)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)}
+    SELECT doc_id,
+           MIN({SQL_MD5_LONG.format(expr="s")}) AS fingerprint,
+           COUNT(*) AS n_shingles
+    FROM sh
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: min 60-bit hash over distinct 3-word
+    shingles (the r=1 MinHash — a winnowing-style representative).
+
+    Spark computes the shingle set per row with transform-with-index
+    (no explode, no shuffle, map-only); the reference-style per-row
+    Python loop is exactly what this avoids.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles("toks", k=3)
+    return (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", sh.alias("sh"))
+        .select(
+            "doc_id",
+            F.array_min(F.transform("sh", md5_long)).alias("fingerprint"),
+            F.size("sh").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
