@@ -1,0 +1,143 @@
+"""As-of (nearest-time) join — SURVEY.md §2.B row B7, one of the few
+operators Spark SQL lacks natively. Two implementations with identical
+semantics (latest left-row at-or-before each right-row per key):
+
+1. union + window `last(ignorenulls)` — pure built-ins, sort-based,
+   scales to any size (shuffle on user key + per-partition sort).
+2. `applyInPandas` + `pd.merge_asof` per key group — the grouped-map
+   escape hatch (reference-style row-at-a-time logic, but Arrow-batched
+   per group).
+
+Oracle: DuckDB's native ASOF LEFT JOIN (timestamps truncated to µs on
+both sides since Spark stores µs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+_ASOF_ORACLE = """
+    WITH p AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_event_id,
+           p.user_id,
+           c.event_id AS click_event_id,
+           epoch_us(p.tsu) - epoch_us(c.tsu) AS lag_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.tsu <= p.tsu
+    ORDER BY purchase_event_id
+"""
+
+
+@query("q_asof_purchase_click", oracle=_ASOF_ORACLE)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union + last(ignorenulls) window (the scale path).
+
+    Interleave clicks and purchases per user ordered by (ts, kind):
+    each purchase row then reads the latest preceding click with
+    last('click_id', ignorenulls) over an unbounded-preceding frame.
+    One shuffle on user_id; no per-group Python. kind orders clicks
+    before purchases at equal timestamps → inclusive (≤) semantics,
+    matching ASOF and merge_asof defaults.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_event_id"),
+        F.lit(None).cast("long").alias("purchase_event_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "click_event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "purchase_event_id",
+        F.last("click_event_id", ignorenulls=True).over(w).alias("click_event_id"),
+        F.last(
+            F.when(F.col("click_event_id").isNotNull(), F.col("ts")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_ts"),
+    )
+    return (
+        merged.where(F.col("purchase_event_id").isNotNull())
+        .select(
+            "purchase_event_id",
+            "user_id",
+            "click_event_id",
+            (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("lag_us"),
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+_ASOF_SCHEMA = (
+    "purchase_event_id bigint, user_id bigint, click_event_id bigint, lag_us bigint"
+)
+
+
+def _merge_asof_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user merge_asof (backward, inclusive) on µs timestamps."""
+    p = (
+        pdf[pdf.event_type == "purchase"][["event_id", "user_id", "ts"]]
+        .rename(columns={"event_id": "purchase_event_id"})
+        .sort_values("ts")
+    )
+    c = (
+        pdf[pdf.event_type == "click"][["event_id", "ts"]]
+        .rename(columns={"event_id": "click_event_id", "ts": "click_ts"})
+        .sort_values("click_ts")
+    )
+    if p.empty:
+        return pd.DataFrame(columns=["purchase_event_id", "user_id", "click_event_id", "lag_us"])
+    m = pd.merge_asof(
+        p, c, left_on="ts", right_on="click_ts", direction="backward"
+    )
+    m["lag_us"] = ((m["ts"] - m["click_ts"]) // pd.Timedelta(microseconds=1)).astype(
+        "Int64"
+    )
+    m["click_event_id"] = m["click_event_id"].astype("Int64")
+    return m[["purchase_event_id", "user_id", "click_event_id", "lag_us"]]
+
+
+@query("q_asof_purchase_click_grouped", oracle=_ASOF_ORACLE)
+def q_asof_purchase_click_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of join via groupBy(user).applyInPandas(pd.merge_asof).
+
+    The grouped-map form: each user's events arrive as one Arrow batch.
+    Right for moderate per-key volumes / when the per-group logic is
+    genuinely imperative; the window form above wins when groups are
+    huge or skewed.
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    out = e.groupBy("user_id").applyInPandas(
+        lambda pdf: _merge_asof_group(pdf), _ASOF_SCHEMA
+    )
+    return out.orderBy("purchase_event_id")

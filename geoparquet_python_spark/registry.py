@@ -47,3 +47,4 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every operator module so its registrations run."""
     import geoparquet_python_spark.operators  # noqa: F401
+    import geoparquet_python_spark.streaming  # noqa: F401

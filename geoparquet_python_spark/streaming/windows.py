@@ -1,0 +1,176 @@
+"""Streaming window aggregations over `events` (SURVEY.md §2.E rows
+E1/E2/E4/E5/E7/E8): tumbling, sliding, watermarks, stream dedup,
+stream-static join — each drained with trigger(availableNow) and
+oracle-checked against batch SQL (windows align to the epoch, so
+date_trunc arithmetic reproduces them exactly).
+
+E3/E6 (session windows, arbitrary stateful) are in sessions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+from geoparquet_python_spark.streaming.source import (
+    read_events_stream,
+    run_to_memory_table,
+)
+
+
+@query(
+    "q_stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E4+E8: tumbling 1h windows with a 2h watermark, availableNow.
+
+    Epoch-aligned windows ≡ date_trunc('hour') buckets, so the batch
+    oracle reproduces the stream output exactly. complete output mode:
+    append would withhold windows newer than the final watermark; in a
+    continuous production run the watermark + append sink is the
+    state-bounding configuration.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = run_to_memory_table(agg, output_mode="complete")
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+@query(
+    "q_stream_sliding_avg",
+    oracle="""
+    WITH starts AS (
+      SELECT value,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+                 * INTERVAL 1 SECOND AS wr
+      FROM events
+    ),
+    expanded AS (
+      SELECT wr AS window_start, value FROM starts
+      UNION ALL
+      SELECT wr - INTERVAL 30 MINUTE AS window_start, value FROM starts
+    )
+    SELECT window_start,
+           CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+             AS avg_value
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY window_start
+    """,
+)
+def q_stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: sliding windows (1h length, 30m slide) — each event lands in
+    exactly two windows; the oracle expands both epoch-aligned starts
+    per event and re-aggregates."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "avg_value",
+        )
+    )
+    name = run_to_memory_table(agg, output_mode="complete")
+    return spark.table(name).orderBy("window_start")
+
+
+@query(
+    "q_stream_dedup_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(DISTINCT event_id) AS n_unique_events
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def q_stream_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: streaming dropDuplicates on the event key under a watermark,
+    then a windowed count — the stream-dedup-then-aggregate shape."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+    agg = (
+        deduped.groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+        .select(
+            F.col("window.start").alias("day"),
+            "n_unique_events",
+        )
+    )
+    name = run_to_memory_table(agg, output_mode="complete")
+    return spark.table(name).orderBy("day")
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY 1
+    ORDER BY c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: stream ⋈ static enrichment join (the static side is a plain
+    batch DataFrame — broadcast per micro-batch), then aggregate."""
+    stream = read_events_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        stream.join(
+            F.broadcast(customers), stream.user_id == customers.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    name = run_to_memory_table(agg, output_mode="complete")
+    return spark.table(name).orderBy("c_mktsegment")

@@ -1,0 +1,66 @@
+"""Batch ≡ stream parity (SURVEY.md §5.2) and stateful-session
+containment checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark import registry
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.testing import canonicalize
+
+registry.load_all()
+
+
+def test_batch_stream_parity_tumbling(spark, sf_dir):
+    """The same windowed aggregation over read vs readStream+availableNow
+    must produce identical results."""
+    stream_result = registry.QUERIES["q_stream_tumbling_counts"](
+        spark, sf_dir
+    ).toPandas()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    a, b = canonicalize(stream_result), canonicalize(batch)
+    assert a.equals(b), "batch and streaming window aggregation diverge"
+
+
+def test_stateful_sessions_subset_of_session_windows(spark, sf_dir):
+    """applyInPandasWithState emits exactly the sessions that a later
+    event closed — i.e. every session from the batch session_window
+    result except each user's final session."""
+    stateful = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in registry.QUERIES["q_stateful_sessionization"](
+            spark, sf_dir
+        ).collect()
+    }
+    batch_rows = registry.QUERIES["q_session_windows"](spark, sf_dir).collect()
+    last_start = {}
+    for r in batch_rows:
+        if r.user_id not in last_start or r.session_start > last_start[r.user_id]:
+            last_start[r.user_id] = r.session_start
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch_rows
+        if r.session_start != last_start[r.user_id]
+    }
+    assert stateful == expected, (
+        f"missing={sorted(expected - stateful)[:3]} "
+        f"extra={sorted(stateful - expected)[:3]}"
+    )
