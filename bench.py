@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs representative queries from every engine area
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a noop-format write (all
+partitions computed, nothing collected to the driver — the same shape a
+cluster job has; `.count()` would let Spark prune work, `.collect()`
+would bottleneck on the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geoparquet_python_spark import registry  # noqa: E402
+from geoparquet_python_spark.session import get_spark  # noqa: E402
+
+# One query per engine area (SURVEY.md §2): scan+agg, join chains,
+# windows, set/sort, dedup (exact + MinHash-LSH), vector top-k, text,
+# as-of, streaming.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_top3_orders_per_status",
+    "q_cumulative_daily_revenue",
+    "q_exact_dedup",
+    "q_minhash_lsh_neardup",
+    "q_ann_topk_blocked",
+    "q_tfidf_top_terms",
+    "q_asof_purchase_click",
+    "q_stream_tumbling_counts",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    registry.load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up JVM/codegen/Python-worker pools so per-query times measure
+    # the plan, not first-start overhead.
+    _force(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+    _force(registry.QUERIES["q1_pricing_summary"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
