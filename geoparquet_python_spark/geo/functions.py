@@ -90,6 +90,43 @@ def bbox_contains_point(b: Column, x: Column, y: Column) -> Column:
     return (b["xmin"] <= x) & (x <= b["xmax"]) & (b["ymin"] <= y) & (y <= b["ymax"])
 
 
+def spatial_window_filter(
+    df,
+    window: tuple[float, float, float, float],
+    geometry_col: str = "geometry",
+    bbox_col: str = "bbox",
+    exact: bool = True,
+):
+    """The §4.3 spatial-pushdown rewrite, done in the API layer (no
+    Catalyst rule needed): ``ST_Intersects(geom, window)`` becomes plain
+    bbox-field comparisons — which Spark pushes to Parquet row-group
+    stats when ``bbox_col`` is a materialized covering column — plus an
+    exact per-geometry envelope refine for rows whose covering box
+    over-approximates (multi-part geometries).
+
+    window = (xmin, ymin, xmax, ymax)."""
+    x0, y0, x1, y1 = window
+    if bbox_col in df.columns:
+        b = F.col(bbox_col)
+        coarse = (
+            (b["xmin"] <= x1)
+            & (b["xmax"] >= x0)
+            & (b["ymin"] <= y1)
+            & (b["ymax"] >= y0)
+        )
+        df = df.where(coarse)  # pushdown-able: plain struct-field compares
+        if not exact:
+            return df
+    env = st_envelope(F.col(geometry_col))
+    fine = (
+        (env["xmin"] <= x1)
+        & (env["xmax"] >= x0)
+        & (env["ymin"] <= y1)
+        & (env["ymax"] >= y0)
+    )
+    return df.where(fine)
+
+
 # ------------------------------------------------------------ pandas UDFs
 
 

@@ -1,0 +1,155 @@
+"""GeoParquet source/sink (SURVEY.md §2.A rows A1/A2) — the reference's
+entire public API re-expressed for Spark:
+
+* reference ``gdf.to_geoparquet(path)`` (geoparquet/__init__.py:22–45≈):
+  single file, eager, per-row WKB encode, geo metadata stamped into the
+  Parquet footer on one process.
+* reference ``read_geoparquet(path)`` (geoparquet/__init__.py:47–70≈):
+  single file, eager decode of every geometry row.
+
+Spark re-design: Spark's parquet sink cannot stamp footer key-value
+metadata, so the writer runs as ``mapInArrow`` — every partition writes
+its own footer-correct part file with pyarrow IN PARALLEL on the
+executors (one pass, no post-hoc rewrite; at 100 TB there is no
+driver-side step proportional to data size). The reader is a plain
+``spark.read.parquet`` (vectorized scan, pushdown intact); only the
+footer metadata hop is pyarrow-on-the-driver, reading ONE footer.
+
+Geometry stays WKB ``BinaryType`` end-to-end; nothing decodes at scan
+time (decode is per-operator, SURVEY.md §1.1). An optional GeoParquet
+1.1-style ``bbox`` covering struct is materialized at write so spatial
+predicates push down to row-group stats (§4.3).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.geo.functions import st_envelope
+
+GEO_KEY = b"geo"
+# Pre-spec key the reference used (SURVEY.md §0.2 — exact name uncertain,
+# tolerate it and the spec form on read).
+LEGACY_KEY = b"geometry_fields"
+
+SPEC_VERSION = "1.1.0"
+
+
+def _geo_metadata_json(geometry_col: str, crs: Any, bbox: list | None) -> bytes:
+    col: dict[str, Any] = {"encoding": "WKB", "geometry_types": []}
+    if crs is not None:
+        col["crs"] = crs
+    if bbox is not None:
+        col["bbox"] = bbox
+    doc = {
+        "version": SPEC_VERSION,
+        "primary_column": geometry_col,
+        "columns": {geometry_col: col},
+    }
+    return json.dumps(doc).encode("utf-8")
+
+
+def add_bbox_column(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Materialize the GeoParquet-1.1 covering column: a
+    {xmin,ymin,xmax,ymax} struct. Plain comparisons against its fields
+    are pushed to Parquet row-group stats by Spark's scan — this column
+    IS the spatial index at 100 TB."""
+    return df.withColumn("bbox", st_envelope(F.col(geometry_col)))
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    geometry_col: str = "geometry",
+    crs: Any = "OGC:CRS84",
+    bbox_covering: bool = True,
+) -> int:
+    """Distributed GeoParquet sink; returns rows written.
+
+    Each input partition becomes one part file whose footer carries the
+    OGC ``geo`` key-value metadata — written by pyarrow inside
+    ``mapInArrow``, so the stamping is executor-side and single-pass
+    (the reference's ``replace_schema_metadata`` + ``pq.write_table``,
+    geoparquet/__init__.py:35–40≈, parallelized)."""
+    if geometry_col not in df.columns:
+        raise ValueError(f"geometry column {geometry_col!r} not in {df.columns}")
+    if bbox_covering and "bbox" not in df.columns:
+        df = add_bbox_column(df, geometry_col)
+
+    os.makedirs(path, exist_ok=True)
+    meta_json = _geo_metadata_json(geometry_col, crs, None)
+
+    def write_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        writer = None
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+        rows = 0
+        for batch in batches:
+            if writer is None:
+                schema = batch.schema.with_metadata(
+                    {**(batch.schema.metadata or {}), GEO_KEY: meta_json}
+                )
+                writer = pq.ParquetWriter(fname, schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is not None:
+            writer.close()
+        yield pa.RecordBatch.from_pylist(
+            [{"file": fname, "rows": rows}] if rows else [],
+            schema=pa.schema([("file", pa.string()), ("rows", pa.int64())]),
+        )
+
+    stats = df.mapInArrow(write_partition, "file string, rows long").collect()
+    return sum(r.rows for r in stats)
+
+
+def geo_metadata(path: str) -> dict | None:
+    """Parse geo metadata from one part file's footer. Accepts the OGC
+    spec form (``geo``) and the reference's legacy pre-spec form
+    (``geometry_fields`` — normalized into the spec shape)."""
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or [path]
+    md = pq.ParquetFile(files[0]).schema_arrow.metadata or {}
+    if GEO_KEY in md:
+        return json.loads(md[GEO_KEY].decode("utf-8"))
+    if LEGACY_KEY in md:
+        legacy = json.loads(md[LEGACY_KEY].decode("utf-8"))
+        if isinstance(legacy, list) and legacy:
+            first = legacy[0]
+            name = first.get("field_name", "geometry")
+            return {
+                "version": "legacy",
+                "primary_column": name,
+                "columns": {
+                    name: {
+                        "encoding": first.get("geometry_format", "wkb").upper(),
+                        "geometry_types": [],
+                        "crs": first.get("crs"),
+                    }
+                },
+            }
+    return None
+
+
+def read_geoparquet(spark: SparkSession, path: str) -> DataFrame:
+    """GeoParquet scan: vectorized Spark parquet read (pushdown/pruning
+    intact); geo footer metadata (one driver-side footer read) attached
+    to the geometry column's schema metadata. WKB stays binary — decode
+    is lazy, per-operator (the reference decodes every row up front,
+    geoparquet/__init__.py:60≈ — the 100 TB anti-pattern)."""
+    df = spark.read.parquet(path)
+    meta = geo_metadata(path)
+    if meta is not None:
+        col = meta["primary_column"]
+        if col in df.columns:
+            df = df.withMetadata(col, {"geo": meta["columns"][col]})
+    return df

@@ -1,0 +1,89 @@
+"""GeoParquet I/O as an oracle-checked query (SURVEY.md §2.A A1/A2):
+write customer points through the distributed footer-stamping sink, scan
+them back, and answer a bbox-windowed extent query whose spatial filter
+rides the covering column into Parquet PushedFilters. The DuckDB oracle
+recomputes from first principles (key-derived lon/lat), so the match
+certifies sink, source, covering column, and pushdown semantics at once.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.geo import io as gio
+from geoparquet_python_spark.geo.functions import st_point, st_x, st_y
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+_LON_SQL = "(((c_custkey * 7919) % 3600) / 10.0 - 180.0)"
+_LAT_SQL = "(((c_custkey * 4409) % 1700) / 10.0 - 85.0)"
+
+# bbox window: plain comparisons on both sides
+_X0, _X1, _Y0, _Y1 = -90.0, 60.0, -40.0, 55.0
+
+
+@query(
+    "q_geoparquet_roundtrip_window",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_custkey, c_nationkey,
+             {_LON_SQL} AS x, {_LAT_SQL} AS y
+      FROM customer
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM g
+    WHERE x BETWEEN {_X0} AND {_X1} AND y BETWEEN {_Y0} AND {_Y1}
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_geoparquet_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_geoparquet -> read_geoparquet -> bbox-window filter.
+
+    The filter runs on the covering column's fields (bbox.xmin, ...) so
+    it reaches the parquet scan as PushedFilters — on a 100 TB lake the
+    window prunes whole row groups before any WKB byte is read. ST_X/
+    ST_Y then decode only surviving rows for the extent aggregate."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"gpq_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") * 7919 % 3600) / 10.0 - 180.0
+    lat = (F.col("c_custkey") * 4409 % 1700) / 10.0 - 85.0
+    pts = cust.select(
+        "c_custkey", "c_nationkey", st_point(lon, lat).alias("geometry")
+    )
+    gio.write_geoparquet(pts, out, "geometry", crs="OGC:CRS84")
+
+    back = gio.read_geoparquet(spark, out)
+    windowed = back.where(
+        (F.col("bbox.xmin") >= _X0)
+        & (F.col("bbox.xmax") <= _X1)
+        & (F.col("bbox.ymin") >= _Y0)
+        & (F.col("bbox.ymax") <= _Y1)
+    )
+    return (
+        windowed.select(
+            "c_nationkey", st_x("geometry").alias("x"), st_y("geometry").alias("y")
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -34,3 +34,8 @@ def duck():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf_dir_small():
+    return "/root/testdata/sf0.001"

@@ -1,0 +1,131 @@
+"""GeoParquet sink/source round-trip tests (SURVEY.md §5.1: the
+reference's implicit test IS the metadata-preserving round-trip)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.geo import io as gio
+from geoparquet_python_spark.geo import wkb
+from geoparquet_python_spark.geo.functions import st_point
+from geoparquet_python_spark.io import load_table
+
+
+@pytest.fixture()
+def tmp_out(tmp_path):
+    out = str(tmp_path / "gpq")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _points_df(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") * 7919 % 3600) / 10.0 - 180.0
+    lat = (F.col("c_custkey") * 4409 % 1700) / 10.0 - 85.0
+    return cust.select("c_custkey", st_point(lon, lat).alias("geometry"))
+
+
+def test_roundtrip_preserves_bytes_and_metadata(spark, sf_dir_small, tmp_out):
+    df = _points_df(spark, sf_dir_small)
+    n = gio.write_geoparquet(df, tmp_out, "geometry", crs="OGC:CRS84")
+    assert n == df.count()
+
+    meta = gio.geo_metadata(tmp_out)
+    assert meta["version"] == gio.SPEC_VERSION
+    assert meta["primary_column"] == "geometry"
+    assert meta["columns"]["geometry"]["encoding"] == "WKB"
+    assert meta["columns"]["geometry"]["crs"] == "OGC:CRS84"
+
+    back = gio.read_geoparquet(spark, tmp_out)
+    assert "bbox" in back.columns  # covering column materialized at write
+    want = {(r.c_custkey, bytes(r.geometry)) for r in df.collect()}
+    got = {(r.c_custkey, bytes(r.geometry)) for r in back.collect()}
+    assert got == want
+    # geometry column carries the geo metadata in its schema
+    field = dict(zip(back.columns, back.schema.fields))["geometry"]
+    assert field.metadata["geo"]["encoding"] == "WKB"
+
+
+def test_legacy_reference_form_read(spark, tmp_path):
+    """The reference's pre-spec footer key (geometry_fields, SURVEY.md
+    §0.2 step ⑤) must be readable and normalized."""
+    out = str(tmp_path / "legacy")
+    pts = [wkb.encode(("Point", (float(i), float(-i)))) for i in range(5)]
+    table = pa.table({"id": list(range(5)), "geom": pts})
+    legacy = json.dumps(
+        [{"field_name": "geom", "geometry_format": "wkb", "crs": "epsg:4326"}]
+    ).encode()
+    table = table.replace_schema_metadata({gio.LEGACY_KEY: legacy})
+    import os
+
+    os.makedirs(out)
+    pq.write_table(table, f"{out}/part-0.parquet")
+
+    meta = gio.geo_metadata(out)
+    assert meta["version"] == "legacy"
+    assert meta["primary_column"] == "geom"
+    assert meta["columns"]["geom"]["encoding"] == "WKB"
+    assert meta["columns"]["geom"]["crs"] == "epsg:4326"
+
+    back = gio.read_geoparquet(spark, out)
+    assert back.count() == 5
+    assert wkb.decode(bytes(back.orderBy("id").first().geom)) == ("Point", (0.0, -0.0))
+
+
+def test_bbox_filter_pushdown(spark, sf_dir_small, tmp_out):
+    """Spatial predicate -> bbox conjuncts -> Parquet PushedFilters
+    (SURVEY.md §4.3: the rewrite happens in the API layer, pushdown is
+    free from the scan)."""
+    gio.write_geoparquet(_points_df(spark, sf_dir_small), tmp_out, "geometry")
+    back = gio.read_geoparquet(spark, tmp_out)
+    q = back.where(
+        (F.col("bbox.xmin") >= 0.0) & (F.col("bbox.ymax") <= 40.0)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "xmin" in plan  # bbox struct fields reached the scan
+    # and the filter is correct
+    rows = q.collect()
+    for r in rows:
+        x, y = wkb.decode(bytes(r.geometry))[1]
+        assert x >= 0.0 and y <= 40.0
+    full = {bytes(r.geometry) for r in back.collect()}
+    kept = {
+        g
+        for g in full
+        if wkb.decode(g)[1][0] >= 0.0 and wkb.decode(g)[1][1] <= 40.0
+    }
+    assert {bytes(r.geometry) for r in rows} == kept
+
+
+def test_spatial_window_filter_rewrite(spark, sf_dir_small, tmp_out):
+    """spatial_window_filter = coarse pushdown-able bbox conjuncts +
+    exact envelope refine; equals brute-force intersection test."""
+    from geoparquet_python_spark.geo.functions import spatial_window_filter
+
+    gio.write_geoparquet(_points_df(spark, sf_dir_small), tmp_out, "geometry")
+    back = gio.read_geoparquet(spark, tmp_out)
+    win = (-30.0, -20.0, 90.0, 70.0)
+    got = {
+        bytes(r.geometry)
+        for r in spatial_window_filter(back, win, "geometry").collect()
+    }
+    want = set()
+    for r in back.collect():
+        x, y = wkb.decode(bytes(r.geometry))[1]
+        if win[0] <= x <= win[2] and win[1] <= y <= win[3]:
+            want.add(bytes(r.geometry))
+    assert got == want
+    plan = (
+        spatial_window_filter(back, win, "geometry")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "xmin" in plan
