@@ -11,4 +11,6 @@ import geoparquet_python_spark.operators.relational  # noqa: F401
 import geoparquet_python_spark.operators.scalars  # noqa: F401
 import geoparquet_python_spark.operators.similarity  # noqa: F401
 import geoparquet_python_spark.operators.textanalysis  # noqa: F401
+import geoparquet_python_spark.operators.tpch_more  # noqa: F401
+import geoparquet_python_spark.operators.udtf_ops  # noqa: F401
 import geoparquet_python_spark.operators.windows  # noqa: F401

@@ -136,12 +136,23 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash() -> str:
-    """CTEs: mh(doc_id, j, v), bands(doc_id, band, sig), cand pairs."""
+    """CTEs: mh(doc_id, j, v), bands(doc_id, band, sig), cand pairs.
+
+    Double hashing (Kirsch–Mitzenmacher): one md5 per shingle yields
+    h1 (60 bits) + h2 (56 bits); hash_j = h1 + j*h2 (max < 2^62, no
+    int64 overflow at j ≤ 31). 32× fewer md5 evaluations than hashing
+    (seed, shingle) pairs — the md5 was the entire signature cost.
+    """
     return f"""
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(s), 16, 14)) AS BIGINT) AS h2
+      FROM sh
+    ),
     mh AS (
-      SELECT doc_id, j,
-             MIN({SQL_MD5_LONG.format(expr="CAST(j AS VARCHAR) || '|' || s")}) AS v
-      FROM sh CROSS JOIN range({_N_HASHES}) t(j)
+      SELECT doc_id, j, MIN(h1 + j * h2) AS v
+      FROM hh CROSS JOIN range({_N_HASHES}) t(j)
       GROUP BY doc_id, j
     ),
     bands AS (
@@ -196,16 +207,23 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", shingles("toks", k=3).alias("sh")
     )
+    # One md5 per shingle; 32 signature slots by double hashing
+    # h1 + j*h2 (mirrors _sql_minhash exactly; max < 2^62, overflow-safe).
+    h1 = F.transform(
+        "sh", lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    h2 = F.transform(
+        "sh", lambda s: F.conv(F.substring(F.md5(s), 16, 14), 16, 10).cast("long")
+    )
+    hashed = docs.select("doc_id", "sh", h1.alias("h1"), h2.alias("h2"))
+    def _slot(j: int):
+        return lambda a, b: a + F.lit(j).cast("long") * b
+
     sig_cols = [
-        F.array_min(
-            F.transform(
-                "sh",
-                lambda s, j=j: md5_long(F.concat(F.lit(f"{j}|"), s)),
-            )
-        ).alias(f"sig_{j}")
+        F.array_min(F.zip_with("h1", "h2", _slot(j))).alias(f"sig_{j}")
         for j in range(_N_HASHES)
     ]
-    signed = docs.select("doc_id", "sh", *sig_cols)
+    signed = hashed.select("doc_id", "sh", *sig_cols)
     band_structs = F.array(
         *[
             F.struct(
