@@ -31,13 +31,19 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q10_returned_revenue",
+    "q18_large_orders",
     "q_top3_orders_per_status",
     "q_cumulative_daily_revenue",
+    "q_percentile_prices",
     "q_exact_dedup",
     "q_minhash_lsh_neardup",
+    "q_simhash_near_pairs",
     "q_ann_topk_blocked",
     "q_tfidf_top_terms",
     "q_asof_purchase_click",
+    "q_geo_grid_distance_join",
+    "q_geoparquet_roundtrip_window",
     "q_stream_tumbling_counts",
 ]
 

@@ -290,13 +290,23 @@ def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch variant; kept exact here so the oracle is strong, the approx
     path is covered by q_approx_distinct_parts.)"""
     li = load_table(spark, sf_dir, "lineitem")
+    # one percentile aggregate with an array of fractions: a single
+    # per-group buffer/sort instead of three
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+            pcts.alias("pcts"),
             F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 6).alias("p50"),
+            F.round(F.col("pcts")[1], 6).alias("p90"),
+            F.round(F.col("pcts")[2], 6).alias("p99"),
+            "median_qty",
         )
         .orderBy("l_returnflag")
     )

@@ -64,3 +64,46 @@ def test_stateful_sessions_subset_of_session_windows(spark, sf_dir):
         f"missing={sorted(expected - stateful)[:3]} "
         f"extra={sorted(stateful - expected)[:3]}"
     )
+
+
+def test_parquet_sink_append_with_watermark(spark, sf_dir, tmp_path):
+    """E8: append-mode parquet sink. With a watermark, append only emits
+    windows the final watermark passed; availableNow's last commit
+    advances the watermark past max(ts) - 2h, so all but the trailing
+    windows land in the files. Verify emitted rows are a prefix-subset
+    of the batch result and nothing is duplicated."""
+    from geoparquet_python_spark.streaming.source import read_events_stream
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("day"), "n")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r.day, r.n) for r in spark.read.parquet(out).collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("day"), "n")
+    )
+    want = {(r.day, r.n) for r in batch.collect()}
+    assert got <= want, "append sink emitted rows batch doesn't have"
+    # everything except (at most) the windows still open at the final
+    # watermark must have been emitted
+    missing = want - got
+    assert len(missing) <= 2, f"too many unemitted windows: {sorted(missing)}"
+    assert len(got) == len({d for d, _ in got}), "duplicate windows in sink"
