@@ -105,6 +105,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathologically frequent shingles; the skew join is AQE-split).
     Jaccard = i/(|A|+|B|−i): integer counts, exact double division.
     """
+    return _exact_jaccard_pairs(spark, sf_dir)
+
+
+def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = (
         d.select("doc_id", tokens("text").alias("toks"))
@@ -363,6 +367,167 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= _HAMMING_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# F2d: near-dup CLUSTERS — connected components over the pair graph
+# (the "keep one doc per duplicate cluster" training-data deliverable)
+# --------------------------------------------------------------------------
+
+_SQL_JACCARD_PAIRS = f"""
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_JACCARD_T}
+    )"""
+
+
+@query(
+    "q_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {sql_shingles_cte(k=3)},
+    {_SQL_JACCARD_PAIRS},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s FROM edges),
+    reach(s, d) AS (
+      SELECT s, s FROM nodes
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+    )
+    SELECT s AS doc_id, MIN(d) AS cluster_rep FROM reach
+    GROUP BY s
+    ORDER BY doc_id
+    """,
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Jaccard≥0.3 pair graph: every doc
+    involved in near-duplication mapped to its cluster representative
+    (the component's min doc_id) — the canonical-doc choice that turns
+    pair detection into an actual dedup pass.
+
+    Distributed min-label propagation (no GraphFrames on box): labels
+    start as doc_id; each round every node takes min(own, neighbors')
+    label; converged when no label changes. Rounds ≤ graph diameter —
+    near-dup clusters are shallow (duplicates of a common source), so
+    this terminates in a handful of rounds; the candidate-pair graph is
+    orders smaller than the corpus, so per-round joins are cheap at any
+    corpus scale (the 100 TB variant swaps in large-star/small-star to
+    bound rounds at O(log n)). Oracle: recursive-CTE transitive closure.
+    """
+    pairs = _exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("s", "d")
+    labels = edges.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    edges = edges.persist()
+    labels = labels.persist()
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh, labels.node == neigh.s, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+        ).persist()
+        changed = updated.where(F.col("new_label") < F.col("old_label")).count()
+        new_labels = updated.select("node", F.col("new_label").alias("label")).persist()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# F2e: SimHash near-pairs via pigeonhole blocking (exact-output scale path)
+# --------------------------------------------------------------------------
+
+# 13 chunks (8×5 bits + 5×4 bits = 60): any pair with Hamming ≤ 12 has
+# ≥ 1 untouched chunk, so chunk-equality candidate generation has 100%
+# recall — the blocked query's output is IDENTICAL to the all-pairs
+# scan, and shares its oracle.
+_CHUNKS = [(i * 5, 5) for i in range(8)] + [(40 + i * 4, 4) for i in range(5)]
+
+
+@query(
+    "q_simhash_blocked_pairs",
+    oracle=f"""
+    WITH {_sql_simhash_cte()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming ≤ 12 pairs WITHOUT the n² self-join: pigeonhole blocking.
+
+    Each signature splits into 13 chunks; candidates are pairs agreeing
+    on (chunk_index, chunk_value) — an equi-join on a compound key —
+    then the exact Hamming test filters. Guaranteed identical output to
+    q_simhash_near_pairs (proof: 12 flipped bits cannot touch all 13
+    chunks), which is why both share one oracle; at corpus scale the
+    equi-join replaces the quadratic comparison entirely.
+    """
+    sig = q_simhash_signatures(spark, sf_dir)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(idx).alias("ci"),
+                F.shiftright("simhash", off).bitwiseAND((1 << w) - 1).alias("cv"),
+            )
+            for idx, (off, w) in enumerate(_CHUNKS)
+        ]
+    )
+    chunks = sig.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= _HAMMING_T)
         .orderBy("doc_a", "doc_b")
     )

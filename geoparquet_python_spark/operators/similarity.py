@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.vector import (
     SQL_FLAT_EMBEDDINGS,
+    SQL_NORMS,
     cosine_from_scaled,
     dot_scaled,
     norm2_scaled,
@@ -188,5 +189,174 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.45)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# F3b: random-hyperplane LSH near-dup (the un-labeled scale path)
+# --------------------------------------------------------------------------
+
+import hashlib
+
+_N_PLANES = 16
+_BAND_BITS = 8
+_COMPONENT_SCALE = 1e6
+_COSINE_T = 0.45
+
+
+def _plane_components() -> list[list[int]]:
+    """±1 hyperplane components c[p][i] from md5 parity of "p_i" —
+    reproducible in SQL (md5 is md5 everywhere), i is 1-based to align
+    with DuckDB generate_subscripts."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:15], 16) & 1
+            else -1
+            for i in range(1, 65)
+        ]
+        for p in range(_N_PLANES)
+    ]
+
+
+_SQL_HYPERPLANE_CAND = f"""
+    planes AS (
+      SELECT p, i,
+             CASE WHEN (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1
+                  THEN 1 ELSE -1 END AS c
+      FROM range({_N_PLANES}) t(p) CROSS JOIN range(1, 65) u(i)
+    ),
+    qint AS (
+      SELECT vec_id, i, CAST(floor(x * {_COMPONENT_SCALE}) AS BIGINT) AS xi
+      FROM flat
+    ),
+    bits AS (
+      SELECT q.vec_id, pl.p,
+             CASE WHEN SUM(q.xi * pl.c) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM qint q JOIN planes pl ON pl.i = q.i
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT vec_id, p // {_BAND_BITS} AS band,
+             SUM(bit * CAST(power(2, p % {_BAND_BITS}) AS BIGINT)) AS bval
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                  AND a.vec_id < b.vec_id
+    )"""
+
+
+@query(
+    "q_hyperplane_lsh_neardup",
+    oracle=f"""
+    WITH flat AS ({SQL_FLAT_EMBEDDINGS}),
+    {_SQL_HYPERPLANE_CAND},
+    norms AS ({SQL_NORMS}),
+    dots AS (
+      SELECT c.vec_a, c.vec_b,
+             CAST(SUM(CAST(floor(fa.x * fb.x * 1e12) AS BIGINT)) AS BIGINT) AS d
+      FROM cand c
+      JOIN flat fa ON fa.vec_id = c.vec_a
+      JOIN flat fb ON fb.vec_id = c.vec_b AND fb.i = fa.i
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           (d / 1e12) / (sqrt(na.n2 / 1e12) * sqrt(nb.n2 / 1e12)) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE (d / 1e12) / (sqrt(na.n2 / 1e12) * sqrt(nb.n2 / 1e12)) >= {_COSINE_T}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH near-duplicates:
+    16 sign bits per vector from deterministic ±1 hyperplanes, grouped
+    into 2 8-bit bands; candidates agree on a whole band (equi-join on
+    (band, value) — never a cross join); exact fixed-point cosine ≥ 0.45
+    refines. The banding is mirrored bit-for-bit in the oracle (integer
+    sign sums, md5-derived planes), so the probabilistic pipeline is
+    still exactly checked. This is the label-free counterpart of
+    q_ann_topk_blocked: at 100 TB, band width/count trade recall vs
+    candidate volume, and each band bucket is an independent join key
+    for AQE to balance.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _plane_components()
+    base = e.select("vec_id", "embedding", norm2_scaled("embedding").alias("n2"))
+
+    def _bit(p: int):
+        carr = F.array(*[F.lit(c).cast("long") for c in planes[p]])
+        terms = F.zip_with(
+            "embedding",
+            carr,
+            lambda x, c: F.floor(x.cast("double") * F.lit(_COMPONENT_SCALE)).cast(
+                "long"
+            )
+            * c,
+        )
+        s = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    band_cols = [
+        sum(
+            (_bit(b * _BAND_BITS + r) * F.lit(1 << r).cast("long"))
+            for r in range(_BAND_BITS)
+        ).alias(f"band_{b}")
+        for b in range(_N_PLANES // _BAND_BITS)
+    ]
+    signed = base.select("vec_id", "embedding", "n2", *band_cols)
+    banded = signed.select(
+        "vec_id",
+        "embedding",
+        "n2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band_{b}").alias("bval")
+                    )
+                    for b in range(_N_PLANES // _BAND_BITS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "vec_id", "embedding", "n2",
+        F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("n2").alias("a_n2"),
+        "band",
+        "bval",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+        F.col("band").alias("band_b"),
+        F.col("bval").alias("bval_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bval") == F.col("bval_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", "a_emb", "a_n2", "b_emb", "b_n2")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = cosine_from_scaled(
+        dot_scaled("a_emb", "b_emb"), F.col("a_n2"), F.col("b_n2")
+    )
+    return (
+        cand.select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= _COSINE_T)
         .orderBy("vec_a", "vec_b")
     )

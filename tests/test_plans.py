@@ -1,0 +1,65 @@
+"""Physical-plan guards (SURVEY.md §4): the scale posture is part of
+correctness here — broadcasts for dims, pushdown reaching the scan,
+pruned read schemas, and no accidental cartesian products. These
+assertions catch regressions that would only hurt at 100 TB, where the
+sf0.01 oracle gate cannot see them."""
+
+from __future__ import annotations
+
+import pytest
+
+from geoparquet_python_spark import registry
+
+registry.load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+NEVER_CARTESIAN = [
+    "q5_local_supplier_volume",
+    "q10_returned_revenue",
+    "q_geo_grid_distance_join",
+    "q_minhash_lsh_neardup",
+    "q_simhash_blocked_pairs",
+    "q_hyperplane_lsh_neardup",
+    "q_ngram_jaccard_pairs",
+    "q_ann_topk_blocked",
+    "q_asof_purchase_click",
+]
+
+
+@pytest.mark.parametrize("name", NEVER_CARTESIAN)
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed"
+    assert "l_partkey" not in plan, "column pruning lost: unreferenced key read"
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_revenue_delta")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan, f"{col} predicate not pushed"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, "dim joins not broadcast"
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_revenue")
+    assert "TakeOrderedAndProject" in plan, "top-k fell back to global sort"
+
+
+def test_brute_cosine_broadcasts_query_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_cosine_topk_brute")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
