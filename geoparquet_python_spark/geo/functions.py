@@ -229,6 +229,7 @@ def st_buffer(g: pd.Series, dist: pd.Series, segs: pd.Series) -> pd.Series:
         kind, val = wkb.decode(v)
         if kind != "Point":
             raise ValueError("st_buffer implemented for points only")
+        d = float(d)  # SQL literals may arrive as decimal.Decimal
         n = int(n)
         ang = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
         ring = np.column_stack(

@@ -7,6 +7,7 @@ import geoparquet_python_spark.operators.dedup  # noqa: F401
 import geoparquet_python_spark.operators.geoio  # noqa: F401
 import geoparquet_python_spark.operators.geospatial  # noqa: F401
 import geoparquet_python_spark.operators.multimodal  # noqa: F401
+import geoparquet_python_spark.operators.pipeline  # noqa: F401
 import geoparquet_python_spark.operators.relational  # noqa: F401
 import geoparquet_python_spark.operators.scalars  # noqa: F401
 import geoparquet_python_spark.operators.similarity  # noqa: F401

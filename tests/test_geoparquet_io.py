@@ -129,3 +129,23 @@ def test_spatial_window_filter_rewrite(spark, sf_dir_small, tmp_out):
         .toString()
     )
     assert "PushedFilters" in plan and "xmin" in plan
+
+
+def test_st_functions_sql_registration(spark, sf_dir_small):
+    """register_sql exposes the ST_* UDF surface to SQL strings (§2.G)."""
+    from geoparquet_python_spark.geo.functions import register_sql
+
+    register_sql(spark)
+    row = spark.sql(
+        """
+        SELECT ST_X(p) AS x, ST_Y(p) AS y,
+               ST_AsText(p) AS wkt,
+               ST_Area(ST_Buffer(p, 2.0, 16)) AS a
+        FROM (SELECT ST_Point(3.5D, -1.25D) AS p)
+        """
+    ).first()
+    assert row.x == 3.5 and row.y == -1.25
+    assert row.wkt == "POINT (3.5 -1.25)"
+    import math
+
+    assert abs(row.a - 0.5 * 16 * 4.0 * math.sin(2 * math.pi / 16)) < 1e-9
