@@ -40,6 +40,8 @@ HEADLINE = [
     "q_minhash_lsh_neardup",
     "q_simhash_near_pairs",
     "q_ann_topk_blocked",
+    "q_hyperplane_lsh_neardup",
+    "q_corpus_clean_pipeline",
     "q_tfidf_top_terms",
     "q_asof_purchase_click",
     "q_geo_grid_distance_join",

@@ -467,11 +467,16 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F2e: SimHash near-pairs via pigeonhole blocking (exact-output scale path)
 # --------------------------------------------------------------------------
 
-# 13 chunks (8×5 bits + 5×4 bits = 60): any pair with Hamming ≤ 12 has
-# ≥ 1 untouched chunk, so chunk-equality candidate generation has 100%
-# recall — the blocked query's output is IDENTICAL to the all-pairs
-# scan, and shares its oracle.
-_CHUNKS = [(i * 5, 5) for i in range(8)] + [(40 + i * 4, 4) for i in range(5)]
+# Pigeonhole blocking wins only when chunks are WIDE (many bucket
+# values): t+1 chunks of w bits generate ~n²·(t+1)/2^w candidate pairs,
+# so w must exceed log2(n) comfortably. For the tight-duplicate regime
+# (Hamming ≤ 3) four 15-bit chunks give 32k buckets — candidates
+# collapse to near-exact matches and the n² scan disappears. (At t=12
+# the chunks would be 4–5 bits: more candidates than brute force —
+# measured 4.7× slower at sf0.1 — so the loose threshold stays on the
+# all-pairs form, q_simhash_near_pairs.)
+_HAMMING_T_BLOCKED = 3
+_CHUNKS = [(i * 15, 15) for i in range(4)]
 
 
 @query(
@@ -481,19 +486,20 @@ _CHUNKS = [(i * 5, 5) for i in range(8)] + [(40 + i * 4, 4) for i in range(5)]
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T_BLOCKED}
     ORDER BY doc_a, doc_b
     """,
 )
 def q_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming ≤ 12 pairs WITHOUT the n² self-join: pigeonhole blocking.
+    """Hamming ≤ 3 pairs WITHOUT the n² self-join: pigeonhole blocking.
 
-    Each signature splits into 13 chunks; candidates are pairs agreeing
-    on (chunk_index, chunk_value) — an equi-join on a compound key —
-    then the exact Hamming test filters. Guaranteed identical output to
-    q_simhash_near_pairs (proof: 12 flipped bits cannot touch all 13
-    chunks), which is why both share one oracle; at corpus scale the
-    equi-join replaces the quadratic comparison entirely.
+    Each 60-bit signature splits into 4 chunks of 15 bits; candidates
+    are pairs agreeing on (chunk_index, chunk_value) — an equi-join on
+    a compound key — then the exact Hamming test filters. Guaranteed
+    identical output to the all-pairs scan at this threshold (3 flipped
+    bits cannot touch all 4 chunks), so the oracle is the brute-force
+    SQL. The candidate join shuffles on a 32k-value uniform key; AQE
+    splits any hot bucket.
     """
     sig = q_simhash_signatures(spark, sf_dir)
     chunk_structs = F.array(
@@ -528,6 +534,6 @@ def q_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= _HAMMING_T)
+        .where(F.col("hamming") <= _HAMMING_T_BLOCKED)
         .orderBy("doc_a", "doc_b")
     )

@@ -310,3 +310,76 @@ def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: count-of-counts histogram through a LEFT join
+    (customers with zero orders must survive as c_count=0). Two aggs:
+    the first shuffles on custkey, the second on the tiny c_count key —
+    partial aggregation makes the second shuffle carry |distinct
+    counts| rows per partition."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q22_idle_wealthy_customers",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           {sql_dsum("c_acctbal", "totacctbal")}
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT {sql_davg("c_acctbal", "a")} FROM customer WHERE c_acctbal > 0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (global avg over
+    positive balances — computed once, joined as a 1-row broadcast) +
+    NOT EXISTS as a left-anti join against orders. No correlated
+    re-execution anywhere: the anti join is one shuffle on custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    threshold = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal", "avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
