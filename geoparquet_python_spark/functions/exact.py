@@ -54,3 +54,13 @@ def sql_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL(38,{SCALE}))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+def materialize(df):
+    """Cut lineage for a DataFrame that feeds BOTH sides of a self-join
+    (signatures, banded sketches): without this Spark re-executes the
+    producing pipeline once per branch. localCheckpoint materializes the
+    partitions on the executors (eager, off the critical path of each
+    branch). The 100 TB equivalent is an explicit parquet checkpoint of
+    the signature table — same idea, durable."""
+    return df.localCheckpoint()

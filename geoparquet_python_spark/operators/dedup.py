@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geoparquet_python_spark.functions.exact import materialize
 from geoparquet_python_spark.functions.text import (
     SQL_MD5_LONG,
     md5_long,
@@ -246,27 +247,43 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = signed.select(
         "doc_id", F.explode(band_structs).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Candidates by bucket-grouping, not a self-join: the self-join form
+    # evaluates the whole signature lineage once per side; grouping runs
+    # it once and expands (a < b) pairs inside each bucket with array
+    # ops. Shuffle carries (band, sig) -> tiny id lists. (A boilerplate
+    # mega-bucket would expand quadratically — at corpus scale cap
+    # bucket size or pre-drop stop-shingles; driver data has no such
+    # bucket and the oracle mirrors the uncapped semantics.)
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact-Jaccard refine on the candidate set only
+    # exact-Jaccard refine on the candidate set only. The candidate
+    # pair set is orders smaller than the corpus (that's the point of
+    # LSH), so it is BROADCAST against the shingle sets — the corpus
+    # side never shuffles for the refine.
     sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter * F.lit(1.0) / union
+    enriched = sets_a.join(F.broadcast(cand), "doc_a")
     return (
-        cand.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
+        sets_b.join(F.broadcast(enriched), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= _JACCARD_T)
         .orderBy("doc_a", "doc_b")
@@ -360,7 +377,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature chunks (pigeonhole: ≤12-bit distance ⇒ some 12-bit-wide
     chunk of 5 matches exactly) — same output, bounded candidates.
     """
-    sig = q_simhash_signatures(spark, sf_dir)
+    sig = materialize(q_simhash_signatures(spark, sf_dir))
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
@@ -501,7 +518,7 @@ def q_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL. The candidate join shuffles on a 32k-value uniform key; AQE
     splits any hot bucket.
     """
-    sig = q_simhash_signatures(spark, sf_dir)
+    sig = materialize(q_simhash_signatures(spark, sf_dir))
     chunk_structs = F.array(
         *[
             F.struct(

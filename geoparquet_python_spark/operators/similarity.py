@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geoparquet_python_spark.functions.exact import materialize
 from geoparquet_python_spark.functions.vector import (
     SQL_FLAT_EMBEDDINGS,
     SQL_NORMS,
@@ -328,6 +329,7 @@ def q_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "n2",
         F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
     )
+    banded = materialize(banded)
     a = banded.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("a_emb"),
