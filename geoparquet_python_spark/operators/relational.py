@@ -509,3 +509,49 @@ def q_supplier_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").asc_nulls_first(),
         F.col("s_suppkey"),
     )
+
+
+@query(
+    "q_user_activity_full_outer",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    c AS (
+      SELECT user_id, COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(n_clicks, 0) AS n_clicks
+    FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+    ORDER BY user_id
+    """,
+)
+def q_user_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 full-outer join: users who only click and users who only
+    purchase both survive with zero-filled counts. Both inputs are
+    pre-aggregated (shrunk to |users| before the join), so the full
+    outer is a join of two small keyed sides — the 100 TB pattern is
+    aggregate-then-outer-join, never outer-join raw facts."""
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    return (
+        p.join(c, "user_id", "full")
+        .select(
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+        .orderBy("user_id")
+    )
