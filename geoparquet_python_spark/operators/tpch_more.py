@@ -383,3 +383,57 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q7_nation_trade_flow",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS ship_year,
+           {sql_dsum("l_extendedprice * (1.0 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE n1.n_name IN ('NATION_9', 'NATION_10')
+      AND n2.n_name IN ('NATION_9', 'NATION_10')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by year. The two
+    nation filters are applied THROUGH the broadcast dims before the
+    fact-fact joins (supplier/customer shrink to two nations first), so
+    the orderkey/custkey shuffles carry only qualifying rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.where(F.col("n_name").isin("NATION_9", "NATION_10")).select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.where(F.col("n_name").isin("NATION_9", "NATION_10")).select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(s.join(F.broadcast(n1), s.s_nationkey == F.col("nk1")),
+                li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2")),
+              o.o_custkey == c.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dsum(rev, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
