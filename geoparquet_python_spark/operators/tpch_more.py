@@ -437,3 +437,385 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(rev, "revenue"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+_DEC0 = "CAST(0 AS DECIMAL(38,6))"
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH base AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+             n1.n_name AS supp_nation,
+             CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) AS rev
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE {_DEC0} END) AS DOUBLE) AS nation_rev,
+           CAST(SUM(rev) AS DOUBLE) AS total_rev,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE {_DEC0} END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM base
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share of a region's PROMO
+    trade, by order year. The conditional numerator and the denominator
+    come out of ONE grouped aggregate over one join tree (no second
+    pass); nation/region dims broadcast; the share division happens on
+    the exact decimal sums so it is bit-stable at any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("nk2")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    num = (
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(zero))
+        .cast("double")
+        .alias("nation_rev")
+    )
+    den = F.sum(rev).cast("double").alias("total_rev")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s.join(F.broadcast(n1), s.s_nationkey == F.col("nk1")),
+              li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2")),
+              o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(num, den)
+        .withColumn("mkt_share", F.col("nation_rev") / F.col("total_rev"))
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS supp_nation,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           {sql_dsum("l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity", "profit")}
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year profit on a part-name
+    family. The driver schema has no partsupp, so supply cost is the
+    deterministic proxy 0.6 * p_retailprice (same double expression on
+    both engines). The LIKE filter shrinks part BEFORE the fact join,
+    so the broadcast hash build holds only matching parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(dsum(profit, "profit"))
+        .orderBy("supp_nation", "order_year")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             {sql_dsum("l_extendedprice * (1.0 - l_discount)", "part_value")}
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_8')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > 0.002 * (SELECT SUM(part_value) FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value (through two nations'
+    suppliers) exceeds a fraction of the global total — the
+    HAVING-against-global-scalar-subquery shape. The grouped table is
+    computed once (localCheckpoint cuts lineage), the one-row global
+    total is broadcast into the filter; threshold compares the same
+    exact-decimal doubles on both engines."""
+    from geoparquet_python_spark.functions.exact import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_8")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pv = materialize(
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(dsum(rev, "part_value"))
+    )
+    total = pv.agg(
+        F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double").alias("_tot")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.lit(0.002) * F.col("_tot"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH sr AS (
+      SELECT l_suppkey,
+             {sql_dsum("l_extendedprice * (1.0 - l_discount)", "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN sr ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM sr)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' for one quarter, then the
+    supplier(s) hitting its max — view-plus-scalar-subquery. Equality
+    against MAX is safe because revenues are exact decimal sums (ties
+    resolve identically on both engines). One-row max broadcasts."""
+    from geoparquet_python_spark.functions.exact import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    sr = materialize(
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(rev, "total_revenue"))
+    )
+    mx = sr.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type  <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    cell, excluding a complaint set (negative-balance suppliers) via
+    broadcast anti-join. The part filter is applied before the
+    broadcast build; count-distinct expands then dedups map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * (1.0 - l_discount)", "revenue")},
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands across the part join. Catalyst extracts the common
+    `p_brand IN (...)` / size upper bound implied by the OR into the
+    broadcast build side; the residual disjunction evaluates post-join
+    inside whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q20_bulk_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%bolt%'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 2000
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers moving bulk volume of a part-name
+    family — semi-join against a grouped-HAVING subquery. The inner
+    aggregate shrinks to ≤ |supplier| rows, so the outer semi-join is a
+    broadcast; quantity sums are int-valued doubles, exact in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    bulk = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 2000)
+    )
+    return (
+        s.join(F.broadcast(bulk), s.s_suppkey == bulk.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_lone_returner",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: in finished multi-supplier orders, the supplier
+    whose line was the ONLY returned one — correlated EXISTS and NOT
+    EXISTS, each with an extra non-equi term. Both realize as semi/anti
+    joins keyed on l_orderkey with the `suppkey <>` residual evaluated
+    in the join; fresh scans for l2/l3 keep self-join lineage clean
+    (PySpark re-executes shared lineage per branch otherwise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    l2 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .join(l2, (F.col("l_orderkey") == F.col("k2"))
+              & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3"))
+              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -43,6 +43,20 @@ def prepare(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on this build — leave session default
+    # Size reducer count to the session's real parallelism when the
+    # session is still on the stock 200 default (an explicitly tuned
+    # value — ours in get_spark, or a cluster admin's — is respected):
+    # 2× cores as the AQE *upper* bound (coalesce shrinks below it at
+    # runtime). Proportional, so the same rule holds on a 1000-executor
+    # cluster; also sizes streaming state-store partition count, which
+    # is NOT AQE-managed and costs a fixed per-partition overhead every
+    # microbatch.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * cores, 16)))
+    except Exception:
+        pass
     return spark
 
 
