@@ -63,3 +63,43 @@ def test_topk_is_take_ordered(spark, sf_dir):
 def test_brute_cosine_broadcasts_query_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_cosine_topk_brute")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+NEVER_CARTESIAN_TPCH2 = [
+    "q7_nation_trade_flow",
+    "q8_market_share",
+    "q9_product_profit",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_bulk_part_suppliers",
+    "q21_lone_returner",
+]
+
+
+@pytest.mark.parametrize("name", NEVER_CARTESIAN_TPCH2)
+def test_tpch2_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_q8_dims_broadcast(spark, sf_dir):
+    # part, supplier+nation, customer+nation+region sides all broadcast;
+    # only the lineitem<->orders join may shuffle.
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4, "Q8 dims not broadcast"
+
+
+def test_q21_semi_anti_realized_as_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q21_lone_returner")
+    assert "LeftSemi" in plan, "EXISTS not realized as semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS not realized as anti join"
+
+
+def test_q16_anti_join_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q16_supplier_part_counts")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q19_part_side_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan, "part join not broadcast"
