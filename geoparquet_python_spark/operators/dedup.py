@@ -324,15 +324,9 @@ def _sql_simhash_cte() -> str:
     )"""
 
 
-@query(
-    "q_simhash_signatures",
-    oracle=f"""
-    WITH {_sql_simhash_cte()}
-    SELECT doc_id, simhash FROM sig ORDER BY doc_id
-    """,
-)
-def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document from distinct-word hashes.
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted 60-bit SimHash per document (the building block the
+    pair queries materialize — no presentation sort in the hot path).
 
     bit_b(doc) = sign(Σ_words ±1 by hash-bit b): one explode + one
     groupBy with 60 integer-sum aggregates — a single shuffle on
@@ -356,7 +350,20 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint")
         )
         simhash = term if simhash is None else simhash + term
-    return bitsums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return bitsums.select("doc_id", simhash.alias("simhash"))
+
+
+@query(
+    "q_simhash_signatures",
+    oracle=f"""
+    WITH {_sql_simhash_cte()}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
+    """,
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered signature query: sorted presentation of
+    :func:`_simhash_signatures`."""
+    return _simhash_signatures(spark, sf_dir).orderBy("doc_id")
 
 
 @query(
@@ -377,15 +384,17 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature chunks (pigeonhole: ≤12-bit distance ⇒ some 12-bit-wide
     chunk of 5 matches exactly) — same output, bounded candidates.
     """
-    sig = materialize(q_simhash_signatures(spark, sf_dir))
+    sig = materialize(_simhash_signatures(spark, sf_dir))
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # No terminal sort: the pair dump is unordered by contract (the
+    # oracle compare is order-insensitive) — a global sort over the
+    # O(matches) output would be the single largest shuffle at scale.
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= _HAMMING_T)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -518,7 +527,7 @@ def q_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL. The candidate join shuffles on a 32k-value uniform key; AQE
     splits any hot bucket.
     """
-    sig = materialize(q_simhash_signatures(spark, sf_dir))
+    sig = materialize(_simhash_signatures(spark, sf_dir))
     chunk_structs = F.array(
         *[
             F.struct(
@@ -549,8 +558,8 @@ def q_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # Unordered pair dump, as in q_simhash_near_pairs: no terminal sort.
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= _HAMMING_T_BLOCKED)
-        .orderBy("doc_a", "doc_b")
     )
