@@ -209,18 +209,20 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-split or capped with a bucket-size limit.
     """
     d = load_table(spark, sf_dir, "documents")
+    # The shingle projection feeds the signature pipeline and both
+    # refine sides; recomputing it is cheaper than checkpointing the
+    # wide shingle arrays (measured both ways at sf0.1 — the narrow
+    # candidate set is what's worth materializing, via broadcast below).
     docs = d.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", shingles("toks", k=3).alias("sh")
     )
     # One md5 per shingle; 32 signature slots by double hashing
     # h1 + j*h2 (mirrors _sql_minhash exactly; max < 2^62, overflow-safe).
-    h1 = F.transform(
-        "sh", lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    )
-    h2 = F.transform(
-        "sh", lambda s: F.conv(F.substring(F.md5(s), 16, 14), 16, 10).cast("long")
-    )
-    hashed = docs.select("doc_id", "sh", h1.alias("h1"), h2.alias("h2"))
+    hs = F.transform("sh", lambda s: F.md5(s))
+    hashed = docs.select("doc_id", "sh", hs.alias("hs"))
+    h1 = F.transform("hs", lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long"))
+    h2 = F.transform("hs", lambda h: F.conv(F.substring(h, 16, 14), 16, 10).cast("long"))
+    hashed = hashed.select("doc_id", "sh", h1.alias("h1"), h2.alias("h2"))
     def _slot(j: int):
         return lambda a, b: a + F.lit(j).cast("long") * b
 
