@@ -9,6 +9,7 @@ import geoparquet_python_spark.operators.geospatial  # noqa: F401
 import geoparquet_python_spark.operators.multimodal  # noqa: F401
 import geoparquet_python_spark.operators.pipeline  # noqa: F401
 import geoparquet_python_spark.operators.relational  # noqa: F401
+import geoparquet_python_spark.operators.sampling  # noqa: F401
 import geoparquet_python_spark.operators.scalars  # noqa: F401
 import geoparquet_python_spark.operators.similarity  # noqa: F401
 import geoparquet_python_spark.operators.textanalysis  # noqa: F401

@@ -1,0 +1,110 @@
+"""Deterministic dataset splitting & sampling (SURVEY.md §2.F
+training-pipeline closure).
+
+A 100 TB training pipeline needs REPRODUCIBLE splits and samples:
+`df.sample()` / `rand()` are seed-and-partitioning dependent, so a
+retry or a repartition silently reshuffles the split. The robust form
+is content-addressed: bucket = md5(stable id) mod 100, then assign by
+bucket range. Every engine that can md5 a string computes the same
+assignment — which also makes it oracle-checkable row-for-row, and at
+scale means a re-run of a failed stage cannot leak val docs into train.
+
+No reference equivalent (the reference delegates analytics to pandas;
+see SURVEY.md §0 provenance) — this is [N] north-star scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic bucket in [0, buckets) from the md5 of a column's
+    string form. 16 hex chars = 64 bits, but conv() returns signed —
+    use 4 hex chars (16 bits, unsigned-safe) like the SQL mirror."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % buckets
+    )
+
+
+def sql_hash_bucket(expr: str, buckets: int = 100) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 4)) AS INT)"
+        f" % {buckets})"
+    )
+
+
+_B = sql_hash_bucket("doc_id")
+
+
+@query(
+    "q_hash_split_stats",
+    oracle=f"""
+    SELECT CASE WHEN {_B} < 80 THEN 'train'
+                WHEN {_B} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by md5(doc_id) bucket, with
+    per-split corpus stats. The assignment is a pure projection (no
+    shuffle); only the 3-group stats aggregate shuffles. Adding data
+    never moves an existing doc between splits."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q_stratified_sample_rates",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN {_B} < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: downsample the dominant
+    language to 10%, keep 50% of the rest (the rebalancing move every
+    corpus-mixing pipeline makes). Membership is the same md5 bucket as
+    the split op, so the sample is stable under retries/repartitions;
+    counting sampled vs total per stratum verifies the realized rates."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(b < rate, 1).otherwise(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
