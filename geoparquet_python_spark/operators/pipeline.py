@@ -59,7 +59,7 @@ from geoparquet_python_spark.registry import query
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM gated

@@ -196,12 +196,12 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS abs_diff,
-           floor(l_extendedprice / 1000.0) AS price_k_floor,
-           ceil(l_extendedprice / 1000.0) AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+           CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
            sqrt(l_quantity) AS qty_sqrt,
            round(l_extendedprice / 7.0, 2) AS price_7th,
            l_quantity * l_quantity AS qty_sq,
-           sign(l_discount - 0.05) AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            l_linenumber % 3 AS line_mod,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate,
@@ -246,7 +246,8 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
              / COUNT(*) AS avg_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,

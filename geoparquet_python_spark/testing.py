@@ -60,7 +60,20 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str 
     assert len(a) == len(b), f"[{name}] row count: spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+        # The driver's value hash is dtype-sensitive: int64 402 vs float64
+        # 402.0 hash-differ even though == passes. DuckDB returns HUGEINT
+        # for integer SUM, which pandas materializes as float64 — oracles
+        # must CAST(... AS BIGINT) so both sides agree. Flag the split
+        # here instead of silently coercing (round-1 CORRECTNESS red).
+        a_f, b_f = pd.api.types.is_float_dtype(av), pd.api.types.is_float_dtype(bv)
+        a_i, b_i = pd.api.types.is_integer_dtype(av), pd.api.types.is_integer_dtype(bv)
+        if (a_f and b_i) or (a_i and b_f):
+            raise AssertionError(
+                f"[{name}] col {c!r} int/float dtype split: spark={av.dtype} "
+                f"oracle={bv.dtype} — driver value-hash would mismatch; "
+                f"CAST the oracle aggregate to BIGINT (or align the Spark side)"
+            )
+        if a_f or b_f:
             avf = av.astype("float64").to_numpy()
             bvf = bv.astype("float64").to_numpy()
             both_nan = np.isnan(avf) & np.isnan(bvf)

