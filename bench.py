@@ -68,6 +68,7 @@ def main() -> None:
     _force(registry.QUERIES["q1_pricing_summary"](spark, sf_dir))
 
     times: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
@@ -76,6 +77,9 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        # Row count per query (untimed extra run): lets round-over-round
+        # comparisons detect silent result shrinkage behind a "speedup".
+        rows[name] = fn(spark, sf_dir).count()
 
     total = round(sum(times.values()), 3)
     print(
@@ -85,6 +89,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "rows": rows,
                 "sf": sf,
             }
         )

@@ -81,7 +81,19 @@ def write_geoparquet(
     OGC ``geo`` key-value metadata — written by pyarrow inside
     ``mapInArrow``, so the stamping is executor-side and single-pass
     (the reference's ``replace_schema_metadata`` + ``pq.write_table``,
-    geoparquet/__init__.py:35–40≈, parallelized)."""
+    geoparquet/__init__.py:35–40≈, parallelized).
+
+    Task-commit protocol (retries/speculation are routine at 100 TB):
+    each attempt writes to a hidden temp name derived from
+    (partitionId, taskAttemptId), then atomically renames to the
+    canonical ``part-{partitionId}.parquet`` on close. Retried or
+    speculative attempts of the same partition overwrite the SAME final
+    name with identical content instead of leaving a second part file
+    (the silent row-duplication failure of uuid naming). The rename is
+    atomic on POSIX local/NFS filesystems; on an object store deploy
+    this function's commit step is where an S3A-style committer slots
+    in. An empty input still produces one schema-only part file, so the
+    output directory is always a readable dataset."""
     if geometry_col not in df.columns:
         raise ValueError(f"geometry column {geometry_col!r} not in {df.columns}")
     if bbox_covering and "bbox" not in df.columns:
@@ -91,25 +103,45 @@ def write_geoparquet(
     meta_json = _geo_metadata_json(geometry_col, crs, None)
 
     def write_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else uuid.uuid4().hex
+        final = os.path.join(path, f"part-{pid:05d}.parquet")
+        tmp = os.path.join(path, f".part-{pid:05d}-{attempt}.parquet.tmp")
         writer = None
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
         rows = 0
-        for batch in batches:
-            if writer is None:
-                schema = batch.schema.with_metadata(
-                    {**(batch.schema.metadata or {}), GEO_KEY: meta_json}
-                )
-                writer = pq.ParquetWriter(fname, schema)
-            writer.write_batch(batch)
-            rows += batch.num_rows
-        if writer is not None:
-            writer.close()
+        try:
+            for batch in batches:
+                if writer is None:
+                    schema = batch.schema.with_metadata(
+                        {**(batch.schema.metadata or {}), GEO_KEY: meta_json}
+                    )
+                    writer = pq.ParquetWriter(tmp, schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+            if writer is not None:
+                writer.close()
+                os.replace(tmp, final)  # commit: atomic, last attempt wins
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)  # abort path: never leak half-written files
         yield pa.RecordBatch.from_pylist(
-            [{"file": fname, "rows": rows}] if rows else [],
+            [{"file": final, "rows": rows}] if rows else [],
             schema=pa.schema([("file", pa.string()), ("rows", pa.int64())]),
         )
 
     stats = df.mapInArrow(write_partition, "file string, rows long").collect()
+    if not stats:
+        # Every partition was empty: emit one schema-only part so the
+        # directory is a valid (zero-row) GeoParquet dataset.
+        tbl = df.limit(0).toArrow()
+        tbl = tbl.replace_schema_metadata(
+            {**(tbl.schema.metadata or {}), GEO_KEY: meta_json}
+        )
+        pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+        return 0
     return sum(r.rows for r in stats)
 
 

@@ -664,3 +664,87 @@ def q_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= _HAMMING_T_BLOCKED)
     )
+
+
+# --------------------------------------------------------------------------
+# F2f: SimHash near-pairs at the LOOSE threshold (t=12) via 13-chunk
+# pigeonhole — exact output, no all-pairs nested loop in the plan
+# --------------------------------------------------------------------------
+
+# 60 bits → 13 chunks (8×5-bit + 5×4-bit). ≤12 flipped bits cannot
+# touch all 13 chunks, so every qualifying pair agrees exactly on ≥1
+# chunk — candidates from 13 equi-joins, recall 1.0 by pigeonhole.
+_LOOSE_OFFS = [0, 5, 10, 15, 20, 25, 30, 35, 40, 44, 48, 52, 56]
+_LOOSE_MASKS = [31] * 8 + [15] * 5
+_SQL_ARR = "array(" + ",".join(str(o) for o in _LOOSE_OFFS) + ")"
+_SQL_MASKS = "array(" + ",".join(str(m) for m in _LOOSE_MASKS) + ")"
+
+
+@query(
+    "q_simhash_blocked_pairs_loose",
+    oracle=f"""
+    WITH {_sql_simhash_cte()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_simhash_blocked_pairs_loose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming ≤ 12 pairs with NO all-pairs join: 13-chunk pigeonhole.
+
+    Identical output to q_simhash_near_pairs (the brute SQL is the
+    oracle), but the plan is 13 shuffled equi-joins on (chunk_index,
+    chunk_value) — distributable, AQE-splittable — instead of the
+    BroadcastNestedLoopJoin the naive form needs. Candidate dedup is a
+    FILTER, not a distinct: a pair is kept only at its FIRST agreeing
+    chunk (all earlier chunks must differ), so no second shuffle.
+
+    Honest scale math: at t/bits = 12/60 the chunks are only 4–5 bits
+    wide, so random-signature candidate volume is Σ n²/2^w ≈ 0.28 n² —
+    the pigeonhole fixes the plan SHAPE (shuffle instead of a driver
+    broadcast of the corpus) but not the asymptotics. The loose-t
+    regime becomes genuinely sub-quadratic by WIDENING the signature
+    (128-bit SimHash → 13 chunks of 9–10 bits ⇒ n²/50-ish), which is a
+    parameter change in this same plan; at 60 bits t=12 is test-scale.
+    """
+    sig = materialize(_simhash_signatures(spark, sf_dir))
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(idx).alias("ci"),
+                F.shiftright("simhash", off).bitwiseAND(mask).alias("cv"),
+            )
+            for idx, (off, mask) in enumerate(zip(_LOOSE_OFFS, _LOOSE_MASKS))
+        ]
+    )
+    chunks = sig.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.ci") == F.col("b.ci"))
+        & (F.col("a.cv") == F.col("b.cv"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("ha"),
+        F.col("b.simhash").alias("hb"),
+        F.col("a.ci").alias("ci"),
+    )
+    first_match = F.expr(
+        f"ci = 0 OR forall(sequence(0, ci - 1), j -> "
+        f"(shiftright(ha, element_at({_SQL_ARR}, j + 1)) & element_at({_SQL_MASKS}, j + 1)) != "
+        f"(shiftright(hb, element_at({_SQL_ARR}, j + 1)) & element_at({_SQL_MASKS}, j + 1)))"
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # Unordered pair dump (oracle compare is order-insensitive).
+    return (
+        joined.where(first_match)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= _HAMMING_T)
+    )

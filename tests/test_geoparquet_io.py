@@ -149,3 +149,36 @@ def test_st_functions_sql_registration(spark, sf_dir_small):
     import math
 
     assert abs(row.a - 0.5 * 16 * 4.0 * math.sin(2 * math.pi / 16)) < 1e-9
+
+
+def test_write_is_idempotent_per_partition(spark, sf_dir_small, tmp_out):
+    """Task-commit protocol: re-running the same write (the user-level
+    analogue of a retried/speculative task attempt) renames onto the
+    SAME canonical part names — no duplicate part files, no doubled
+    rows, no leftover temp files."""
+    import glob
+    import os
+
+    df = _points_df(spark, sf_dir_small)
+    n1 = gio.write_geoparquet(df, tmp_out, "geometry")
+    files1 = sorted(glob.glob(os.path.join(tmp_out, "*.parquet")))
+    n2 = gio.write_geoparquet(df, tmp_out, "geometry")
+    files2 = sorted(glob.glob(os.path.join(tmp_out, "*.parquet")))
+    assert n1 == n2 == df.count()
+    assert files1 == files2, "retry must overwrite, not add part files"
+    assert gio.read_geoparquet(spark, tmp_out).count() == df.count()
+    assert not glob.glob(os.path.join(tmp_out, ".part-*")), "temp files leaked"
+
+
+def test_write_empty_dataframe_is_readable(spark, sf_dir_small, tmp_out):
+    """An all-empty write must still leave a valid zero-row GeoParquet
+    dataset (schema + geo footer), not an empty directory that breaks
+    read_geoparquet."""
+    df = _points_df(spark, sf_dir_small).where(F.lit(False))
+    n = gio.write_geoparquet(df, tmp_out, "geometry")
+    assert n == 0
+    meta = gio.geo_metadata(tmp_out)
+    assert meta is not None and meta["primary_column"] == "geometry"
+    back = gio.read_geoparquet(spark, tmp_out)
+    assert back.count() == 0
+    assert "geometry" in back.columns

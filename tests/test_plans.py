@@ -103,3 +103,39 @@ def test_q16_anti_join_broadcast(spark, sf_dir):
 def test_q19_part_side_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
     assert "BroadcastHashJoin" in plan, "part join not broadcast"
+
+
+def test_loose_simhash_no_nested_loop(spark, sf_dir):
+    """t=12 blocked SimHash must plan 13 shuffled equi-joins, never the
+    all-pairs BroadcastNestedLoopJoin of the naive form."""
+    plan = plan_of(spark, sf_dir, "q_simhash_blocked_pairs_loose")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_refines_broadcast_only_id_pairs(spark, sf_dir):
+    """Round-1 hazard: the LSH refines must never hint-broadcast a
+    relation that carries shingle arrays or embeddings. The structural
+    guard is broadcast_narrow (unit-tested in test_llm_ops); here we
+    assert the physical plans still broadcast SOMETHING (the id pairs)
+    so the corpus side of the first refine join stays shuffle-free."""
+    for name in ("q_minhash_lsh_neardup", "q_hyperplane_lsh_neardup"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: id-pair broadcast lost"
+
+
+def test_unpartitioned_window_only_post_aggregation(spark, sf_dir):
+    """q_cumulative_daily_revenue runs a global (unpartitioned) window —
+    legal ONLY because it follows a groupBy that shrank the relation to
+    |days| rows. Guard: the Window node must sit above the final
+    HashAggregate, and the window input must not be a raw file scan."""
+    df = registry.QUERIES["q_cumulative_daily_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    w_pos = plan.index("Window")
+    # Everything below (after, in toString order) the Window must include
+    # the aggregate that reduced cardinality before the global sort.
+    below = plan[w_pos:]
+    assert "HashAggregate" in below, (
+        "global window is not running over a pre-aggregated relation"
+    )
