@@ -81,6 +81,19 @@ def broadcast_narrow(df):
     return F.broadcast(df)
 
 
+def spread(df):
+    """Repartition to the session's default parallelism ahead of a
+    compute-bound projection (signature builds: minhash/simhash bit
+    math, shingle explosion). Small local test files arrive as ONE
+    input split, serializing the whole map side onto one core; at
+    cluster scale input splits usually provide parallelism, but a
+    compute-bound stage downstream of a narrow source (or a coalesced
+    AQE stage) deserves the same treatment. The shuffled payload is
+    the narrow pre-signature projection, not the signatures."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def materialize(df):
     """Cut lineage for a DataFrame that feeds BOTH sides of a self-join
     (signatures, banded sketches): without this Spark re-executes the

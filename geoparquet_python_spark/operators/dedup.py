@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
+from geoparquet_python_spark.functions.exact import (
+    broadcast_narrow,
+    materialize,
+    spread,
+)
 from geoparquet_python_spark.functions.text import (
     SQL_MD5_LONG,
     md5_long,
@@ -128,7 +132,7 @@ def _exact_jaccard_pairs(
     """
     d = load_table(spark, sf_dir, "documents")
     sh = (
-        d.select("doc_id", tokens("text").alias("toks"))
+        spread(d.select("doc_id", tokens("text").alias("toks")))
         .select("doc_id", F.explode(shingles("toks", k=3)).alias("s"))
     )
     if stop_shingle_df is None:
@@ -287,7 +291,7 @@ def _minhash_lsh_pairs(
     # refine sides; recomputing it is cheaper than checkpointing the
     # wide shingle arrays (measured both ways at sf0.1 — the narrow
     # candidate set is what's worth materializing, via broadcast below).
-    docs = d.select("doc_id", tokens("text").alias("toks")).select(
+    docs = spread(d.select("doc_id", tokens("text").alias("toks"))).select(
         "doc_id", shingles("toks", k=3).alias("sh")
     )
     # One md5 per shingle; 32 signature slots by double hashing
@@ -416,8 +420,8 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id regardless of corpus size.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
+    words = spread(d.select("doc_id", F.array_distinct(tokens("text")).alias("ws"))).select(
+        "doc_id", F.explode("ws").alias("w")
     )
     hashed = words.select("doc_id", md5_long(F.col("w")).alias("h"))
     bit_aggs = [

@@ -18,12 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
+from geoparquet_python_spark.functions.exact import (
+    broadcast_narrow,
+    materialize,
+    spread,
+)
 from geoparquet_python_spark.functions.vector import (
     SQL_FLAT_EMBEDDINGS,
     SQL_NORMS,
     cosine_from_scaled,
     dot_scaled,
+    dot_scaled_arrow,
     norm2_scaled,
 )
 from geoparquet_python_spark.io import load_table
@@ -331,7 +336,7 @@ def q_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long")),
     )
     sig = materialize(
-        e.select("vec_id", xi.alias("xi"))
+        spread(e.select("vec_id", xi.alias("xi")))
         .join(F.broadcast(planes_df))
         .select("vec_id", bits.alias("bits"))
     )
@@ -353,22 +358,25 @@ def q_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bval")
-    b = banded.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("band").alias("band_b"),
-        F.col("bval").alias("bval_b"),
+    # Candidates by bucket-grouping (one shuffle of the narrow band
+    # frame; in-bucket (a < b) pair expansion map-side) — same shape as
+    # the MinHash path. Pairs agreeing on several bands are emitted
+    # once per band; dedup happens AFTER the refine where the surviving
+    # row count is tiny, instead of a 100k-row distinct here.
+    buckets = (
+        banded.groupBy("band", "bval")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bval") == F.col("bval_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    cand = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "b -> struct(a AS vec_a, b AS vec_b))))"
+            )
+        ).alias("p")
+    ).select("p.vec_a", "p.vec_b")
     sets_a = base.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("a_emb"),
@@ -380,12 +388,13 @@ def q_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("b_n2"),
     )
     cos = cosine_from_scaled(
-        dot_scaled("a_emb", "b_emb"), F.col("a_n2"), F.col("b_n2")
+        dot_scaled_arrow("a_emb", "b_emb"), F.col("a_n2"), F.col("b_n2")
     )
     return (
         sets_a.join(broadcast_narrow(cand), "vec_a")
         .join(sets_b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= _COSINE_T)
+        .dropDuplicates(["vec_a", "vec_b"])
         .orderBy("vec_a", "vec_b")
     )
