@@ -505,10 +505,10 @@ _SQL_JACCARD_PAIRS = f"""
       WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_JACCARD_T}
     )"""
 
-
-@query(
-    "q_neardup_clusters",
-    oracle=f"""
+# Transitive-closure oracle shared by both connected-components queries
+# (label propagation and star contraction): the cluster representative
+# is the component's min doc_id, computed by recursive reachability.
+_SQL_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {sql_shingles_cte(k=3)},
     {_SQL_JACCARD_PAIRS},
     edges AS (
@@ -525,8 +525,10 @@ _SQL_JACCARD_PAIRS = f"""
     SELECT s AS doc_id, MIN(d) AS cluster_rep FROM reach
     GROUP BY s
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("q_neardup_clusters", oracle=_SQL_CLUSTERS_ORACLE)
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the Jaccard≥0.3 pair graph: every doc
     involved in near-duplication mapped to its cluster representative
@@ -589,6 +591,119 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"component diameter exceeds the cap; use large-star/small-star"
         )
     edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# F2d': connected components via large-star/small-star contraction
+# --------------------------------------------------------------------------
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (lo, hi), self-loops dropped,
+    duplicates collapsed. Both star steps emit with columns (a, b)."""
+    return (
+        e.where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node u links its STRICTLY LARGER neighbors to
+    m = min(N(u) ∪ {u}). One groupBy-min plus one join — no neighbor
+    lists are ever materialized as arrays."""
+    bidir = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("a"), F.least("mn", F.col("u")).alias("b")
+        )
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient edges larger→smaller; every node u links its
+    smaller neighbors (and itself) to m = min of those neighbors."""
+    o = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("mn"))
+    child = o.join(mins, "u").select(
+        F.col("v").alias("a"), F.col("mn").alias("b")
+    )
+    center = mins.select(F.col("u").alias("a"), F.col("mn").alias("b"))
+    return child.union(center)
+
+
+def star_contraction_components(
+    edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds REGARDLESS of
+    component diameter — the scale path where min-label propagation
+    (rounds = diameter, see q_neardup_clusters) degrades on long chains.
+
+    ``edges``: two integer-ish columns (any names), undirected pairs.
+    Returns (node, label) where label = the component's min node id.
+
+    Per round: two groupBy-min + two joins + one distinct, all shuffles
+    keyed on node ids — no arrays, no driver state, AQE-splittable.
+    Convergence = edge-set fixpoint, detected by (count, xor-of-
+    xxhash64) snapshot equality: a star forest is stable under both
+    steps, and the fixpoint of the alternation IS a star forest rooted
+    at component minima (SoCC'14 Thm 1–2). localCheckpoint per round
+    truncates the O(rounds)-deep lineage.
+    """
+    a_name, b_name = edges.columns[0], edges.columns[1]
+    e = _canon_edges(
+        edges.select(F.col(a_name).alias("a"), F.col(b_name).alias("b"))
+    ).localCheckpoint()
+    prev: tuple[int, int] | None = None
+    for _ in range(max_rounds):
+        e_new = _canon_edges(_small_star(_canon_edges(_large_star(e)))).localCheckpoint()
+        snap = e_new.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)
+            ).alias("chk"),
+        ).first()
+        cur = (snap["n"], snap["chk"])
+        e = e_new
+        if prev == cur:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star_contraction_components: no fixpoint in {max_rounds} "
+            f"rounds — not expected for any graph (O(log n) bound); "
+            f"investigate input degeneracy"
+        )
+    # Fixpoint is a star forest oriented (root=lo, child=hi): children
+    # label to their root, roots label themselves.
+    children = e.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+    roots = e.select(F.col("lo").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    # A root never appears as a child at fixpoint, so the union is
+    # duplicate-free by construction.
+    return children.union(roots)
+
+
+@query("q_neardup_clusters_bigstar", oracle=_SQL_CLUSTERS_ORACLE)
+def q_neardup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as q_neardup_clusters (same oracle), computed by
+    large-star/small-star contraction instead of label propagation —
+    the variant that holds at 100 TB, where a pathological near-dup
+    CHAIN (scraped mirror-of-mirror sites) gives the propagation loop
+    diameter-many rounds while star contraction stays O(log n)."""
+    pairs = _exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = star_contraction_components(pairs)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
     ).orderBy("doc_id")

@@ -205,3 +205,54 @@ def test_neardup_clusters_raises_on_deep_chain(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         registry.QUERIES["q_neardup_clusters"](spark, sf).collect()
+
+
+def test_star_contraction_long_chain(spark):
+    """A 60-node chain (diameter 60) would exhaust label propagation's
+    20-round cap; star contraction must converge (O(log n) rounds) and
+    label every node with the component min."""
+    from geoparquet_python_spark.operators.dedup import star_contraction_components
+
+    chain = [(i, i + 1) for i in range(100, 160)]
+    labels = {
+        r.node: r.label
+        for r in star_contraction_components(
+            spark.createDataFrame(chain, ["a", "b"])
+        ).collect()
+    }
+    assert set(labels) == set(range(100, 161))
+    assert set(labels.values()) == {100}
+
+
+def test_star_contraction_matches_union_find(spark):
+    """Random multi-component graph: labels must equal a driver-side
+    union-find's component minima."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    expected = {x: find(x) for x in touched}
+
+    from geoparquet_python_spark.operators.dedup import star_contraction_components
+
+    got = {
+        r.node: r.label
+        for r in star_contraction_components(
+            spark.createDataFrame(edges, ["a", "b"])
+        ).collect()
+    }
+    assert got == expected
