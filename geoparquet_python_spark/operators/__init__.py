@@ -7,7 +7,9 @@ import geoparquet_python_spark.operators.dedup  # noqa: F401
 import geoparquet_python_spark.operators.geoio  # noqa: F401
 import geoparquet_python_spark.operators.geospatial  # noqa: F401
 import geoparquet_python_spark.operators.multimodal  # noqa: F401
+import geoparquet_python_spark.operators.packing  # noqa: F401
 import geoparquet_python_spark.operators.pipeline  # noqa: F401
+import geoparquet_python_spark.operators.quality  # noqa: F401
 import geoparquet_python_spark.operators.relational  # noqa: F401
 import geoparquet_python_spark.operators.sampling  # noqa: F401
 import geoparquet_python_spark.operators.scalars  # noqa: F401

@@ -1,0 +1,118 @@
+"""Sequence packing for training-data preparation: assign documents to
+fixed-capacity token bins (context windows), deterministically.
+
+Packing is inherently sequential (each placement depends on the running
+fill), so the scalable form shards the corpus first — a deterministic
+md5 bucket of doc_id, the same content-addressed trick as
+operators/sampling.py — and packs WITHIN each shard in doc_id order via
+``applyInPandas``. Shards are independent, so parallelism = shard
+count: at 100 TB you raise the shard count until each group fits an
+Arrow batch comfortably (the per-group loop is O(group size) in plain
+Python over one int column — microseconds per thousand docs — the cost
+is the shuffle that forms the groups, one partitioner pass).
+
+Next-fit (not first-fit-decreasing) is the policy: it preserves doc
+order within a shard — which training pipelines want for curriculum /
+source locality — and is the only greedy policy a recursive-SQL oracle
+can mirror row-for-row without re-sorting.
+
+No reference equivalent (SURVEY.md §0) — BASELINE.json north-star scope.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.operators.sampling import hash_bucket, sql_hash_bucket
+from geoparquet_python_spark.registry import query
+
+_CAPACITY = 512  # tokens per packed context window
+_N_SHARDS = 8
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("bin_fill_after", T.LongType()),
+    ]
+)
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Next-fit in doc_id order: keep filling the open bin while the doc
+    fits, else open a new one (an oversized doc gets a bin to itself,
+    overflowing it — same rule the oracle applies)."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bins, fills = [], []
+    bin_i, fill = 0, 0
+    first = True
+    for n in pdf["n_tokens"]:
+        n = int(n)
+        if first:
+            bin_i, fill, first = 0, n, False
+        elif fill + n <= _CAPACITY:
+            fill += n
+        else:
+            bin_i, fill = bin_i + 1, n
+        bins.append(bin_i)
+        fills.append(fill)
+    pdf["bin"] = pd.Series(bins, dtype="int64")
+    pdf["bin_fill_after"] = pd.Series(fills, dtype="int64")
+    return pdf[["doc_id", "shard", "n_tokens", "bin", "bin_fill_after"]]
+
+
+@query(
+    "q_token_pack_nextfit",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             CAST({sql_hash_bucket("doc_id", _N_SHARDS)} AS BIGINT) AS shard,
+             len(str_split(text, ' ')) AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY {sql_hash_bucket("doc_id", _N_SHARDS)}
+               ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ),
+    pack(shard, rn, doc_id, n_tokens, bin, fill) AS (
+      SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.fill + d.n_tokens <= {_CAPACITY}
+                  THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= {_CAPACITY}
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, bin, fill AS bin_fill_after
+    FROM pack
+    ORDER BY doc_id
+    """,
+)
+def q_token_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack every document into 512-token context bins, next-fit in
+    doc_id order within 8 md5 shards. Deterministic under retries and
+    repartitioning (shard is content-addressed, order is doc_id), so a
+    re-run of a failed stage reproduces byte-identical packing — the
+    property that makes checkpoint-resume of a tokenization job safe.
+
+    Oracle: recursive CTE replaying the same next-fit recurrence per
+    shard (depth = rows in the largest shard; oracle-scale only — the
+    Spark side has no such depth limit).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), _N_SHARDS).cast("long").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = base.groupBy("shard").applyInPandas(_pack_group, _PACK_SCHEMA)
+    return packed.orderBy("doc_id")

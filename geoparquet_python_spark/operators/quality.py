@@ -1,0 +1,242 @@
+"""Corpus-hygiene operators for training-data curation: per-document
+repetition signals (Gopher-style), corpus-wide boilerplate n-gram
+detection (CCNet/RefinedWeb-style), and pattern redaction.
+
+These complement textanalysis.py's per-doc quality score: repetition
+measures catch degenerate generated/scraped text that LENGTH and
+lexical-diversity stats miss, and the boilerplate pass catches content
+duplicated ACROSS documents (headers, navigation, license blurbs) that
+whole-document dedup cannot see.
+
+Scale design:
+- repetition signals: the distinct-trigram count is a pure per-row
+  projection (array_distinct inside codegen, no shuffle); only the
+  top-bigram mode needs an explode + two-level aggregation, keyed on
+  (doc_id, bigram) — uniform keys, full map-side combine.
+- boilerplate: the classic inverted-index shape — explode distinct
+  5-grams, document-frequency aggregate, join back per shingle. The
+  df table is vocabulary-sized, not corpus-sized; the join back is a
+  shuffle equi-join AQE can skew-split if one n-gram is everywhere.
+- redaction: a stateless projection (regexp_replace in codegen), then
+  a small-key aggregate. At 100 TB this is the map-only pass fused
+  with whatever else reads the text.
+
+No reference equivalent (the reference delegates analytics to pandas;
+SURVEY.md §0) — BASELINE.json north-star scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.text import (
+    shingles,
+    sql_shingles_cte,
+    tokens,
+)
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+# A 5-gram appearing in >= _BOILER_DF distinct documents is boilerplate.
+_BOILER_DF = 2
+
+
+@query(
+    "q_repetition_signals",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    base AS (
+      SELECT doc_id,
+             len(str_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    tri AS (SELECT doc_id, COUNT(*) AS ndt FROM sh GROUP BY doc_id),
+    bg AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS bg
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bgm AS (SELECT doc_id, MAX(c) AS mx FROM bgc GROUP BY doc_id)
+    SELECT b.doc_id,
+           b.n_tokens,
+           COALESCE(m.mx, 0) * 2.0 / b.n_tokens AS top_bigram_frac,
+           CASE WHEN b.n_tokens > 2
+                THEN (b.n_tokens - 2 - t.ndt) * 1.0 / (b.n_tokens - 2)
+                ELSE 0.0 END AS dup_trigram_frac
+    FROM base b
+    LEFT JOIN bgm m USING (doc_id)
+    LEFT JOIN tri t USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition measures per document: the fraction of
+    tokens covered by the single most frequent bigram, and the fraction
+    of trigram positions that repeat an earlier trigram. High values
+    flag degenerate text (keyboard mashing, boilerplate loops, model
+    babble) that length/TTR quality scores miss.
+
+    All ratios are integer counts with one exact double division —
+    bit-identical across engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.size(shingles("toks", k=3)).alias("ndt"),
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), "
+                "(x, i) -> concat(x, ' ', element_at(toks, i + 2)))"
+            )
+        ).alias("bg"),
+    )
+    bgm = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    n_tok = F.col("n_tokens")
+    return (
+        base.drop("toks")
+        .join(bgm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.coalesce("mx", F.lit(0)) * F.lit(2.0) / n_tok).alias(
+                "top_bigram_frac"
+            ),
+            F.when(
+                n_tok > 2,
+                (n_tok - 2 - F.col("ndt")) * F.lit(1.0) / (n_tok - 2),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_boilerplate_ngrams",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=5)},
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+    SELECT s AS shingle, df AS n_docs
+    FROM df WHERE df >= {_BOILER_DF}
+    ORDER BY n_docs DESC, shingle
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detector: 5-gram document frequency over
+    DISTINCT per-doc shingles; any 5-gram in >= 2 documents is
+    cross-document duplicated content. The df aggregate is keyed on the
+    shingle (uniform md5-like distribution of text), so the shuffle has
+    no inherent skew; output is vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(shingles("toks", k=5)).alias("s")
+    )
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= _BOILER_DF)
+        .select(F.col("s").alias("shingle"), "n_docs")
+        .orderBy(F.desc("n_docs"), "shingle")
+    )
+
+
+@query(
+    "q_boilerplate_doc_frac",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=5)},
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    per AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_5grams,
+             CAST(SUM(CASE WHEN df.df >= {_BOILER_DF} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler
+      FROM sh JOIN df USING (s)
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_5grams, n_boiler,
+           n_boiler * 1.0 / n_5grams AS boiler_frac
+    FROM per
+    ORDER BY boiler_frac DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_boilerplate_doc_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate contamination: the fraction of a doc's
+    distinct 5-grams that are corpus-level boilerplate (df >= 2), top
+    100 worst offenders — the filter list a curation pipeline feeds
+    back into its drop rules. (boiler_frac, doc_id) is a total order,
+    so the LIMIT is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(shingles("toks", k=5)).alias("s")
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_5grams"),
+            F.sum(
+                F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_5grams",
+            "n_boiler",
+            (F.col("n_boiler") * F.lit(1.0) / F.col("n_5grams")).alias(
+                "boiler_frac"
+            ),
+        )
+        .orderBy(F.desc("boiler_frac"), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q_redact_props_digits",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             regexp_replace(props, '[0-9]+', '#', 'g') AS red
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT red) AS n_patterns,
+           MIN(red) AS sample_pattern
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_redact_props_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped redaction pass: mask every digit run in the event
+    payload (the same regexp_replace plumbing handles emails/phones/SSNs
+    — the testdata has only numeric tokens to scrub), then profile the
+    redacted payload shapes per event type. The redaction itself is a
+    stateless codegen projection — at 100 TB it fuses into the scan."""
+    e = load_table(spark, sf_dir, "events")
+    red = F.regexp_replace("props", "[0-9]+", "#")
+    return (
+        e.select("event_type", red.alias("red"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("red").alias("n_patterns"),
+            F.min("red").alias("sample_pattern"),
+        )
+        .orderBy("event_type")
+    )

@@ -398,3 +398,93 @@ def q_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["vec_a", "vec_b"])
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# F3d: int8 embedding quantization (storage-scale path) with error audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+             embedding
+      FROM embeddings
+    ),
+    lv AS (
+      SELECT vec_id, mn, mx, embedding,
+             CASE WHEN mx = mn
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding, x ->
+                    CAST(floor(((CAST(x AS DOUBLE) - mn) * 255.0) / (mx - mn))
+                         AS BIGINT)) END AS qv
+      FROM q
+    )
+    SELECT vec_id, mn, mx,
+           CAST(len(list_distinct(qv)) AS BIGINT) AS n_levels,
+           CASE WHEN mx = mn THEN 0.0 ELSE
+             list_aggregate(
+               list_transform(list_zip(embedding, qv), s ->
+                 abs(CAST(s[1] AS DOUBLE)
+                     - (((s[2] * (mx - mn)) / 255.0) + mn))),
+               'max')
+           END AS max_abs_err
+    FROM lv
+    ORDER BY vec_id
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max int8 quantization of every embedding (the 4x storage /
+    bandwidth cut an ANN index takes at 100 TB), plus the per-vector
+    audit a pipeline needs before committing to it: quantization level
+    count and max absolute reconstruction error.
+
+    Everything is a per-row projection over the vector — transform /
+    zip_with / array_max inside one stage, no shuffle except the
+    terminal presentation sort. The quantize and dequantize arithmetic
+    is IEEE double with an identical operation tree on the oracle side,
+    so even max_abs_err compares bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    base = e.select("vec_id", "embedding", mn.alias("mn"), mx.alias("mx"))
+    flat_q = F.when(
+        F.col("mx") == F.col("mn"),
+        F.transform("embedding", lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                ((x.cast("double") - F.col("mn")) * F.lit(255.0))
+                / (F.col("mx") - F.col("mn"))
+            ),
+        )
+    )
+    withq = base.select("vec_id", "embedding", "mn", "mx", flat_q.alias("qv"))
+    err = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(
+                "embedding",
+                "qv",
+                lambda x, q: F.abs(
+                    x.cast("double")
+                    - (
+                        ((q * (F.col("mx") - F.col("mn"))) / F.lit(255.0))
+                        + F.col("mn")
+                    )
+                ),
+            )
+        )
+    )
+    return withq.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.size(F.array_distinct("qv")).cast("bigint").alias("n_levels"),
+        err.alias("max_abs_err"),
+    ).orderBy("vec_id")

@@ -256,3 +256,25 @@ def test_star_contraction_matches_union_find(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_pack_group_nextfit_edges():
+    """Next-fit policy unit check (no Spark): order preserved, exact
+    boundary fits, oversized doc gets its own overflowing bin."""
+    import pandas as pd
+
+    from geoparquet_python_spark.operators.packing import _CAPACITY, _pack_group
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "shard": [0] * 5,
+            "n_tokens": [300, 212, _CAPACITY + 10, 100, 412],
+        }
+    )
+    out = _pack_group(pdf)
+    assert list(out["doc_id"]) == [1, 2, 3, 4, 5]
+    # 300+212 == capacity exactly -> same bin; oversized doc alone in
+    # bin 1 (fill overflows); then 100+412=512 packs bin 2 exactly.
+    assert list(out["bin"]) == [0, 0, 1, 2, 2]
+    assert list(out["bin_fill_after"]) == [300, 512, _CAPACITY + 10, 100, 512]

@@ -139,3 +139,16 @@ def test_unpartitioned_window_only_post_aggregation(spark, sf_dir):
     assert "HashAggregate" in below, (
         "global window is not running over a pre-aggregated relation"
     )
+
+
+def test_global_window_runs_post_aggregation(spark, sf_dir):
+    """An unpartitioned window serializes onto one task, so it is only
+    acceptable over an already-reduced relation. Assert the Window in
+    q_cumulative_daily_revenue sits ABOVE the monthly aggregate
+    (parents print before children in plan toString): its input is the
+    <=one-row-per-month series, never the orders fact table."""
+    plan = plan_of(spark, sf_dir, "q_cumulative_daily_revenue")
+    wi = plan.index("Window")
+    assert "HashAggregate" in plan[wi:], (
+        "global window is not running over a post-aggregation relation"
+    )
