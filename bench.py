@@ -47,6 +47,10 @@ HEADLINE = [
     "q_geo_grid_distance_join",
     "q_geoparquet_roundtrip_window",
     "q_stream_tumbling_counts",
+    # Round-2 additions: corpus hygiene, sequence packing, quantization.
+    "q_repetition_signals",
+    "q_token_pack_nextfit",
+    "q_embedding_quantize_int8",
 ]
 
 

@@ -3,11 +3,14 @@ query in the central registry (geoparquet_python_spark.registry)."""
 
 import geoparquet_python_spark.operators.aggregation  # noqa: F401
 import geoparquet_python_spark.operators.asof  # noqa: F401
+import geoparquet_python_spark.operators.contamination  # noqa: F401
 import geoparquet_python_spark.operators.dedup  # noqa: F401
 import geoparquet_python_spark.operators.geoio  # noqa: F401
 import geoparquet_python_spark.operators.geospatial  # noqa: F401
+import geoparquet_python_spark.operators.kmeans  # noqa: F401
 import geoparquet_python_spark.operators.multimodal  # noqa: F401
 import geoparquet_python_spark.operators.packing  # noqa: F401
+import geoparquet_python_spark.operators.passages  # noqa: F401
 import geoparquet_python_spark.operators.pipeline  # noqa: F401
 import geoparquet_python_spark.operators.quality  # noqa: F401
 import geoparquet_python_spark.operators.relational  # noqa: F401

@@ -108,3 +108,47 @@ def q_stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_domain_mixture_resample",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN {_B} < 25 * ((CAST(substr(source, 4) AS INT) % 4) + 1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS DOUBLE) / 4
+             AS target_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: each source gets a target sampling
+    rate (here derived from the source id: 25/50/75/100%; in production
+    a small weights table joined by broadcast), membership decided by
+    the same content-addressed md5 bucket as the split op.
+
+    The keep/drop decision is a stateless per-row projection — the
+    actual resampled corpus is a map-only `.where(...)` with no
+    shuffle at any scale; this audit query adds one 20-key aggregate
+    (map-side combined) to verify realized vs target rates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    m = F.expr("CAST(substring(source, 4) AS INT) % 4")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(b < 25 * (m + 1), 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            ((m + 1).cast("double") / 4).alias("target_rate"),
+        )
+        .orderBy("source")
+    )

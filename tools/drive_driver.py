@@ -30,6 +30,10 @@ sf = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
 con = duckdb_connect(sf)
 
 qs, os_ = mod.queries(), mod.oracle_sql()
+only = os.environ.get("SPARK_GRAFT_ONLY")  # comma-separated subset filter
+if only:
+    keep = set(only.split(","))
+    qs = {k: v for k, v in qs.items() if k in keep}
 failed = []
 for name, fn in sorted(qs.items()):
     try:
