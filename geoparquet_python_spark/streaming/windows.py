@@ -174,3 +174,69 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_to_memory_table(agg, output_mode="complete")
     return spark.table(name).orderBy("c_mktsegment")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             date_trunc('microseconds', ts) AS ts
+      FROM events
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           date_diff('microsecond', c.ts, p.ts) AS lag_us
+    FROM e c JOIN e p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: stream-stream interval inner join — clicks matched to the
+    same user's purchases within the following hour.
+
+    Both sides carry a 2h watermark and the join predicate bounds
+    purchase.ts to [click.ts, click.ts + 1h], so Spark can expire
+    join state: click state is held ~(watermark + 1h), purchase state
+    ~watermark — bounded memory on an unbounded stream, the whole
+    point of the interval-condition requirement. Drained with
+    availableNow the result equals the batch join (the oracle);
+    append is the only stream-stream inner-join output mode.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    name = run_to_memory_table(joined, output_mode="append")
+    return spark.table(name).orderBy("click_id", "purchase_id")
