@@ -4,6 +4,7 @@ query in the central registry (geoparquet_python_spark.registry)."""
 import geoparquet_python_spark.operators.aggregation  # noqa: F401
 import geoparquet_python_spark.operators.asof  # noqa: F401
 import geoparquet_python_spark.operators.contamination  # noqa: F401
+import geoparquet_python_spark.operators.crosscorpus  # noqa: F401
 import geoparquet_python_spark.operators.dedup  # noqa: F401
 import geoparquet_python_spark.operators.geoio  # noqa: F401
 import geoparquet_python_spark.operators.geospatial  # noqa: F401

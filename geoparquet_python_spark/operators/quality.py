@@ -240,3 +240,74 @@ def q_redact_props_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Quality formula after textanalysis.q_doc_quality (length saturation
+# + type-token ratio + mean word length; the mwl term unsaturated
+# here), over the FULL corpus rather than its doc_id<100 sample.
+_SQL_QUALITY = """
+      SELECT doc_id, lang,
+             (least(len(str_split(text, ' ')) / 64.0, 1.0) * 0.4
+              + len(list_distinct(str_split(text, ' '))) * 1.0
+                / len(str_split(text, ' ')) * 0.4)
+             + (len(text) - (len(str_split(text, ' ')) - 1)) * 1.0
+               / len(str_split(text, ' ')) / 8.0 * 0.2 AS quality
+      FROM documents
+"""
+
+
+@query(
+    "q_quality_quantile_gate",
+    oracle=f"""
+    WITH q AS ({_SQL_QUALITY}),
+    c AS (
+      SELECT lang, ROUND(quantile_cont(quality, 0.4), 6) AS cutoff
+      FROM q GROUP BY lang
+    )
+    SELECT q.lang,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN q.quality >= c.cutoff THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept,
+           c.cutoff
+    FROM q JOIN c ON c.lang = q.lang
+    GROUP BY q.lang, c.cutoff
+    ORDER BY q.lang
+    """,
+)
+def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality gate: keep docs at or above their
+    language's 40th quality percentile — the rebalancing alternative
+    to one global cutoff (which would gut low-resource languages).
+
+    Two passes over the quality projection: an exact per-lang
+    percentile (5 groups; `percentile` not `percentile_approx` so the
+    oracle is strong), broadcast back, then a counting aggregate. At
+    100 TB the first pass becomes percentile_approx (sketch, one
+    pass, mergeable) and the gate itself is unchanged — the cutoff
+    table stays |langs| rows either way. Score arithmetic is ratios
+    of ints and /64, /8 (powers of two) — IEEE-exact on both engines;
+    only the interpolated cutoff is rounded (1e-6, final-ulp)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
+    mwl = (F.length("text") - (n_tokens - 1)) * F.lit(1.0) / n_tokens
+    quality = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4 + ttr * 0.4
+    ) + mwl / 8.0 * 0.2
+    q = d.select("doc_id", "lang", quality.alias("quality"))
+    cutoffs = q.groupBy("lang").agg(
+        F.round(F.percentile("quality", F.lit(0.4)), 6).alias("cutoff")
+    )
+    return (
+        q.join(F.broadcast(cutoffs), "lang")
+        .groupBy("lang", "cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("quality") >= F.col("cutoff"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .select("lang", "n_total", "n_kept", "cutoff")
+        .orderBy("lang")
+    )
