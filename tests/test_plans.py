@@ -152,3 +152,34 @@ def test_global_window_runs_post_aggregation(spark, sf_dir):
     assert "HashAggregate" in plan[wi:], (
         "global window is not running over a post-aggregation relation"
     )
+
+
+NEVER_CARTESIAN_R2 = [
+    "q_decontaminate_overlap",
+    "q_crosscorpus_dedup",
+    "q_passage_dedup_stats",
+    "q_ann_topk_ivf",
+]
+
+
+@pytest.mark.parametrize("name", NEVER_CARTESIAN_R2)
+def test_no_cartesian_round2(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_decontaminate_broadcasts_bench_side(spark, sf_dir):
+    """The eval-set shingle table must be the broadcast side — the
+    training corpus's exploded shingles never shuffle for the probe."""
+    plan = plan_of(spark, sf_dir, "q_decontaminate_overlap")
+    assert "BroadcastHashJoin" in plan, "bench shingle set not broadcast"
+
+
+def test_ivf_broadcasts_probe_list(spark, sf_dir):
+    """IVF search must broadcast the (qid, cell) probe list; the
+    cell-assigned corpus is probed map-side, and assignment itself is
+    a projection (no join anywhere but the probe join)."""
+    plan = plan_of(spark, sf_dir, "q_ann_topk_ivf")
+    assert "BroadcastHashJoin" in plan, "probe list not broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan, "IVF fell back to NL join"
+    assert "SortMergeJoin" not in plan, "probe join shuffled the corpus"
