@@ -1,0 +1,86 @@
+"""JSONL source/sink certification: round-trip the documents table
+through newline-delimited JSON and prove fidelity with a checksum
+aggregate against the parquet original.
+
+Parquet is the primary format (io.py), but real pipelines ingest
+JSONL constantly (crawl dumps, API exports). This certifies Spark's
+JSON writer/reader path — string escaping included — the same way
+geo/io.py certifies the GeoParquet footer path: write, read back
+with an explicit schema (never schema inference at scale: one footer
+pass over 100 TB of JSON is a full scan), aggregate, compare to the
+oracle run on the ORIGINAL table. Any mangled character changes the
+md5 checksum sum and the oracle catches it.
+
+Scale notes: the JSON writer/reader are both partition-parallel
+(one shard per task, splittable line format); the checksum aggregate
+is the usual uniform-key rollup. Writing to local tmp here stands in
+for object storage.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from geoparquet_python_spark.functions.text import SQL_MD5_LONG, md5_long
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+_CKSUM_MOD = 1_000_000_000
+
+_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("text", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+@query(
+    "q_jsonl_roundtrip_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM({SQL_MD5_LONG.format(expr="text")} % {_CKSUM_MOD})
+                AS BIGINT) AS text_cksum
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as JSONL, read back (explicit schema), and
+    aggregate per-lang counts + an order-independent md5 checksum of
+    the text column. The oracle computes the same aggregate on the
+    original parquet — equal results prove the JSON round-trip is
+    byte-faithful."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(_SCHEMA).json(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(md5_long(F.col("text")) % _CKSUM_MOD).alias("text_cksum"),
+        )
+        .orderBy("lang")
+    )

@@ -299,3 +299,57 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# F4: BPE-ish tokenization estimate (regex pre-tokenizer + subword count)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bpe_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))
+             AS n_regex_tokens,
+           CAST(list_sum(list_transform(str_split(text, ' '),
+                         w -> (len(w) + 3) // 4)) AS BIGINT) AS n_bpe_est
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting beyond whitespace: a GPT-2-style pre-tokenizer
+    regex (letter runs / digit runs / punctuation runs) plus the
+    ~4-chars-per-token BPE subword estimate ceil(len/4) — the quick
+    cost model every training-data budget uses before running a real
+    tokenizer.
+
+    All three counts are per-row projections (regexp_count + one
+    higher-order transform/aggregate) — map-only at any scale; a real
+    BPE merge table would slot in as an Arrow-batched pandas UDF with
+    the same shape. Integer division is truncating in both engines
+    (operands non-negative here)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        d.where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_ws_tokens"),
+            F.regexp_count(
+                "text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]+")
+            ).alias("n_regex_tokens"),
+            F.aggregate(
+                F.transform(
+                    toks,
+                    lambda w: F.floor((F.length(w) + 3) / 4).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("n_bpe_est"),
+        )
+        .orderBy("doc_id")
+    )
