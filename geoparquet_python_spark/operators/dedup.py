@@ -18,7 +18,7 @@ engines agree on exactly which candidate pairs the banding yields.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.exact import (
@@ -34,7 +34,7 @@ from geoparquet_python_spark.functions.text import (
     tokens,
 )
 from geoparquet_python_spark.io import load_table
-from geoparquet_python_spark.registry import query
+from geoparquet_python_spark.registry import QUERIES, query
 
 # MinHash parameters: 32 hash functions in 16 bands × 2 rows.
 # P(candidate | jaccard=j) = 1 - (1 - j²)^16: ≈ 0.78 at j=0.3,
@@ -866,4 +866,96 @@ def q_simhash_blocked_pairs_loose(spark: SparkSession, sf_dir: str) -> DataFrame
         joined.where(first_match)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= _HAMMING_T)
+    )
+
+
+# --------------------------------------------------------------------------
+# F2h: cluster canonicalization — keep the BEST copy per near-dup
+# cluster, not the first (quality-aware dedup deliverable)
+# --------------------------------------------------------------------------
+
+# Same quality formula as quality.q_quality_quantile_gate (and its
+# association order — IEEE determinism requires identical expression
+# trees on both engines).
+_SQL_CANON_QUALITY = """
+      SELECT doc_id,
+             (least(len(str_split(text, ' ')) / 64.0, 1.0) * 0.4
+              + len(list_distinct(str_split(text, ' '))) * 1.0
+                / len(str_split(text, ' ')) * 0.4)
+             + (len(text) - (len(str_split(text, ' ')) - 1)) * 1.0
+               / len(str_split(text, ' ')) / 8.0 * 0.2 AS quality
+      FROM documents
+"""
+
+
+@query(
+    "q_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {sql_shingles_cte(k=3)},
+    {_SQL_JACCARD_PAIRS},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s FROM edges),
+    reach(s, d) AS (
+      SELECT s, s FROM nodes
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+    ),
+    clus AS (
+      SELECT s AS doc_id, MIN(d) AS cluster_rep FROM reach GROUP BY s
+    ),
+    q AS ({_SQL_CANON_QUALITY}),
+    ranked AS (
+      SELECT c.cluster_rep, c.doc_id, q.quality,
+             COUNT(*) OVER (PARTITION BY c.cluster_rep) AS n_members,
+             row_number() OVER (PARTITION BY c.cluster_rep
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM clus c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT cluster_rep, doc_id AS canonical_doc, n_members, quality
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_rep
+    """,
+)
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per near-dup cluster: the member with the HIGHEST
+    quality score (tie → lowest doc_id) — quality-aware dedup, the
+    step most pipelines get wrong by keeping whichever duplicate
+    arrived first.
+
+    Reuses the connected-components labels (min-label propagation)
+    and joins the per-doc quality projection; the argmax is a
+    row_number window partitioned by cluster — cluster count is
+    orders smaller than the corpus, keys uniform. The canonical-id
+    set is what the actual dedup pass anti-joins against.
+    """
+    clusters = QUERIES["q_neardup_clusters"](spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
+    mwl = (F.length("text") - (n_tokens - 1)) * F.lit(1.0) / n_tokens
+    quality = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4 + ttr * 0.4
+    ) + mwl / 8.0 * 0.2
+    q = d.select("doc_id", quality.alias("quality"))
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_rep")
+    wr = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("canonical_doc"),
+            "n_members",
+            "quality",
+        )
+        .orderBy("cluster_rep")
     )
