@@ -240,3 +240,92 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_to_memory_table(joined, output_mode="append")
     return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+@query(
+    "q_stream_stream_left_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             date_trunc('microseconds', ts) AS ts
+      FROM events
+    ),
+    clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+    purchases AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    -- the GLOBAL watermark is the MIN over both inputs of
+    -- (per-stream max event time, floored to Spark's ms precision)
+    mx AS (
+      SELECT LEAST(
+        (SELECT date_trunc('milliseconds', MAX(ts)) FROM clicks),
+        (SELECT date_trunc('milliseconds', MAX(ts)) FROM purchases)
+      ) AS m
+    ),
+    matched AS (
+      SELECT c.user_id, c.event_id AS click_id, c.ts AS c_ts,
+             p.event_id AS purchase_id,
+             date_diff('microsecond', c.ts, p.ts) AS lag_us
+      FROM clicks c JOIN purchases p
+        ON p.user_id = c.user_id
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id, click_id, purchase_id, lag_us FROM matched
+    UNION ALL
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS lag_us
+    FROM clicks c CROSS JOIN mx
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+      AND c.ts + INTERVAL 1 HOUR < mx.m - INTERVAL 2 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: clicks with their
+    within-the-hour purchases, plus NULL rows for clicks that
+    provably have none.
+
+    Outer semantics on streams are watermark-driven: a null-matched
+    click can only be EMITTED once its match window is fully below
+    the event-time watermark (c_ts + 1h < watermark) — unmatched
+    clicks younger than that stay in state awaiting a possible future
+    purchase, and a bounded availableNow drain never emits them. The
+    GLOBAL watermark is min over ALL inputs of (per-stream max event
+    time − delay), at Spark's millisecond watermark precision — here
+    min(max click ts, max purchase ts) − 2h, which the oracle mirrors
+    exactly (verified value-exact incl. every null row). This
+    closed-world subtlety is why outer stream joins surprise people.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    name = run_to_memory_table(joined, output_mode="append")
+    return spark.table(name).orderBy("click_id", "purchase_id")
