@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geoparquet_python_spark.functions.exact import materialize
 from geoparquet_python_spark.functions.text import (
     SQL_MD5_LONG,
     md5_long,
@@ -350,6 +351,76 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x,
             ).alias("n_bpe_est"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# F4: unigram log-probability (perplexity-proxy quality filter)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    fp AS (
+      SELECT t.doc_id,
+             CAST(round(ln(f.c * 1.0 / tot.n) * 1000000) AS BIGINT) AS lp
+      FROM tok t JOIN freq f ON f.term = t.term CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lp) AS BIGINT) AS logprob_fp,
+           CAST(SUM(lp) AS BIGINT) * 1.0 / COUNT(*) / 1000000
+             AS avg_logprob
+    FROM fp
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-doc mean unigram
+    log-probability under the corpus's own unigram LM. Gibberish and
+    boilerplate score far from the corpus mean; the downstream gate
+    is a plain filter on avg_logprob.
+
+    Two aggregates over the exploded tokens (corpus LM build + per-doc
+    score) bridged by an equi-join on the term: the frequency table is
+    vocabulary-sized — broadcast when it fits, shuffle equi-join (AQE
+    skew-split for stopword terms) when it doesn't. ln() is libm-
+    backed, so each per-TOKEN term is rounded to 1e-6 and accumulated
+    as fixed-point int64 (order-independent; a double sum of 10^11
+    tokens would be partition-order-dependent) — same determinism
+    treatment as functions/vector.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tok = materialize(tok)
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.count()
+    lp_fp = F.round(
+        F.log(F.col("c").cast("double") / F.lit(float(tot))) * 1e6
+    ).cast("bigint")
+    scored = tok.join(F.broadcast(freq.select("term", lp_fp.alias("lp"))), "term")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp").alias("logprob_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logprob_fp",
+            (
+                F.col("logprob_fp") * F.lit(1.0) / F.col("n_tokens") / 1e6
+            ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
