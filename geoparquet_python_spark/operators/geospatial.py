@@ -437,3 +437,87 @@ def q_geo_mercator_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout: the space-filling-curve clustering lever
+# --------------------------------------------------------------------------
+
+# The synthetic coordinates are integer tenths-of-degrees before the
+# /10 scaling (see _LON_SQL/_LAT_SQL), so quantization and the bit
+# interleave stay in EXACT integer arithmetic end to end — the same
+# expression text runs on both engines (DIV/% only).
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_custkey,
+             (((c_custkey * 7919) % 3600) * 256) // 3600 AS qx,
+             (((c_custkey * 4409) % 1700) * 256) // 1700 AS qy,
+             ((c_custkey * 7919) % 3600) / 10.0 - 180.0 AS lon,
+             ((c_custkey * 4409) % 1700) / 10.0 - 85.0 AS lat
+      FROM customer
+    ),
+    z AS (
+      SELECT c_custkey, lon, lat,
+             ({" + ".join(f"(((qx // {1 << b}) % 2) * {1 << (2 * b)}) + (((qy // {1 << b}) % 2) * {1 << (2 * b + 1)})" for b in range(8))}) AS zval
+      FROM q
+    )
+    SELECT zval // 1024 AS z_cell,
+           COUNT(*) AS n_points,
+           CAST(MIN(zval) AS BIGINT) AS z_min,
+           CAST(MAX(zval) AS BIGINT) AS z_max,
+           MIN(lon) AS min_lon, MAX(lon) AS max_lon,
+           MIN(lat) AS min_lat, MAX(lat) AS max_lat
+    FROM z
+    GROUP BY 1
+    ORDER BY z_cell
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering audit: interleave the quantized
+    (lon, lat) bits into a 16-bit z-value, bucket into 64 curve cells,
+    and report each cell's point count and geographic extent — the
+    bounded per-cell extents are exactly why Delta/Iceberg OPTIMIZE
+    ZORDER works: sorting files by zval makes bbox predicates skip
+    whole files.
+
+    At 100 TB the layout pass is `repartitionByRange(z).sortWithin
+    Partitions(z)` + write — one range shuffle; this audit query is
+    the map-only + 64-key-agg proof of cell locality. All quantization
+    and interleaving is integer arithmetic (DIV/%) — bit-exact on both
+    engines with no bit-manipulation builtins.
+    """
+    d = load_table(spark, sf_dir, "customer")
+    qx = F.expr("(((c_custkey * 7919) % 3600) * 256) DIV 3600")
+    qy = F.expr("(((c_custkey * 4409) % 1700) * 256) DIV 1700")
+    q = d.select(
+        "c_custkey",
+        qx.alias("qx"),
+        qy.alias("qy"),
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"),
+    )
+    zval = F.expr(
+        " + ".join(
+            f"(((qx DIV {1 << b}) % 2) * {1 << (2 * b)})"
+            f" + (((qy DIV {1 << b}) % 2) * {1 << (2 * b + 1)})"
+            for b in range(8)
+        )
+    )
+    return (
+        q.select("lon", "lat", zval.alias("zval"))
+        .groupBy((F.col("zval") / 1024).cast("bigint").alias("z_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("zval").cast("bigint").alias("z_min"),
+            F.max("zval").cast("bigint").alias("z_max"),
+            F.min("lon").alias("min_lon"),
+            F.max("lon").alias("max_lon"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+        )
+        .orderBy("z_cell")
+    )
