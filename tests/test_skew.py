@@ -103,3 +103,43 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning (the 100 TB lever for
+    selective fact⋈fact joins): with a selective filter on the
+    creation side, Spark injects might_contain(bloom_filter_agg(...))
+    onto the probe side, dropping most probe rows BEFORE the shuffle.
+    Local tables sit under the default 10 GB application-side
+    threshold, so the test lowers it to force the rewrite and then
+    checks result equality against the unfiltered plan."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_totalprice") > 490000
+        )
+        j = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom runtime filter not injected"
+        n = j.count()
+        assert n > 0
+        for k, v in confs.items():  # recompute without the rewrite
+            spark.conf.unset(k)
+        plain = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n == plain, "bloom filter changed the result"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
