@@ -424,3 +424,102 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# F4: winnowing fingerprints (Schleimer/Wilkerson/Aiken local sampling)
+# --------------------------------------------------------------------------
+
+_WIN = 4  # winnow window (in grams)
+
+
+@query(
+    "q_winnowing_fingerprints",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS w,
+             generate_subscripts(str_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    grams AS (
+      SELECT t0.doc_id, t0.i,
+             {SQL_MD5_LONG.format(expr="t0.w || ' ' || t1.w || ' ' || t2.w")} AS h
+      FROM pos t0
+      JOIN pos t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+      JOIN pos t2 ON t2.doc_id = t0.doc_id AND t2.i = t0.i + 2
+    ),
+    ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+    win AS (
+      SELECT g.doc_id, g.i,
+             MIN(g.h) OVER (PARTITION BY g.doc_id ORDER BY g.i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN - 1} FOLLOWING) AS fp,
+             n.n_grams
+      FROM grams g JOIN ng n ON n.doc_id = g.doc_id
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM win WHERE i <= n_grams - {_WIN} + 1
+    ),
+    df AS (SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp)
+    SELECT f.doc_id,
+           n.n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fps
+    FROM fps f JOIN df USING (fp) JOIN ng n ON n.doc_id = f.doc_id
+    GROUP BY f.doc_id, n.n_grams
+    ORDER BY f.doc_id
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (the MOSS fingerprint scheme): hash every positional
+    3-gram, slide a {_WIN}-gram window, keep each window's MINIMUM
+    hash — guaranteed-coverage local sampling that, unlike global
+    MinHash, localizes WHERE two documents overlap. Output per doc:
+    gram count, selected-fingerprint count, and how many of its
+    fingerprints appear in at least one other document (the
+    plagiarism-candidate signal).
+
+    Scale shape: gram hashing AND window-minning run in ONE in-row
+    projection (nested transform/slice/array_min over the token
+    array — no positional explode, no shuffle until the fingerprints
+    are exploded for the document-frequency rollup, which shuffles
+    uniform 60-bit keys exactly like passage dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    md5_gram = (
+        "CAST(conv(substring(md5(concat_ws(' ', toks[CAST(i AS INT)], "
+        "toks[CAST(i AS INT) + 1], toks[CAST(i AS INT) + 2])), 1, 15), 16, 10) "
+        "AS BIGINT)"
+    )
+    base = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(toks) - 3), i -> {md5_gram})"
+        ).alias("hs"),
+    )
+    fps = base.select(
+        "doc_id",
+        F.size("hs").alias("n_grams"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(hs) - {_WIN}), "
+                f"j -> array_min(slice(hs, CAST(j AS INT) + 1, {_WIN}))))"
+            )
+        ).alias("fp"),
+    )
+    df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        fps.join(df, "fp")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias(
+                "n_shared_fps"
+            ),
+        )
+        .select("doc_id", "n_grams", "n_fps", "n_shared_fps")
+        .orderBy("doc_id")
+    )

@@ -319,3 +319,57 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
+
+
+# --------------------------------------------------------------------------
+# C12b: time-RANGE window frames (interval lookback, not row counts)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_range_frame_rolling_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(date_trunc('microseconds', ts))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_sum
+    FROM events
+    WHERE user_id < 100
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q_range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour value sum with a RANGE frame over event
+    time — the feature-engineering window row-count frames
+    (q_moving_value_sum) cannot express: the lookback is an interval,
+    so a burst of events widens the frame and a quiet hour empties it.
+
+    RANGE frames need a numeric ordering key: event time as epoch
+    microseconds (int64). State per partition is one running frame
+    (two pointers) — O(frame) memory per user; user_id is the usual
+    uniform high-cardinality partition key. The frame sum accumulates
+    DECIMAL(38,6), so frame-merge order cannot produce float drift —
+    same exactness contract as the grouped aggregates. Ties in ts:
+    RANGE includes all peers — order-insensitive by construction.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .over(w)
+            .cast("double")
+            .alias("rolling_1h_sum"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
