@@ -311,3 +311,66 @@ def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_total", "n_kept", "cutoff")
         .orderBy("lang")
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+    ),
+    n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+    fp AS (
+      SELECT tf.doc_id, n.n,
+             tf.c * CAST(round(ln(tf.c * 1.0 / n.n) * 1000000) AS BIGINT)
+               AS term_fp
+      FROM tf JOIN n ON n.doc_id = tf.doc_id
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           CAST(-SUM(term_fp) AS BIGINT) AS entropy_fp,
+           CAST(-SUM(term_fp) AS BIGINT) * 1.0 / n / 1000000
+             AS entropy_nats
+    FROM fp
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (nats): H = -Σ (c/n)·ln(c/n) over
+    the doc's own token distribution — the repetitiveness signal that
+    catches low-diversity generated/boilerplate text even when
+    type-token ratio looks fine (a doc repeating two tokens 50/50 has
+    TTR≈0 signal but H=ln 2 directly).
+
+    Shape: per-(doc, term) count, then a doc_id rollup — both
+    uniform-key aggregates with map-side combine. ln is libm-backed:
+    each term's contribution is rounded at 1e-6 and accumulated in
+    int64 fixed point (c·round(ln(c/n)·1e6)), so partial-aggregation
+    order cannot move the result; the nats value divides out at the
+    end (exact IEEE ops on identical operands)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    n = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    term_fp = F.col("c") * F.round(
+        F.log(F.col("c").cast("double") / F.col("n")) * 1e6
+    ).cast("bigint")
+    return (
+        tf.join(n, "doc_id")
+        .select("doc_id", "n", term_fp.alias("term_fp"))
+        .groupBy("doc_id", "n")
+        .agg((-F.sum("term_fp")).alias("entropy_fp"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "entropy_fp",
+            (F.col("entropy_fp") * F.lit(1.0) / F.col("n") / 1e6).alias(
+                "entropy_nats"
+            ),
+        )
+        .orderBy("doc_id")
+    )

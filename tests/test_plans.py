@@ -159,6 +159,10 @@ NEVER_CARTESIAN_R2 = [
     "q_crosscorpus_dedup",
     "q_passage_dedup_stats",
     "q_ann_topk_ivf",
+    "q_winnowing_fingerprints",
+    "q_countmin_heavy_hitters",
+    "q_simhash_wide_blocked_pairs",
+    "q_unigram_logprob",
 ]
 
 
