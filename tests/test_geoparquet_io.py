@@ -182,3 +182,21 @@ def test_write_empty_dataframe_is_readable(spark, sf_dir_small, tmp_out):
     back = gio.read_geoparquet(spark, tmp_out)
     assert back.count() == 0
     assert "geometry" in back.columns
+
+
+def test_root_level_reference_parity_api(spark, tmp_path):
+    """The reference exposes read_geoparquet as a module function and
+    to_geoparquet as the writer name — both work from the package
+    root, so a reference user can switch with an import change."""
+    import geoparquet_python_spark as gpq
+    from geoparquet_python_spark.geo.functions import st_point
+
+    d = spark.range(7).select(
+        F.col("id").alias("k"),
+        st_point(F.col("id") * 1.0, F.col("id") * 2.0).alias("geometry"),
+    )
+    path = str(tmp_path / "root_api")
+    assert gpq.to_geoparquet(d, path) == 7
+    back = gpq.read_geoparquet(spark, path)
+    assert back.count() == 7
+    assert "geometry" in back.columns
