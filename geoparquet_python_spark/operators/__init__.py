@@ -14,6 +14,7 @@ import geoparquet_python_spark.operators.multimodal  # noqa: F401
 import geoparquet_python_spark.operators.packing  # noqa: F401
 import geoparquet_python_spark.operators.passages  # noqa: F401
 import geoparquet_python_spark.operators.pipeline  # noqa: F401
+import geoparquet_python_spark.operators.pq  # noqa: F401
 import geoparquet_python_spark.operators.quality  # noqa: F401
 import geoparquet_python_spark.operators.relational  # noqa: F401
 import geoparquet_python_spark.operators.sampling  # noqa: F401
