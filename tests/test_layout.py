@@ -1,0 +1,46 @@
+"""Lake-layout certifications the query gate can't see: hive-style
+partitioned writes with partition pruning at read, and schema
+evolution (mergeSchema) — both are how a 100 TB corpus is actually
+laid out and read incrementally."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Write events hive-partitioned by event_type; a filtered read
+    must show the predicate as a PartitionFilter (directory pruning —
+    the scan never opens non-matching partitions) and return the same
+    rows as filtering the unpartitioned table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    back = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the event_type predicate must be a partition filter, not a data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf, f"partition pruning missed: {pf!r}"
+    expected = ev.where(F.col("event_type") == "purchase").count()
+    assert back.count() == expected
+
+
+def test_merge_schema_reads_evolved_dataset(spark, tmp_path):
+    """Old parts lack a column added later; mergeSchema reconciles and
+    the missing column reads as NULL — append-only schema evolution,
+    the contract an ever-growing corpus store relies on."""
+    path = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("v1")).write.mode(
+        "overwrite"
+    ).parquet(path + "/batch=0")
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1).alias("v2")
+    ).write.mode("overwrite").parquet(path + "/batch=1")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v1", "v2", "batch"}
+    assert merged.count() == 8
+    nulls = merged.where(F.col("v2").isNull()).count()
+    assert nulls == 5, "old-batch rows must read v2 as NULL"
