@@ -113,3 +113,225 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# v2 pipeline: quality-aware canonical dedup -> eval-set exclusion ->
+# decontamination -> entropy gate, with per-reason drop accounting
+# --------------------------------------------------------------------------
+
+_BENCH_MOD = 97  # eval carve-out (matches contamination.py)
+_CONTAM_HITS = 2  # >= this many shared 3-grams with eval -> drop
+_ENTROPY_GATE_FP = 2_800_000  # keep iff entropy_fp >= gate * n_tokens (2.8 nats)
+
+
+@query(
+    "q_curation_pipeline_v2",
+    oracle=f"""
+    WITH RECURSIVE {sql_shingles_cte(k=3)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_JACCARD_T}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s FROM edges),
+    reach(s, d) AS (
+      SELECT s, s FROM nodes
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+    ),
+    clus AS (SELECT s AS doc_id, MIN(d) AS cluster_rep FROM reach GROUP BY s),
+    qual AS (
+      SELECT doc_id,
+             (least(len(str_split(text, ' ')) / 64.0, 1.0) * 0.4
+              + len(list_distinct(str_split(text, ' '))) * 1.0
+                / len(str_split(text, ' ')) * 0.4)
+             + (len(text) - (len(str_split(text, ' ')) - 1)) * 1.0
+               / len(str_split(text, ' ')) / 8.0 * 0.2 AS quality
+      FROM documents
+    ),
+    canon AS (
+      SELECT cluster_rep, doc_id AS canonical_doc FROM (
+        SELECT c.cluster_rep, c.doc_id,
+               row_number() OVER (PARTITION BY c.cluster_rep
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM clus c JOIN qual q ON q.doc_id = c.doc_id
+      ) WHERE rn = 1
+    ),
+    dupes AS (
+      SELECT c.doc_id FROM clus c
+      JOIN canon k ON k.cluster_rep = c.cluster_rep
+      WHERE c.doc_id <> k.canonical_doc
+    ),
+    bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    contam AS (
+      SELECT sh.doc_id FROM sh JOIN bench USING (s)
+      WHERE sh.doc_id % {_BENCH_MOD} <> 0
+      GROUP BY sh.doc_id
+      HAVING COUNT(*) >= {_CONTAM_HITS}
+    ),
+    tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    ntok AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+    ent AS (
+      SELECT tf.doc_id,
+             CAST(-SUM(tf.c * CAST(round(ln(tf.c * 1.0 / ntok.n) * 1000000)
+                                   AS BIGINT)) AS BIGINT) AS efp
+      FROM tf JOIN ntok ON ntok.doc_id = tf.doc_id
+      GROUP BY tf.doc_id
+    ),
+    verdicts AS (
+      SELECT d.doc_id, d.lang, ntok.n AS n_tokens,
+             CASE WHEN d.doc_id % {_BENCH_MOD} = 0 THEN 'eval'
+                  WHEN du.doc_id IS NOT NULL THEN 'dupe'
+                  WHEN co.doc_id IS NOT NULL THEN 'contam'
+                  WHEN e.efp < {_ENTROPY_GATE_FP} * ntok.n THEN 'entropy'
+                  ELSE 'kept' END AS verdict
+      FROM documents d
+      JOIN ntok ON ntok.doc_id = d.doc_id
+      JOIN ent e ON e.doc_id = d.doc_id
+      LEFT JOIN dupes du ON du.doc_id = d.doc_id
+      LEFT JOIN contam co ON co.doc_id = d.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN verdict = 'kept' THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           CAST(SUM(CASE WHEN verdict = 'eval' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop_eval,
+           CAST(SUM(CASE WHEN verdict = 'dupe' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop_dupe,
+           CAST(SUM(CASE WHEN verdict = 'contam' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop_contam,
+           CAST(SUM(CASE WHEN verdict = 'entropy' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop_entropy
+    FROM verdicts
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 composition — the full curation funnel with per-reason
+    accounting, precedence eval > dupe > contam > entropy:
+
+    1. eval carve-out (doc_id % 97 == 0) excluded from training;
+    2. near-dup clusters keep only their QUALITY-ARGMAX member
+       (q_cluster_canonical's rule), everything else drops as 'dupe';
+    3. surviving docs sharing >= 2 distinct 3-grams with the eval set
+       drop as 'contam' (q_decontaminate_overlap's broadcast probe);
+    4. low-diversity docs (unigram entropy < 2.8 nats, integer
+       fixed-point compare — q_token_entropy's arithmetic) drop;
+    5. per-language audit: kept docs + kept token budget + drops.
+
+    Every stage reuses an already-oracle-verified operator's exact
+    plan shape; the flags compose as left joins onto the corpus and
+    the verdict is one CASE projection — at 100 TB the funnel is
+    still (pair-graph work ≪ corpus) + three map-side probes + one
+    |langs|-key aggregate.
+    """
+    from geoparquet_python_spark.functions.text import shingles
+    from geoparquet_python_spark.registry import QUERIES
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    is_eval = F.col("doc_id") % _BENCH_MOD == 0
+
+    # stage 2: quality-argmax canonical per near-dup cluster
+    canon = QUERIES["q_cluster_canonical"](spark, sf_dir).select(
+        "cluster_rep", "canonical_doc"
+    )
+    clusters = QUERIES["q_neardup_clusters"](spark, sf_dir)
+    dupes = (
+        clusters.join(canon, "cluster_rep")
+        .where(F.col("doc_id") != F.col("canonical_doc"))
+        .select("doc_id")
+    )
+
+    # stage 3: decontamination probe (broadcast eval shingle set)
+    sh = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.explode(shingles("toks", 3)).alias("s")
+    )
+    bench_set = sh.where(is_eval).select("s").distinct()
+    contam = (
+        sh.where(~is_eval)
+        .join(F.broadcast(bench_set), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= _CONTAM_HITS)
+        .select("doc_id")
+    )
+
+    # stage 4: fixed-point entropy
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    ntok = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    ent = (
+        tf.join(ntok, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("c")
+                * F.round(
+                    F.log(F.col("c").cast("double") / F.col("n")) * 1e6
+                ).cast("bigint")
+            ).alias("term_fp"),
+        )
+        .groupBy("doc_id")
+        .agg((-F.sum("term_fp")).alias("efp"))
+    )
+
+    verdict = (
+        F.when(is_eval, "eval")
+        .when(F.col("is_dupe"), "dupe")
+        .when(F.col("is_contam"), "contam")
+        .when(F.col("efp") < _ENTROPY_GATE_FP * F.col("n"), "entropy")
+        .otherwise("kept")
+    )
+    flagged = (
+        d.select("doc_id", "lang")
+        .join(ntok, "doc_id")
+        .join(ent, "doc_id")
+        .join(dupes.withColumn("is_dupe", F.lit(True)), "doc_id", "left")
+        .join(contam.withColumn("is_contam", F.lit(True)), "doc_id", "left")
+        .fillna(False, ["is_dupe", "is_contam"])
+        .select("lang", F.col("n").alias("n_tokens"), verdict.alias("verdict"))
+    )
+    k = F.col("verdict") == "kept"
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(k, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(k, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+            F.sum(F.when(F.col("verdict") == "eval", 1).otherwise(0)).alias(
+                "n_drop_eval"
+            ),
+            F.sum(F.when(F.col("verdict") == "dupe", 1).otherwise(0)).alias(
+                "n_drop_dupe"
+            ),
+            F.sum(F.when(F.col("verdict") == "contam", 1).otherwise(0)).alias(
+                "n_drop_contam"
+            ),
+            F.sum(F.when(F.col("verdict") == "entropy", 1).otherwise(0)).alias(
+                "n_drop_entropy"
+            ),
+        )
+        .orderBy("lang")
+    )
