@@ -253,14 +253,25 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     is_eval = F.col("doc_id") % _BENCH_MOD == 0
 
-    # stage 2: quality-argmax canonical per near-dup cluster
-    canon = QUERIES["q_cluster_canonical"](spark, sf_dir).select(
-        "cluster_rep", "canonical_doc"
-    )
+    # stage 2: quality-argmax canonical per near-dup cluster. The CC
+    # labels are computed ONCE (q_cluster_canonical would recompute
+    # them internally); the argmax is a window over the small label set.
+    from pyspark.sql import Window
+
     clusters = QUERIES["q_neardup_clusters"](spark, sf_dir)
+    n_toks = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_toks
+    mwl = (F.length("text") - (n_toks - 1)) * F.lit(1.0) / n_toks
+    quality = (
+        F.least(n_toks / F.lit(64.0), F.lit(1.0)) * 0.4 + ttr * 0.4
+    ) + mwl / 8.0 * 0.2
+    wq = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
     dupes = (
-        clusters.join(canon, "cluster_rep")
-        .where(F.col("doc_id") != F.col("canonical_doc"))
+        clusters.join(d.select("doc_id", quality.alias("quality")), "doc_id")
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") > 1)
         .select("doc_id")
     )
 
