@@ -152,3 +152,47 @@ def q_domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_train_order_sample",
+    oracle=f"""
+    SELECT doc_id, shuffle_key, rank FROM (
+      SELECT doc_id,
+             {sql_hash_bucket("doc_id", 65536)} AS shuffle_key,
+             row_number() OVER (
+               ORDER BY {sql_hash_bucket("doc_id", 65536)}, doc_id
+             ) AS rank
+      FROM documents
+    )
+    WHERE rank <= 50
+    ORDER BY rank
+    """,
+)
+def q_train_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: order the corpus
+    by a content-addressed hash key (md5 bucket, ties by doc_id) and
+    take the first 50 — the reproducible alternative to
+    `orderBy(rand())` that survives retries and re-runs byte-for-byte
+    (16-bit key space; ties resolve by doc_id, still a total order).
+
+    The top-50 plans as TakeOrderedAndProject (per-partition heaps +
+    driver merge), so sampling the head of the shuffle order never
+    global-sorts. The full training-order MATERIALIZATION at 100 TB
+    is `repartitionByRange(shuffle_key).sortWithinPartitions(
+    shuffle_key, doc_id)` + write — one range shuffle, and every
+    epoch reader sees the same order.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    key = hash_bucket(F.col("doc_id"), 65536)  # full 16-bit md5 prefix
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(50)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy("shuffle_key", "doc_id"))
+        )
+        .orderBy("rank")
+    )
