@@ -1,0 +1,44 @@
+"""Partition-count invariance: the determinism contract says results
+are identical regardless of parallelism (fixed-point/decimal
+accumulation, content-addressed sampling). Certify it by running
+representative queries under two different shuffle-partition settings
+and comparing full sorted results — the property that makes the
+sf0.01 oracle gate transfer to a 100k-partition cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from geoparquet_python_spark import registry
+from geoparquet_python_spark.operators import kmeans as kmeans_mod
+from geoparquet_python_spark.operators import pq as pq_mod
+
+registry.load_all()
+
+CASES = [
+    "q_kmeans_centroids",  # driver-loop training, int fixed point
+    "q_pq_codes",  # per-subspace codebooks + packed codes
+    "q_minhash_lsh_neardup",  # banded LSH + refine
+    "q_token_entropy",  # fixed-point ln accumulation
+    "q_hash_split_stats",  # content-addressed membership
+]
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_partition_count_invariance(spark, sf_dir, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts in ("7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            # training caches memoize across runs — clear so each
+            # parallelism level actually retrains
+            kmeans_mod._CENT_CACHE.clear()
+            pq_mod._PQ_CACHE.clear()
+            rows = registry.QUERIES[name](spark, sf_dir).collect()
+            results.append(sorted(map(tuple, rows)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1], (
+        f"{name} changed results under a different shuffle partition count"
+    )
