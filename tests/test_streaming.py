@@ -107,3 +107,51 @@ def test_parquet_sink_append_with_watermark(spark, sf_dir, tmp_path):
     missing = want - got
     assert len(missing) <= 2, f"too many unemitted windows: {sorted(missing)}"
     assert len(got) == len({d for d, _ in got}), "duplicate windows in sink"
+
+
+def test_foreachbatch_idempotent_upsert_exactly_once(spark, sf_dir, tmp_path):
+    """The production sink pattern for non-transactional stores:
+    foreachBatch + an epoch-id commit marker, so a retried/restarted
+    batch is skipped instead of double-written. Drain the same
+    checkpointed stream twice — the second run must add NOTHING (the
+    checkpoint already covers the input), and the output must equal
+    the batch answer exactly once."""
+    import os
+
+    from geoparquet_python_spark.streaming.source import read_events_stream
+
+    out = str(tmp_path / "upsert_out")
+    marks = str(tmp_path / "epoch_marks")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(marks, exist_ok=True)
+
+    def upsert(df, epoch_id):
+        mark = os.path.join(marks, f"epoch-{epoch_id}")
+        if os.path.exists(mark):  # retried epoch: already committed
+            return
+        df.write.mode("append").parquet(out)
+        open(mark, "w").close()
+
+    def drain():
+        q = (
+            read_events_stream(spark, sf_dir)
+            .where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out).count()
+    drain()  # same checkpoint: no new input -> no new epochs -> no writes
+    second = spark.read.parquet(out).count()
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert first == expected
+    assert second == expected, "restarted drain duplicated rows"
