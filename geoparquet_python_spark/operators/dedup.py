@@ -1147,3 +1147,56 @@ def q_simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= _HAMMING_T)
     )
+
+
+# --------------------------------------------------------------------------
+# F2j: LSH quality audit — banding recall against the exact pair set
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_lsh_recall_audit",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    {_SQL_JACCARD_PAIRS},
+    {_sql_minhash()},
+    lshp AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_lsh_pairs,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT)
+             - CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_missed,
+           CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) * 1.0
+             / (SELECT COUNT(*) FROM pairs) AS recall
+    """,
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: how many of the EXACT Jaccard >= 0.3
+    pairs does the MinHash-LSH banding recover? (The LSH output is a
+    subset of the exact set because the refine recomputes exact
+    Jaccard on candidates — so precision is 1.0 by construction and
+    recall is the entire quality story.) Ship this number with every
+    banding-parameter change: recall drops are silent at the output
+    level and only this audit sees them.
+
+    Cost shape: both pair sets are 'pair-graph' sized (candidates <<
+    corpus^2); the intersection is an equi-join on the pair key. The
+    16x2 banding at threshold 0.3 should sit near recall 1.0
+    (P[detect] = 1-(1-j^2)^16 = 0.79 at j=0.3 but >0.99 at j=0.5,
+    and near-dup corpora concentrate well above the threshold).
+    """
+    exact = _exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = _minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    found = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    nt = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    nl = found.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    return nt.crossJoin(nl).select(
+        "n_true_pairs",
+        "n_lsh_pairs",
+        (F.col("n_true_pairs") - F.col("n_lsh_pairs")).alias("n_missed"),
+        (
+            F.col("n_lsh_pairs") * F.lit(1.0) / F.col("n_true_pairs")
+        ).alias("recall"),
+    )
