@@ -116,3 +116,79 @@ def q_token_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = base.groupBy("shard").applyInPandas(_pack_group, _PACK_SCHEMA)
     return packed.orderBy("doc_id")
+
+
+_PACK_LANG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("bin_fill_after", T.LongType()),
+    ]
+)
+
+
+def _pack_lang_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bins, fills = [], []
+    bin_i, fill, first = 0, 0, True
+    for n in pdf["n_tokens"]:
+        n = int(n)
+        if first:
+            bin_i, fill, first = 0, n, False
+        elif fill + n <= _CAPACITY:
+            fill += n
+        else:
+            bin_i, fill = bin_i + 1, n
+        bins.append(bin_i)
+        fills.append(fill)
+    pdf["bin"] = pd.Series(bins, dtype="int64")
+    pdf["bin_fill_after"] = pd.Series(fills, dtype="int64")
+    return pdf[["doc_id", "lang", "n_tokens", "bin", "bin_fill_after"]]
+
+
+@query(
+    "q_token_pack_by_lang",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang,
+             len(str_split(text, ' ')) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack(lang, rn, doc_id, n_tokens, bin, fill) AS (
+      SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.fill + d.n_tokens <= {_CAPACITY}
+                  THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= {_CAPACITY}
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM pack p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, lang, n_tokens, bin, fill AS bin_fill_after
+    FROM pack
+    ORDER BY doc_id
+    """,
+)
+def q_token_pack_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-local packing: same next-fit policy, sharded by LANGUAGE
+    instead of the md5 bucket — every packed context window is
+    monolingual (the curriculum/source-locality variant; mixing
+    languages mid-window measurably hurts small models). Shard key
+    choice is the only difference from q_token_pack_nextfit: the
+    packing loop, determinism story, and recursive oracle transfer
+    unchanged — at scale a low-cardinality shard key like lang needs a
+    secondary split (lang, md5 bucket) to restore parallelism."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        d.groupBy("lang")
+        .applyInPandas(lambda pdf: _pack_lang_group(pdf), _PACK_LANG_SCHEMA)
+        .orderBy("doc_id")
+    )
