@@ -192,3 +192,74 @@ def q_token_pack_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(lambda pdf: _pack_lang_group(pdf), _PACK_LANG_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+_MASK_PCT = 15  # percent of token positions masked (BERT-style MLM)
+
+
+@query(
+    "q_mlm_mask_plan",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+             generate_subscripts(str_split(text, ' '), 1) - 1 AS i
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, i,
+             CASE WHEN (CAST(('0x' || substr(md5(
+                    CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+                  ), 1, 4)) AS INT) % 100) < {_MASK_PCT}
+                  THEN 1 ELSE 0 END AS m
+      FROM pos
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(m) AS BIGINT) AS n_masked,
+           MIN(CASE WHEN m = 1 THEN i END) AS first_masked_pos,
+           CAST(SUM(m) AS BIGINT) * 1.0 / COUNT(*) AS masked_frac
+    FROM marked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_mlm_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic masking plan for an MLM objective: position i of
+    doc d is masked iff md5(d:i) bucket < {_MASK_PCT}% — content-
+    addressed like every sampling decision in this engine, so a
+    retried partition or a re-run epoch masks the SAME positions
+    (rand()-based masking silently changes the training set under
+    retries). Reported per doc: mask count, first masked position,
+    realized rate.
+
+    Plan: one in-row transform over the token positions (the mask
+    decisions never leave the row) + the per-doc rollup; at 100 TB
+    this fuses into whatever pass materializes training examples.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    marks = F.expr(
+        f"transform(sequence(0, size(split(text, ' ')) - 1), i -> "
+        f"CASE WHEN (CAST(conv(substring(md5("
+        f"concat(CAST(doc_id AS STRING), ':', CAST(i AS STRING))"
+        f"), 1, 4), 16, 10) AS INT) % 100) < {_MASK_PCT} "
+        f"THEN 1 ELSE 0 END)"
+    )
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        marks.alias("marks"),
+    )
+    first_masked = F.expr("array_position(marks, 1) - 1")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.aggregate(
+            "marks", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("n_masked"),
+        F.when(first_masked >= 0, first_masked).alias("first_masked_pos"),
+        (
+            F.aggregate("marks", F.lit(0).cast("bigint"), lambda a, x: a + x)
+            * F.lit(1.0)
+            / F.col("n_tokens")
+        ).alias("masked_frac"),
+    ).orderBy("doc_id")
