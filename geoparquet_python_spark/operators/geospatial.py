@@ -13,7 +13,7 @@ proves codec correctness end-to-end, not just query-shape parity.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.geo.functions import (
@@ -520,4 +520,104 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lat").alias("max_lat"),
         )
         .orderBy("z_cell")
+    )
+
+
+# --------------------------------------------------------------------------
+# Spatial KNN join: k nearest suppliers per customer, grid-bounded
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_geo_knn_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_LON_SQL.format(k='c_custkey')} AS lon,
+             {_LAT_SQL.format(k='c_custkey')} AS lat,
+             floor({_LON_SQL.format(k='c_custkey')} / {_CELL_DEG}) * 10000
+               + floor({_LAT_SQL.format(k='c_custkey')} / {_CELL_DEG}) AS cell
+      FROM customer
+      WHERE abs({_LAT_SQL.format(k='c_custkey')}) <= 70
+        AND abs({_LON_SQL.format(k='c_custkey')}) <= 150
+    ),
+    s AS (
+      SELECT s_suppkey,
+             {_LON_SQL.format(k='s_suppkey')} AS lon,
+             {_LAT_SQL.format(k='s_suppkey')} AS lat,
+             floor({_LON_SQL.format(k='s_suppkey')} / {_CELL_DEG}) * 10000
+               + floor({_LAT_SQL.format(k='s_suppkey')} / {_CELL_DEG}) AS cell
+      FROM supplier
+      WHERE abs({_LAT_SQL.format(k='s_suppkey')}) <= 70
+        AND abs({_LON_SQL.format(k='s_suppkey')}) <= 150
+    ),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             ROUND({_HAVERSINE_SQL.format(lon1='c.lon', lat1='c.lat',
+                                          lon2='s.lon', lat2='s.lat')}, 6)
+               AS km_r
+      FROM c JOIN s
+        ON s.cell IN (c.cell - 10001, c.cell - 10000, c.cell - 9999,
+                      c.cell - 1, c.cell, c.cell + 1,
+                      c.cell + 9999, c.cell + 10000, c.cell + 10001)
+    )
+    SELECT c_custkey, s_suppkey, km_r, rank FROM (
+      SELECT c_custkey, s_suppkey, km_r,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY km_r, s_suppkey) AS rank
+      FROM pairs
+    )
+    WHERE rank <= 3
+    ORDER BY c_custkey, rank
+    """,
+)
+def q_geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-nearest-neighbor spatial join (k=3 suppliers per customer),
+    bounded to the customer's 3x3 grid-cell neighborhood — the
+    standard distributed KNN shape: equi-join on the cell key, exact
+    distance rank within the candidate set. Customers whose
+    neighborhood holds no supplier yield no rows; production expands
+    the ring iteratively (the same plan with a wider offset array) —
+    documented, not silently approximated.
+
+    Ranking is by ROUND(km, 6) with s_suppkey tie-break: haversine is
+    libm-backed, so raw-double ordering could flip near-equal
+    distances between engines; millimetre rounding + the id
+    tie-break makes the top-k total order engine-stable.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"),
+    ).where((F.abs(F.col("lat")) <= 70) & (F.abs(F.col("lon")) <= 150))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _lon(F.col("s_suppkey")).alias("s_lon"),
+        _lat(F.col("s_suppkey")).alias("s_lat"),
+    ).where((F.abs(F.col("s_lat")) <= 70) & (F.abs(F.col("s_lon")) <= 150))
+
+    cell = lambda lon, lat: (  # noqa: E731
+        F.floor(lon / _CELL_DEG) * 10000 + F.floor(lat / _CELL_DEG)
+    )
+    cust_c = cust.withColumn("cell", cell(F.col("lon"), F.col("lat")))
+    sup_c = sup.withColumn(
+        "off",
+        F.explode(
+            F.array(
+                [F.lit(dx * 10000 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+            )
+        ),
+    ).withColumn("cell", cell(F.col("s_lon"), F.col("s_lat")) + F.col("off"))
+
+    km_r = F.round(
+        haversine_km(F.col("lon"), F.col("lat"), F.col("s_lon"), F.col("s_lat")),
+        6,
+    )
+    w = Window.partitionBy("c_custkey").orderBy("km_r", "s_suppkey")
+    return (
+        cust_c.join(sup_c, "cell")
+        .select("c_custkey", "s_suppkey", km_r.alias("km_r"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .orderBy("c_custkey", "rank")
     )
