@@ -488,3 +488,55 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("qv")).cast("bigint").alias("n_levels"),
         err.alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+@query(
+    "q_embedding_label_stats",
+    oracle="""
+    WITH xf AS (
+      SELECT label,
+             unnest(list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    )
+    SELECT label, CAST(d AS BIGINT) AS d,
+           COUNT(*) AS n_vecs,
+           CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_fp,
+           CAST(MIN(v) AS BIGINT) AS min_fp,
+           CAST(MAX(v) AS BIGINT) AS max_fp
+    FROM xf
+    GROUP BY label, d
+    ORDER BY label, d
+    """,
+)
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension embedding statistics (fixed-point
+    mean/min/max) — the drift audit an embedding store runs when a
+    new encoder version lands: compare this table across snapshots
+    and alert on shifted dimensions. |labels|x64 output rows.
+
+    One posexplode + one (label, d) aggregate — uniform small key
+    space, full map-side combine; int64 fixed point keeps the means
+    bit-stable under any partitioning (truncating division, same as
+    the k-means update)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xf = e.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("d", "v"),
+    )
+    return (
+        xf.groupBy("label", F.col("d").cast("bigint").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr("sum(v) DIV count(1)").alias("mean_fp"),
+            F.min("v").alias("min_fp"),
+            F.max("v").alias("max_fp"),
+        )
+        .orderBy("label", "d")
+    )
