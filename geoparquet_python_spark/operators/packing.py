@@ -263,3 +263,106 @@ def q_mlm_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens")
         ).alias("masked_frac"),
     ).orderBy("doc_id")
+
+
+# Quality formula (same expression tree as quality.q_quality_quantile_gate)
+_SQL_PACK_QUALITY = """
+             (least(len(str_split(text, ' ')) / 64.0, 1.0) * 0.4
+              + len(list_distinct(str_split(text, ' '))) * 1.0
+                / len(str_split(text, ' ')) * 0.4)
+             + (len(text) - (len(str_split(text, ' ')) - 1)) * 1.0
+               / len(str_split(text, ' ')) / 8.0 * 0.2
+"""
+
+_PACK_CURR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("quality", T.DoubleType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("bin_fill_after", T.LongType()),
+    ]
+)
+
+
+def _pack_curriculum_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Next-fit in DESCENDING quality order (ties by doc_id): the
+    curriculum variant — early bins hold the highest-quality docs."""
+    pdf = pdf.sort_values(
+        ["quality", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    bins, fills = [], []
+    bin_i, fill, first = 0, 0, True
+    for n in pdf["n_tokens"]:
+        n = int(n)
+        if first:
+            bin_i, fill, first = 0, n, False
+        elif fill + n <= _CAPACITY:
+            fill += n
+        else:
+            bin_i, fill = bin_i + 1, n
+        bins.append(bin_i)
+        fills.append(fill)
+    pdf["bin"] = pd.Series(bins, dtype="int64")
+    pdf["bin_fill_after"] = pd.Series(fills, dtype="int64")
+    return pdf[["doc_id", "shard", "n_tokens", "quality", "bin", "bin_fill_after"]]
+
+
+@query(
+    "q_token_pack_curriculum",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             CAST({sql_hash_bucket("doc_id", _N_SHARDS)} AS BIGINT) AS shard,
+             len(str_split(text, ' ')) AS n_tokens,
+             {_SQL_PACK_QUALITY} AS quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY {sql_hash_bucket("doc_id", _N_SHARDS)}
+               ORDER BY {_SQL_PACK_QUALITY} DESC, doc_id
+             ) AS rn
+      FROM documents
+    ),
+    pack(shard, rn, doc_id, n_tokens, quality, bin, fill) AS (
+      SELECT shard, rn, doc_id, n_tokens, quality, CAST(0 AS BIGINT), n_tokens
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tokens, d.quality,
+             CASE WHEN p.fill + d.n_tokens <= {_CAPACITY}
+                  THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= {_CAPACITY}
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, quality, bin, fill AS bin_fill_after
+    FROM pack
+    ORDER BY doc_id
+    """,
+)
+def q_token_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum packing: within each shard, docs pack in DESCENDING
+    quality order, so bin index doubles as a curriculum position
+    (consume bins in order -> train on the best data first). Same
+    next-fit loop and recursive oracle as q_token_pack_nextfit with
+    one changed sort key; quality ordering is exact IEEE arithmetic
+    (ratios + power-of-two divisions), so the order — and therefore
+    every bin assignment — is engine-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_toks
+    mwl = (F.length("text") - (n_toks - 1)) * F.lit(1.0) / n_toks
+    quality = (
+        F.least(n_toks / F.lit(64.0), F.lit(1.0)) * 0.4 + ttr * 0.4
+    ) + mwl / 8.0 * 0.2
+    base = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), _N_SHARDS).cast("long").alias("shard"),
+        n_toks.cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    return (
+        base.groupBy("shard")
+        .applyInPandas(lambda pdf: _pack_curriculum_group(pdf), _PACK_CURR_SCHEMA)
+        .orderBy("doc_id")
+    )
