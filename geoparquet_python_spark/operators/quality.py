@@ -374,3 +374,62 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_value_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sv2
+      FROM events
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, sv / n AS mean,
+             SQRT((sv2 - (sv * sv) / n) / (n - 1)) AS std
+      FROM s
+    )
+    SELECT e.event_type,
+           m.n,
+           CAST(SUM(CASE WHEN abs(e.value - m.mean) > 3 * m.std
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           m.mean, m.std
+    FROM events e JOIN m ON m.event_type = e.event_type
+    GROUP BY e.event_type, m.n, m.mean, m.std
+    ORDER BY e.event_type
+    """,
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: |value − mean| > 3σ,
+    with mean/σ from exact decimal moments (the order-independent
+    dispersion trick of q_qty_dispersion) broadcast back onto the
+    stream — two passes, the second map-only. The data-quality
+    tripwire every ingestion pipeline runs before accepting a batch.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("sv"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("sv2"),
+    )
+    n = F.col("n")
+    mean = F.col("sv") / n
+    std = F.sqrt((F.col("sv2") - (F.col("sv") * F.col("sv")) / n) / (n - F.lit(1)))
+    m = s.select("event_type", "n", mean.alias("mean"), std.alias("std"))
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select("event_type", "n", "n_outliers", "mean", "std")
+        .orderBy("event_type")
+    )
