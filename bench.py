@@ -13,6 +13,7 @@ would bottleneck on the driver).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -38,7 +39,12 @@ HEADLINE = [
     "q_percentile_prices",
     "q_exact_dedup",
     "q_minhash_lsh_neardup",
-    "q_simhash_near_pairs",
+    # Wide-signature blocked SimHash: exact same pair set as the brute
+    # all-pairs q_simhash_near_pairs but equi-join banded (no
+    # BroadcastNestedLoopJoin) — the only form whose plan survives 100×.
+    # The all-pairs query stays registered as a small-n cross-check
+    # baseline only (like q_cosine_topk_brute).
+    "q_simhash_wide_blocked_pairs",
     "q_ann_topk_blocked",
     "q_hyperplane_lsh_neardup",
     "q_corpus_clean_pipeline",
@@ -56,6 +62,22 @@ HEADLINE = [
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _previous_times() -> dict[str, float]:
+    """Per-query times from the most recent BENCH_r*.json, so each run
+    emits round-over-round deltas and >1.3x regressions are flagged
+    mechanically instead of by eyeballing two JSON files."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            return dict(prev.get("queries", {}))
+        except (OSError, ValueError):
+            continue
+    return {}
 
 
 def main() -> None:
@@ -76,7 +98,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(2):  # best-of-2: damp scheduler/GC noise
+        for _ in range(3):  # best-of-3: this box swings ±40% per run
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -84,6 +106,17 @@ def main() -> None:
         # Row count per query (untimed extra run): lets round-over-round
         # comparisons detect silent result shrinkage behind a "speedup".
         rows[name] = fn(spark, sf_dir).count()
+
+    # Round-over-round per-query deltas vs the newest BENCH_r*.json:
+    # ratio >1.3x lands in "regressions" so a slow query is a line in
+    # the output, not an archaeology exercise.
+    prev = _previous_times()
+    deltas = {
+        n: round(times[n] / prev[n], 2)
+        for n in times
+        if n in prev and prev[n] > 0
+    }
+    regressions = sorted(n for n, r in deltas.items() if r > 1.3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -94,6 +127,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "rows": rows,
+                "deltas_vs_prev": deltas,
+                "regressions": regressions,
                 "sf": sf,
             }
         )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from geoparquet_python_spark.functions.exact import broadcast_narrow, davg, dsum, sql_davg, sql_dsum
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -271,7 +271,7 @@ def q_nations_per_region_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return (
-        F.broadcast(r)
+        broadcast_narrow(r)
         .join(n, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(

@@ -37,6 +37,7 @@ from geoparquet_python_spark.functions.text import (
     sql_shingles_cte,
     tokens,
 )
+from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -89,7 +90,7 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_set = exploded.where(is_bench).select("s").distinct()
     hits = (
         exploded.where(~is_bench)
-        .join(F.broadcast(bench_set), "s")
+        .join(broadcast_narrow(bench_set), "s")
         .groupBy("doc_id", "n_shingles")
         .agg(F.count("*").alias("n_hits"))
     )

@@ -467,9 +467,16 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: Hamming(sig_a, sig_b) ≤ 12.
 
-    Test-scale pairing is a self-join; the 100 TB path blocks on
-    signature chunks (pigeonhole: ≤12-bit distance ⇒ some 12-bit-wide
-    chunk of 5 matches exactly) — same output, bounded candidates.
+    SMALL-N CROSS-CHECK BASELINE ONLY (like ``q_cosine_topk_brute``):
+    this form pairs via an all-pairs theta self-join, which Spark plans
+    as a BroadcastNestedLoopJoin — O(n²) comparisons, never acceptable
+    on a scale path and deliberately excluded from the headline bench
+    and from any scale claim. The production forms with identical
+    output are ``q_simhash_blocked_pairs_loose`` (13-chunk pigeonhole
+    equi-join) and ``q_simhash_wide_blocked_pairs`` (120-bit widened
+    signatures, ~n²/39 candidates), both plan-guarded BNLJ-free in
+    ``tests/test_plans.py``. This one exists so the banded forms can be
+    equivalence-checked against ground truth at oracle scale.
     """
     sig = materialize(_simhash_signatures(spark, sf_dir))
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))

@@ -47,6 +47,7 @@ from geoparquet_python_spark.functions.vector import (
     norm2_scaled,
     sql_pair_dot_scaled,
 )
+from geoparquet_python_spark.functions.exact import broadcast_bounded
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -297,7 +298,9 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(probe_cells).alias("q_cell"),
         )
     )
-    pairs = F.broadcast(probes).join(
+    # Probe frame carries q_emb arrays but is bounded by contract to
+    # _NQ x _NPROBE rows — runtime-asserted, never silently unbounded.
+    pairs = broadcast_bounded(probes, max_rows=_NQ * _NPROBE).join(
         corpus,
         (F.col("q_cell") == F.col("cell")) & (F.col("qid") != F.col("cid")),
     )

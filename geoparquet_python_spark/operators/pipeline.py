@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.text import sql_shingles_cte, tokens
+from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.operators.dedup import _JACCARD_T, _exact_jaccard_pairs
 from geoparquet_python_spark.registry import query
@@ -282,7 +283,7 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_set = sh.where(is_eval).select("s").distinct()
     contam = (
         sh.where(~is_eval)
-        .join(F.broadcast(bench_set), "s")
+        .join(broadcast_narrow(bench_set), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .where(F.col("n_hits") >= _CONTAM_HITS)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -307,7 +308,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est = (
-        code_rows.join(F.broadcast(lut), ["m", "cid"])
+        code_rows.join(broadcast_narrow(lut), ["m", "cid"])
         .where(F.col("cvec") != F.col("qid"))
         .groupBy("qid", "cvec")
         .agg(F.sum("pd").alias("dist_est"))

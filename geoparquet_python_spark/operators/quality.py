@@ -35,6 +35,7 @@ from geoparquet_python_spark.functions.text import (
     sql_shingles_cte,
     tokens,
 )
+from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -300,7 +301,7 @@ def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("quality", F.lit(0.4)), 6).alias("cutoff")
     )
     return (
-        q.join(F.broadcast(cutoffs), "lang")
+        q.join(broadcast_narrow(cutoffs), "lang")
         .groupBy("lang", "cutoff")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
@@ -421,7 +422,7 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     std = F.sqrt((F.col("sv2") - (F.col("sv") * F.col("sv")) / n) / (n - F.lit(1)))
     m = s.select("event_type", "n", mean.alias("mean"), std.alias("std"))
     return (
-        e.join(F.broadcast(m), "event_type")
+        e.join(broadcast_narrow(m), "event_type")
         .groupBy("event_type", "n", "mean", "std")
         .agg(
             F.sum(

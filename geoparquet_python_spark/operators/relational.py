@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from geoparquet_python_spark.functions.exact import broadcast_narrow, davg, dsum, sql_davg, sql_dsum
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -108,8 +108,8 @@ def q2_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(broadcast_narrow(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast_narrow(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("num_orders"))
         .orderBy("r_name")
@@ -239,11 +239,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            broadcast_narrow(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(broadcast_narrow(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast_narrow(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(dsum(revenue, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
@@ -351,7 +351,7 @@ def q_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
     return (
         p.join(
-            F.broadcast(bands),
+            broadcast_narrow(bands),
             (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
         )
         .groupBy("band")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.exact import (
+    broadcast_bounded,
     broadcast_narrow,
     materialize,
     spread,
@@ -89,7 +90,9 @@ def q_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("n2").alias("c_n2"),
     )
-    pairs = F.broadcast(q).join(c, F.col("qid") != F.col("cid"))
+    # Bounded-by-contract: the query set is vec_id < 10 — wide payload
+    # (embeddings) is allowed through the runtime-asserted helper only.
+    pairs = broadcast_bounded(q, max_rows=64).join(c, F.col("qid") != F.col("cid"))
     cos = cosine_from_scaled(
         dot_scaled("q_emb", "c_emb"), F.col("q_n2"), F.col("c_n2")
     )
@@ -337,7 +340,7 @@ def q_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = materialize(
         spread(e.select("vec_id", xi.alias("xi")))
-        .join(F.broadcast(planes_df))
+        .join(broadcast_bounded(planes_df, max_rows=1))
         .select("vec_id", bits.alias("bits"))
     )
     banded = sig.select(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.text import SQL_MD5_LONG, md5_long, tokens
+from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -121,7 +122,7 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term", "true_count", F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket")
     )
     return (
-        F.broadcast(probes)
+        broadcast_narrow(probes)
         .join(cells, ["j", "bucket"])
         .groupBy("term", "true_count")
         .agg(F.min("cnt").alias("est_count"))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import materialize
+from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
 from geoparquet_python_spark.functions.text import (
     SQL_MD5_LONG,
     md5_long,
@@ -112,8 +112,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
     scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(nd))
+        tf.join(broadcast_narrow(df), "term")
+        .crossJoin(broadcast_narrow(nd))
         .select("doc_id", "term", "tf", (F.col("tf") * idf).alias("tfidf"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
@@ -407,7 +407,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp_fp = F.round(
         F.log(F.col("c").cast("double") / F.lit(float(tot))) * 1e6
     ).cast("bigint")
-    scored = tok.join(F.broadcast(freq.select("term", lp_fp.alias("lp"))), "term")
+    scored = tok.join(broadcast_narrow(freq.select("term", lp_fp.alias("lp"))), "term")
     return (
         scored.groupBy("doc_id")
         .agg(

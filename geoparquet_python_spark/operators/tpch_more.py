@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from geoparquet_python_spark.functions.exact import broadcast_narrow, davg, dsum, sql_davg, sql_dsum
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -75,7 +75,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast_narrow(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(rev, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -151,7 +151,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,6)"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(broadcast_narrow(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -260,7 +260,7 @@ def q_inmem_priority_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(w), o.o_orderpriority == w.priority)
+        o.join(broadcast_narrow(w), o.o_orderpriority == w.priority)
         .groupBy("o_orderstatus")
         .agg(
             dsum(F.col("o_totalprice") * F.col("weight"), "weighted_revenue"),
@@ -373,7 +373,7 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(davg("c_acctbal", "avg_bal"))
     )
     return (
-        c.join(F.broadcast(threshold))
+        c.join(broadcast_narrow(threshold))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -423,10 +423,10 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
-        li.join(s.join(F.broadcast(n1), s.s_nationkey == F.col("nk1")),
+        li.join(s.join(broadcast_narrow(n1), s.s_nationkey == F.col("nk1")),
                 li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2")),
+        .join(c.join(broadcast_narrow(n2), c.c_nationkey == F.col("nk2")),
               o.o_custkey == c.c_custkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -483,7 +483,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
-    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+    n2 = n.join(broadcast_narrow(r), n.n_regionkey == r.r_regionkey).select(
         F.col("n_nationkey").alias("nk2")
     )
     rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
@@ -497,11 +497,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     den = F.sum(rev).cast("double").alias("total_rev")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(s.join(F.broadcast(n1), s.s_nationkey == F.col("nk1")),
+        li.join(broadcast_narrow(p), li.l_partkey == p.p_partkey)
+        .join(s.join(broadcast_narrow(n1), s.s_nationkey == F.col("nk1")),
               li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2")),
+        .join(c.join(broadcast_narrow(n2), c.c_nationkey == F.col("nk2")),
               o.o_custkey == c.c_custkey)
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(num, den)
@@ -542,10 +542,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(broadcast_narrow(p), li.l_partkey == p.p_partkey)
+        .join(broadcast_narrow(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast_narrow(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("supp_nation"),
             F.year("o_orderdate").alias("order_year"),
@@ -589,7 +589,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     pv = materialize(
-        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        li.join(broadcast_narrow(s.join(broadcast_narrow(n), s.s_nationkey == n.n_nationkey)),
                 li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(dsum(rev, "part_value"))
@@ -598,7 +598,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double").alias("_tot")
     )
     return (
-        pv.crossJoin(F.broadcast(total))
+        pv.crossJoin(broadcast_narrow(total))
         .where(F.col("part_value") > F.lit(0.002) * F.col("_tot"))
         .select("l_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "l_partkey")
@@ -642,9 +642,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = sr.agg(F.max("total_revenue").alias("_mx"))
     return (
-        sr.crossJoin(F.broadcast(mx))
+        sr.crossJoin(broadcast_narrow(mx))
         .where(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(broadcast_narrow(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -680,8 +680,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(broadcast_narrow(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(broadcast_narrow(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -722,7 +722,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_narrow(p), li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n"))
     )
@@ -753,13 +753,13 @@ def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
     s = load_table(spark, sf_dir, "supplier")
     bulk = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_narrow(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_qty"))
         .where(F.col("_qty") > 2000)
     )
     return (
-        s.join(F.broadcast(bulk), s.s_suppkey == bulk.l_suppkey, "left_semi")
+        s.join(broadcast_narrow(bulk), s.s_suppkey == bulk.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )
@@ -813,7 +813,7 @@ def q21_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("l_suppkey") != F.col("s2")), "left_semi")
         .join(l3, (F.col("l_orderkey") == F.col("k3"))
               & (F.col("l_suppkey") != F.col("s3")), "left_anti")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(broadcast_narrow(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.streaming.source import (
@@ -162,7 +163,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         stream.join(
-            F.broadcast(customers), stream.user_id == customers.c_custkey
+            broadcast_narrow(customers), stream.user_id == customers.c_custkey
         )
         .groupBy("c_mktsegment")
         .agg(

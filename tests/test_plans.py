@@ -37,6 +37,34 @@ def test_no_cartesian_product(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+def _headline_names():
+    import bench
+
+    return bench.HEADLINE
+
+
+# A condition-free broadcast join whose build side is a ONE-ROW
+# aggregate (attach-a-scalar pattern: corpus size for IDF) also plans
+# as BroadcastNestedLoopJoin, but is O(n·1) — not an all-pairs shape.
+# Budget such sites explicitly so any NEW nested loop still fails.
+ONE_ROW_BNLJ_BUDGET = {"q_tfidf_top_terms": 1}
+
+
+@pytest.mark.parametrize("name", _headline_names())
+def test_headline_never_nested_loop(spark, sf_dir, name):
+    """Every query in the headline bench must be free of all-pairs plans
+    (BroadcastNestedLoopJoin / CartesianProduct). Brute-force baselines
+    (q_simhash_near_pairs, q_cosine_topk_brute) stay registered for
+    oracle cross-checks but are structurally barred from the headline:
+    an O(n²) join shape in the representative suite would be the first
+    thing to fall over at 100×."""
+    plan = plan_of(spark, sf_dir, name)
+    budget = ONE_ROW_BNLJ_BUDGET.get(name, 0)
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= budget, f"{name} plans {n_bnlj} BNLJ (budget {budget})"
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+
+
 def test_q1_pushdown_and_pruning(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q1_pricing_summary")
     assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed"
