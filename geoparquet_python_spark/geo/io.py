@@ -30,6 +30,7 @@ import uuid
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -46,8 +47,24 @@ LEGACY_KEY = b"geometry_fields"
 SPEC_VERSION = "1.1.0"
 
 
-def _geo_metadata_json(geometry_col: str, crs: Any, bbox: list | None) -> bytes:
-    col: dict[str, Any] = {"encoding": "WKB", "geometry_types": []}
+_WKB_TYPE_NAMES = {
+    1: "Point",
+    2: "LineString",
+    3: "Polygon",
+    4: "MultiPoint",
+    5: "MultiLineString",
+    6: "MultiPolygon",
+    7: "GeometryCollection",
+}
+
+
+def _geo_metadata_json(
+    geometry_col: str,
+    crs: Any,
+    bbox: list | None,
+    geometry_types: list[str] | None = None,
+) -> bytes:
+    col: dict[str, Any] = {"encoding": "WKB", "geometry_types": geometry_types or []}
     if crs is not None:
         col["crs"] = crs
     if bbox is not None:
@@ -58,6 +75,48 @@ def _geo_metadata_json(geometry_col: str, crs: Any, bbox: list | None) -> bytes:
         "columns": {geometry_col: col},
     }
     return json.dumps(doc).encode("utf-8")
+
+
+def _wkb_type_codes(arr: pa.Array) -> set[int]:
+    """Vectorized WKB geometry-type-code extraction from a pyarrow
+    binary array: byte 0 is the byte order, bytes 1-4 the uint32 type
+    code. Runs on numpy views of the Arrow offsets/data buffers — no
+    per-row Python in the write hot path."""
+    if arr.null_count == len(arr) or len(arr) == 0:
+        return set()
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    validity, offsets_buf, data_buf = arr.buffers()
+    offsets = np.frombuffer(offsets_buf, dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    starts = offsets[:-1].astype(np.int64)
+    if validity is not None:
+        mask = np.unpackbits(
+            np.frombuffer(validity, dtype=np.uint8), bitorder="little"
+        )[arr.offset : arr.offset + len(arr)].astype(bool)
+        starts = starts[mask]
+    if starts.size == 0:
+        return set()
+    order = data[starts]  # 1 = little-endian, 0 = big-endian
+    b = [data[starts + i].astype(np.uint32) for i in (1, 2, 3, 4)]
+    le = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+    be = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+    codes = np.where(order == 1, le, be)
+    return set(int(c) for c in np.unique(codes))
+
+
+def _type_code_names(codes: set[int]) -> list[str]:
+    """Spec geometry_types names from raw WKB codes; ISO Z/M/ZM
+    variants (1000/2000/3000 offsets) map to the suffixed spec form."""
+    names = []
+    for c in sorted(codes):
+        base = _WKB_TYPE_NAMES.get(c % 1000)
+        if base is None:
+            continue
+        suffix = {0: "", 1: " Z", 2: " M", 3: " ZM"}.get(c // 1000, "")
+        names.append(base + suffix)
+    return sorted(set(names))
 
 
 def add_bbox_column(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
@@ -100,7 +159,6 @@ def write_geoparquet(
         df = add_bbox_column(df, geometry_col)
 
     os.makedirs(path, exist_ok=True)
-    meta_json = _geo_metadata_json(geometry_col, crs, None)
 
     def write_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -110,17 +168,50 @@ def write_geoparquet(
         attempt = ctx.taskAttemptId() if ctx is not None else uuid.uuid4().hex
         final = os.path.join(path, f"part-{pid:05d}.parquet")
         tmp = os.path.join(path, f".part-{pid:05d}-{attempt}.parquet.tmp")
-        writer = None
+        # Footer bbox/geometry_types are only known after the last row,
+        # but pyarrow fixes schema metadata at writer construction — so
+        # buffer the partition's batches (bounded by
+        # spark.sql.files.maxPartitionBytes, the same bound any Arrow
+        # exchange already has) and stamp true per-file stats at open.
+        buffered: list[pa.RecordBatch] = []
         rows = 0
+        xmin = ymin = float("inf")
+        xmax = ymax = float("-inf")
+        codes: set[int] = set()
+        for batch in batches:
+            buffered.append(batch)
+            rows += batch.num_rows
+            codes |= _wkb_type_codes(batch.column(geometry_col))
+            if "bbox" in batch.schema.names:
+                import pyarrow.compute as pc
+
+                box = batch.column("bbox")
+                for field, agg in (
+                    ("xmin", "min"), ("ymin", "min"), ("xmax", "max"), ("ymax", "max")
+                ):
+                    v = getattr(pc, agg)(pc.struct_field(box, field)).as_py()
+                    if v is None:
+                        continue
+                    if agg == "min":
+                        if field == "xmin":
+                            xmin = min(xmin, v)
+                        else:
+                            ymin = min(ymin, v)
+                    elif field == "xmax":
+                        xmax = max(xmax, v)
+                    else:
+                        ymax = max(ymax, v)
+        bbox = [xmin, ymin, xmax, ymax] if xmin <= xmax else None
+        meta_json = _geo_metadata_json(geometry_col, crs, bbox, _type_code_names(codes))
+        writer = None
         try:
-            for batch in batches:
+            for batch in buffered:
                 if writer is None:
                     schema = batch.schema.with_metadata(
                         {**(batch.schema.metadata or {}), GEO_KEY: meta_json}
                     )
                     writer = pq.ParquetWriter(tmp, schema)
                 writer.write_batch(batch)
-                rows += batch.num_rows
             if writer is not None:
                 writer.close()
                 os.replace(tmp, final)  # commit: atomic, last attempt wins
@@ -138,7 +229,8 @@ def write_geoparquet(
         # directory is a valid (zero-row) GeoParquet dataset.
         tbl = df.limit(0).toArrow()
         tbl = tbl.replace_schema_metadata(
-            {**(tbl.schema.metadata or {}), GEO_KEY: meta_json}
+            {**(tbl.schema.metadata or {}),
+             GEO_KEY: _geo_metadata_json(geometry_col, crs, None, [])}
         )
         pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
         return 0
@@ -146,13 +238,39 @@ def write_geoparquet(
 
 
 def geo_metadata(path: str) -> dict | None:
-    """Parse geo metadata from one part file's footer. Accepts the OGC
-    spec form (``geo``) and the reference's legacy pre-spec form
-    (``geometry_fields`` — normalized into the spec shape)."""
+    """Parse geo metadata from the dataset's part-file footers. Accepts
+    the OGC spec form (``geo``) and the reference's legacy pre-spec form
+    (``geometry_fields`` — normalized into the spec shape).
+
+    Each part file carries its own true ``bbox`` / ``geometry_types``
+    (stamped executor-side at write); this merges them into the
+    dataset-level extent and type union. Footer reads are KB-sized and
+    O(num_files) on the driver — independent of data volume."""
     files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or [path]
+    merged: dict | None = None
+    for f in files:
+        md = pq.ParquetFile(f).schema_arrow.metadata or {}
+        if GEO_KEY not in md:
+            break
+        doc = json.loads(md[GEO_KEY].decode("utf-8"))
+        if merged is None:
+            merged = doc
+            continue
+        pcol = merged["primary_column"]
+        a = merged["columns"].get(pcol, {})
+        b = doc.get("columns", {}).get(doc.get("primary_column", pcol), {})
+        a["geometry_types"] = sorted(
+            set(a.get("geometry_types", [])) | set(b.get("geometry_types", []))
+        )
+        ba, bb = a.get("bbox"), b.get("bbox")
+        if ba and bb:
+            a["bbox"] = [min(ba[0], bb[0]), min(ba[1], bb[1]),
+                         max(ba[2], bb[2]), max(ba[3], bb[3])]
+        elif bb:
+            a["bbox"] = bb
+    if merged is not None:
+        return merged
     md = pq.ParquetFile(files[0]).schema_arrow.metadata or {}
-    if GEO_KEY in md:
-        return json.loads(md[GEO_KEY].decode("utf-8"))
     if LEGACY_KEY in md:
         legacy = json.loads(md[LEGACY_KEY].decode("utf-8"))
         if isinstance(legacy, list) and legacy:

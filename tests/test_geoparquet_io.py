@@ -52,6 +52,70 @@ def test_roundtrip_preserves_bytes_and_metadata(spark, sf_dir_small, tmp_out):
     assert field.metadata["geo"]["encoding"] == "WKB"
 
 
+def test_footer_carries_true_bbox_and_geometry_types(spark, sf_dir_small, tmp_out):
+    """Spec-form consumers prune files on footer bbox/geometry_types, so
+    the sink must stamp TRUE per-file values (not placeholders), and
+    geo_metadata must merge them into the dataset extent."""
+    df = _points_df(spark, sf_dir_small)
+    gio.write_geoparquet(df, tmp_out, "geometry", crs="OGC:CRS84")
+
+    # dataset-level merged metadata equals the brute-force extent
+    xs, ys = [], []
+    for r in df.collect():
+        x, y = wkb.decode(bytes(r.geometry))[1]
+        xs.append(x)
+        ys.append(y)
+    meta = gio.geo_metadata(tmp_out)
+    col = meta["columns"]["geometry"]
+    assert col["geometry_types"] == ["Point"]
+    bb = col["bbox"]
+    assert bb == pytest.approx([min(xs), min(ys), max(xs), max(ys)])
+
+    # every individual part footer carries its own true (tighter) bbox
+    import glob as _glob
+
+    for f in sorted(_glob.glob(f"{tmp_out}/*.parquet")):
+        md = pq.ParquetFile(f).schema_arrow.metadata
+        doc = json.loads(md[gio.GEO_KEY].decode())
+        c = doc["columns"]["geometry"]
+        assert c["geometry_types"] == ["Point"]
+        fb = c["bbox"]
+        assert bb[0] <= fb[0] and bb[1] <= fb[1]
+        assert fb[2] <= bb[2] and fb[3] <= bb[3]
+        # per-file bbox matches that file's actual rows
+        tbl = pq.read_table(f, columns=["geometry"])
+        pts = [wkb.decode(v.as_py())[1] for v in tbl.column("geometry")]
+        assert fb == pytest.approx(
+            [min(p[0] for p in pts), min(p[1] for p in pts),
+             max(p[0] for p in pts), max(p[1] for p in pts)]
+        )
+
+    # read side surfaces merged bbox + types on the column metadata
+    back = gio.read_geoparquet(spark, tmp_out)
+    field = dict(zip(back.columns, back.schema.fields))["geometry"]
+    assert field.metadata["geo"]["geometry_types"] == ["Point"]
+    assert field.metadata["geo"]["bbox"] == pytest.approx(bb)
+
+
+def test_footer_geometry_types_mixed(spark, tmp_path):
+    """Mixed geometry types in one file all surface in the footer."""
+    geoms = [
+        wkb.encode(("Point", (1.0, 2.0))),
+        wkb.encode(("LineString", [(0.0, 0.0), (1.0, 1.0)])),
+        wkb.encode(("Polygon", [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)]])),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(g)) for i, g in enumerate(geoms)], "id long, geometry binary"
+    ).coalesce(1)
+    out = str(tmp_path / "mixed")
+    gio.write_geoparquet(df, out, "geometry")
+    meta = gio.geo_metadata(out)
+    assert meta["columns"]["geometry"]["geometry_types"] == [
+        "LineString", "Point", "Polygon"
+    ]
+    assert meta["columns"]["geometry"]["bbox"] == pytest.approx([0.0, 0.0, 2.0, 2.0])
+
+
 def test_legacy_reference_form_read(spark, tmp_path):
     """The reference's pre-spec footer key (geometry_fields, SURVEY.md
     §0.2 step ⑤) must be readable and normalized."""
