@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from geoparquet_python_spark.session import prepare
 
@@ -34,16 +35,34 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to session-TZ TimestampType.
+
+    The driver has shipped this column in two physical forms across
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark 4
+    surfaces as raw int64 under ``nanosAsLong``) and plain
+    TIMESTAMP(MICROS) without a timezone (Spark's TIMESTAMP_NTZ).
+    Adapt on the *schema we actually read*, not on an assumed one, so
+    both generations load identically. Session TZ is pinned to UTC
+    (session.py), so NTZ→TZ is a pure re-tag: collected values match
+    the DuckDB oracle bit-for-bit either way.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # Raw int64 nanos → µs. Integer DIV (not double /): ns values
+        # ~1.7e18 exceed double's 2^53 exact-integer range. (Truncation
+        # toward zero == floor for post-1970 data; this table is 2024.)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark 4 can't type it,
-        # so nanosAsLong surfaces raw int64 nanos; convert to µs
-        # TimestampType here. Integer DIV (not double /): ns values
-        # ~1.7e18 exceed double's 2^53 exact-integer range. (Truncation
-        # toward zero == floor for post-1970 data; this table is 2024.)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -1,10 +1,10 @@
 """Streaming source for the events table.
 
-Same adapter as the batch path (io.load_table): the TIMESTAMP(NANOS)
-column arrives as int64 (nanosAsLong) and is converted to a µs
-TimestampType — the queries built on top are identical batch/stream
-(the Structured Streaming promise: one DataFrame program, two run
-modes).
+Same adapter as the batch path (io.load_table): the raw ``ts`` column
+(int64 nanos or TIMESTAMP_NTZ, depending on testdata generation) is
+normalized to a µs TimestampType — the queries built on top are
+identical batch/stream (the Structured Streaming promise: one
+DataFrame program, two run modes).
 """
 
 from __future__ import annotations
@@ -12,8 +12,8 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
+from geoparquet_python_spark.io import normalize_event_ts
 from geoparquet_python_spark.session import prepare
 
 
@@ -33,7 +33,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(stream)
 
 
 def run_to_memory_table(stream_df: DataFrame, output_mode: str = "append") -> str:
