@@ -74,7 +74,9 @@ def _previous_times() -> dict[str, float]:
         try:
             with open(path) as f:
                 prev = json.load(f)
-            return dict(prev.get("queries", {}))
+            queries = dict(prev.get("queries") or {})
+            if queries:  # skip failure records (no per-query times)
+                return queries
         except (OSError, ValueError):
             continue
     return {}

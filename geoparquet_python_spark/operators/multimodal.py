@@ -2,16 +2,21 @@
 opaque `binary` payloads with typed metadata, decoded only inside
 Arrow-batched Python stages.
 
-The container has no image/audio libraries, so the *decode* step is a
-deterministic fake (documented stub — same batch shape, schema and
-partitioning as a real decoder); everything around it (schema
-assembly, join, mapInPandas plumbing, partition sizing) is real.
+The container has no image/audio libraries, so the decode path uses an
+UNCOMPRESSED format it can parse for real: each document carries a
+genuine PPM (P6) image — ASCII header + raw RGB bytes — synthesized
+deterministically from the doc's md5 so a SQL oracle can recompute
+every pixel. The decoder (`_decode_ppm_batches`) is a real pure-numpy
+binary parser (header scan, dimension read, frombuffer/reshape, pixel
+stats); swapping it for PIL/libvips JPEG decode changes only the
+per-payload body, not the schema, batching, or partitioning.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,52 +69,125 @@ def q_multimodal_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Schema of the fake-decoded feature batch: mirrors what an image
-# decoder would emit (dimensions + a small feature vector).
+# Decoded feature schema: dimensions from the PPM header + channel
+# statistics from the raw pixel plane.
 _DECODE_SCHEMA = (
-    "doc_id bigint, payload_len int, width int, height int, mean_byte double"
+    "doc_id bigint, width int, height int, n_pixels int, sum_bytes bigint, "
+    "mean_r double, mean_g double, mean_b double, mean_byte double"
 )
 
 
-def _fake_decode_batches(
+def _decode_ppm(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary P6 PPM: magic, whitespace-separated width/height,
+    maxval, then the raw RGB plane via numpy frombuffer/reshape."""
+    if b[:3] != b"P6\n":
+        raise ValueError("not a P6 PPM payload")
+    dims_end = b.index(b"\n", 3)
+    w, h = (int(tok) for tok in b[3:dims_end].split())
+    maxval_end = b.index(b"\n", dims_end + 1)
+    if int(b[dims_end + 1 : maxval_end]) != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = np.frombuffer(b, dtype=np.uint8, offset=maxval_end + 1)
+    if px.size != w * h * 3:
+        raise ValueError(f"pixel plane {px.size} != {w}x{h}x3")
+    return w, h, px.reshape(h, w, 3)
+
+
+def _decode_ppm_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """STUB decoder (no image libs in this container).
-
-    Deterministic fake: 'dimensions' and 'mean pixel' derived from the
-    payload bytes themselves. A real implementation would replace the
-    body with PIL/libvips calls — the signature, Arrow batching, and
-    output schema are exactly what production uses.
+    """Real decoder over Arrow batches: per-payload header parse +
+    vectorized channel sums. Integer sums are exact; each mean is a
+    single IEEE division, so DuckDB reproduces the doubles bit-for-bit.
     """
     for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "payload_len": payloads.map(len).astype("int32"),
-                "width": payloads.map(lambda b: b[0] % 64 + 1).astype("int32"),
-                "height": payloads.map(lambda b: b[1] % 64 + 1).astype("int32"),
-                "mean_byte": payloads.map(lambda b: sum(b) / len(b)),
-            }
-        )
+        rows = {k: [] for k in (
+            "doc_id", "width", "height", "n_pixels", "sum_bytes",
+            "mean_r", "mean_g", "mean_b", "mean_byte",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = _decode_ppm(bytes(payload))
+            plane = px.astype(np.int64)
+            n = w * h
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_pixels"].append(n)
+            rows["sum_bytes"].append(int(plane.sum()))
+            rows["mean_r"].append(int(plane[:, :, 0].sum()) / n)
+            rows["mean_g"].append(int(plane[:, :, 1].sum()) / n)
+            rows["mean_b"].append(int(plane[:, :, 2].sum()) / n)
+            rows["mean_byte"].append(int(plane.sum()) / (n * 3))
+        out = pd.DataFrame(rows)
+        out["width"] = out["width"].astype("int32")
+        out["height"] = out["height"].astype("int32")
+        out["n_pixels"] = out["n_pixels"].astype("int32")
+        out["sum_bytes"] = out["sum_bytes"].astype("int64")
+        yield out
 
 
-@query("q_multimodal_decode_features")
+# SQL fragments shared by the payload synthesis and the oracle: pixel
+# byte i of doc d is hex pair i of md5(text)||md5(text||'x').
+_PIXELS_SQL = "unhex(concat(md5(text), md5(concat(text, 'x'))))"
+_N_BYTES_SQL = "(doc_id % 3 + 2) * (doc_id % 2 + 1) * 3"
+
+
+@query(
+    "q_multimodal_decode_features",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             CAST(d.doc_id % 3 + 2 AS INT) AS width,
+             CAST(d.doc_id % 2 + 1 AS INT) AS height,
+             CAST(t.i AS INT) AS i,
+             CAST(('0x' || substr(md5(d.text) || md5(d.text || 'x'),
+                                  CAST(t.i AS INT) * 2 + 1, 2)) AS INT) AS byte
+      FROM documents d
+      CROSS JOIN range(24) t(i)
+      WHERE t.i < (d.doc_id % 3 + 2) * (d.doc_id % 2 + 1) * 3
+    )
+    SELECT doc_id, width, height,
+           CAST(width * height AS INT) AS n_pixels,
+           CAST(SUM(byte) AS BIGINT) AS sum_bytes,
+           SUM(CASE WHEN i % 3 = 0 THEN byte END) * 1.0
+             / (width * height) AS mean_r,
+           SUM(CASE WHEN i % 3 = 1 THEN byte END) * 1.0
+             / (width * height) AS mean_g,
+           SUM(CASE WHEN i % 3 = 2 THEN byte END) * 1.0
+             / (width * height) AS mean_b,
+           SUM(byte) * 1.0 / (width * height * 3) AS mean_byte
+    FROM px
+    GROUP BY doc_id, width, height
+    ORDER BY doc_id
+    """,
+)
 def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas media decode: binary payload → typed features.
+    """mapInPandas media decode: binary PPM payload → typed features,
+    via a REAL pure-numpy decoder (header parse + frombuffer pixel
+    plane — not a stub; see `_decode_ppm`).
 
     Arrow-batched partition-wise decode — the per-batch Python cost is
     amortized over thousands of rows, and partitions can be sized by
     payload bytes (repartition before decode) so executor memory holds
-    one batch of decoded media at a time.
+    one batch of decoded media at a time. At 100 TB the synthesized
+    payload column is replaced by the lake's real binary column and
+    `_decode_ppm` by a codec call; the plan shape is unchanged.
 
-    rows-only check: the decode itself is the non-SQL-expressible part
-    (tests/test_llm_ops.py pins exact expected values for a sample).
+    Oracle: DuckDB recomputes every pixel byte from the same md5
+    construction and aggregates the identical channel stats (integer
+    sums exact, one IEEE division per mean).
     """
     d = load_table(spark, sf_dir, "documents")
-    with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    payload = F.expr(
+        "cast(concat('P6\\n', cast(doc_id % 3 + 2 as string), ' ', "
+        "cast(doc_id % 2 + 1 as string), '\\n255\\n') as binary)"
+    )
+    body = F.expr(f"substring({_PIXELS_SQL}, 1, {_N_BYTES_SQL})")
+    with_payload = d.select(
+        "doc_id", F.concat(payload, body).alias("payload")
+    )
     return (
-        with_payload.mapInPandas(_fake_decode_batches, _DECODE_SCHEMA)
+        with_payload.mapInPandas(_decode_ppm_batches, _DECODE_SCHEMA)
         .orderBy("doc_id")
     )
 

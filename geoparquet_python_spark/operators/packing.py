@@ -21,6 +21,8 @@ No reference equivalent (SURVEY.md §0) — BASELINE.json north-star scope.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,7 +34,31 @@ from geoparquet_python_spark.operators.sampling import hash_bucket, sql_hash_buc
 from geoparquet_python_spark.registry import query
 
 _CAPACITY = 512  # tokens per packed context window
-_N_SHARDS = 8
+
+# Shard count scales with corpus size: ceil(n_docs / _DOCS_PER_SHARD),
+# floored at _MIN_SHARDS. A fixed shard count would pin applyInPandas
+# parallelism (8 tasks doing ALL the packing at 100 TB); this formula
+# keeps each packing group ~_DOCS_PER_SHARD docs no matter the scale,
+# so parallelism grows linearly with input. The count() feeding it is
+# parquet-metadata-served (no data scan). The SAME formula is embedded
+# in each oracle as a scalar subquery over `documents`, so Spark and
+# DuckDB always agree on the shard domain at any sf.
+_DOCS_PER_SHARD = 64
+_MIN_SHARDS = 4
+
+
+def shard_count(n_docs: int) -> int:
+    """max(_MIN_SHARDS, ceil(n_docs / _DOCS_PER_SHARD))."""
+    return max(_MIN_SHARDS, math.ceil(n_docs / _DOCS_PER_SHARD))
+
+
+# SQL mirror of shard_count(): a scalar subquery usable as the modulus
+# of sql_hash_bucket. Kept out of window PARTITION BY clauses (computed
+# once in a CTE column instead).
+_SQL_N_SHARDS = (
+    f"(SELECT GREATEST({_MIN_SHARDS}, "
+    f"CAST(CEIL(COUNT(*) * 1.0 / {_DOCS_PER_SHARD}) AS INT)) FROM documents)"
+)
 
 _PACK_SCHEMA = T.StructType(
     [
@@ -71,15 +97,16 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
 @query(
     "q_token_pack_nextfit",
     oracle=f"""
-    WITH RECURSIVE d AS (
+    WITH RECURSIVE d0 AS (
       SELECT doc_id,
-             CAST({sql_hash_bucket("doc_id", _N_SHARDS)} AS BIGINT) AS shard,
-             len(str_split(text, ' ')) AS n_tokens,
-             ROW_NUMBER() OVER (
-               PARTITION BY {sql_hash_bucket("doc_id", _N_SHARDS)}
-               ORDER BY doc_id
-             ) AS rn
+             CAST({sql_hash_bucket("doc_id", _SQL_N_SHARDS)} AS BIGINT) AS shard,
+             len(str_split(text, ' ')) AS n_tokens
       FROM documents
+    ),
+    d AS (
+      SELECT doc_id, shard, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM d0
     ),
     pack(shard, rn, doc_id, n_tokens, bin, fill) AS (
       SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
@@ -99,7 +126,8 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def q_token_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack every document into 512-token context bins, next-fit in
-    doc_id order within 8 md5 shards. Deterministic under retries and
+    doc_id order within size-scaled md5 shards (shard_count(n_docs) —
+    parallelism grows with the corpus). Deterministic under retries and
     repartitioning (shard is content-addressed, order is doc_id), so a
     re-run of a failed stage reproduces byte-identical packing — the
     property that makes checkpoint-resume of a tokenization job safe.
@@ -109,9 +137,10 @@ def q_token_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side has no such depth limit).
     """
     d = load_table(spark, sf_dir, "documents")
+    n_shards = shard_count(d.count())
     base = d.select(
         "doc_id",
-        hash_bucket(F.col("doc_id"), _N_SHARDS).cast("long").alias("shard"),
+        hash_bucket(F.col("doc_id"), n_shards).cast("long").alias("shard"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
     packed = base.groupBy("shard").applyInPandas(_pack_group, _PACK_SCHEMA)
@@ -312,16 +341,19 @@ def _pack_curriculum_group(pdf: pd.DataFrame) -> pd.DataFrame:
 @query(
     "q_token_pack_curriculum",
     oracle=f"""
-    WITH RECURSIVE d AS (
+    WITH RECURSIVE d0 AS (
       SELECT doc_id,
-             CAST({sql_hash_bucket("doc_id", _N_SHARDS)} AS BIGINT) AS shard,
+             CAST({sql_hash_bucket("doc_id", _SQL_N_SHARDS)} AS BIGINT) AS shard,
              len(str_split(text, ' ')) AS n_tokens,
-             {_SQL_PACK_QUALITY} AS quality,
-             ROW_NUMBER() OVER (
-               PARTITION BY {sql_hash_bucket("doc_id", _N_SHARDS)}
-               ORDER BY {_SQL_PACK_QUALITY} DESC, doc_id
-             ) AS rn
+             {_SQL_PACK_QUALITY} AS quality
       FROM documents
+    ),
+    d AS (
+      SELECT doc_id, shard, n_tokens, quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY quality DESC, doc_id
+             ) AS rn
+      FROM d0
     ),
     pack(shard, rn, doc_id, n_tokens, quality, bin, fill) AS (
       SELECT shard, rn, doc_id, n_tokens, quality, CAST(0 AS BIGINT), n_tokens
@@ -355,9 +387,10 @@ def q_token_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (
         F.least(n_toks / F.lit(64.0), F.lit(1.0)) * 0.4 + ttr * 0.4
     ) + mwl / 8.0 * 0.2
+    n_shards = shard_count(d.count())
     base = d.select(
         "doc_id",
-        hash_bucket(F.col("doc_id"), _N_SHARDS).cast("long").alias("shard"),
+        hash_bucket(F.col("doc_id"), n_shards).cast("long").alias("shard"),
         n_toks.cast("long").alias("n_tokens"),
         quality.alias("quality"),
     )

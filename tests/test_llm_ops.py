@@ -51,8 +51,8 @@ def test_approx_count_distinct_error(spark, sf_dir):
 
 
 def test_multimodal_decode_deterministic(spark, sf_dir):
-    """The stub decoder is deterministic and consistent with a local
-    recomputation from the same payload bytes."""
+    """The PPM decoder output is consistent with a from-scratch local
+    recomputation of the synthesized image (header dims + md5 pixels)."""
     import hashlib
 
     rows = (
@@ -68,11 +68,41 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
     }
     assert len(rows) == 5
     for r in rows:
-        payload = hashlib.md5(docs[r.doc_id].encode()).digest()
-        assert r.payload_len == 16
-        assert r.width == payload[0] % 64 + 1
-        assert r.height == payload[1] % 64 + 1
-        assert abs(r.mean_byte - sum(payload) / len(payload)) < 1e-12
+        text = docs[r.doc_id]
+        pixels = (
+            hashlib.md5(text.encode()).digest()
+            + hashlib.md5((text + "x").encode()).digest()
+        )
+        w, h = r.doc_id % 3 + 2, r.doc_id % 2 + 1
+        px = pixels[: w * h * 3]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.sum_bytes == sum(px)
+        assert r.mean_r == sum(px[0::3]) / (w * h)
+        assert r.mean_g == sum(px[1::3]) / (w * h)
+        assert r.mean_b == sum(px[2::3]) / (w * h)
+        assert r.mean_byte == sum(px) / (w * h * 3)
+
+
+def test_decode_ppm_parses_and_rejects():
+    """_decode_ppm is a real parser: round-trips a hand-built P6 image
+    and rejects malformed payloads."""
+    import numpy as np
+    import pytest as _pytest
+
+    from geoparquet_python_spark.operators.multimodal import _decode_ppm
+
+    body = bytes(range(2 * 3 * 3))
+    w, h, px = _decode_ppm(b"P6\n3 2\n255\n" + body)
+    assert (w, h) == (3, 2)
+    assert px.shape == (2, 3, 3)
+    assert bytes(px.reshape(-1)) == body
+    assert int(np.asarray(px[1, 2, 2])) == body[-1]
+    with _pytest.raises(ValueError):
+        _decode_ppm(b"P5\n3 2\n255\n" + body)
+    with _pytest.raises(ValueError):
+        _decode_ppm(b"P6\n3 2\n255\n" + body[:-1])
+    with _pytest.raises(ValueError):
+        _decode_ppm(b"P6\n3 2\n65535\n" + body)
 
 
 def test_simhash_near_pairs_capture_planted_dups(spark, sf_dir):
@@ -278,3 +308,20 @@ def test_pack_group_nextfit_edges():
     # bin 1 (fill overflows); then 100+412=512 packs bin 2 exactly.
     assert list(out["bin"]) == [0, 0, 1, 2, 2]
     assert list(out["bin_fill_after"]) == [300, 512, _CAPACITY + 10, 100, 512]
+
+
+def test_shard_count_scales_with_corpus():
+    """Packing parallelism must grow with input (the fixed-shard form
+    would do ALL packing in 8 tasks at 100 TB)."""
+    from geoparquet_python_spark.operators.packing import (
+        _DOCS_PER_SHARD,
+        _MIN_SHARDS,
+        shard_count,
+    )
+
+    assert shard_count(1) == _MIN_SHARDS
+    assert shard_count(500) == 8
+    assert shard_count(5_000) == 79
+    # Linear growth: 100x the docs -> ~100x the shards.
+    assert shard_count(500_000) == 500_000 // _DOCS_PER_SHARD + 1
+    assert shard_count(50_000_000) > 100 * shard_count(500_000) / 110
