@@ -1,4 +1,5 @@
 """Structured Streaming operators (SURVEY.md §2.E)."""
 
 import geoparquet_python_spark.streaming.sessions  # noqa: F401
+import geoparquet_python_spark.streaming.sessions_tws  # noqa: F401
 import geoparquet_python_spark.streaming.windows  # noqa: F401

