@@ -802,8 +802,6 @@ def q_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chunk — candidates from 13 equi-joins, recall 1.0 by pigeonhole.
 _LOOSE_OFFS = [0, 5, 10, 15, 20, 25, 30, 35, 40, 44, 48, 52, 56]
 _LOOSE_MASKS = [31] * 8 + [15] * 5
-_SQL_ARR = "array(" + ",".join(str(o) for o in _LOOSE_OFFS) + ")"
-_SQL_MASKS = "array(" + ",".join(str(m) for m in _LOOSE_MASKS) + ")"
 
 
 @query(
@@ -823,9 +821,13 @@ def q_simhash_blocked_pairs_loose(spark: SparkSession, sf_dir: str) -> DataFrame
     Identical output to q_simhash_near_pairs (the brute SQL is the
     oracle), but the plan is 13 shuffled equi-joins on (chunk_index,
     chunk_value) — distributable, AQE-splittable — instead of the
-    BroadcastNestedLoopJoin the naive form needs. Candidate dedup is a
-    FILTER, not a distinct: a pair is kept only at its FIRST agreeing
-    chunk (all earlier chunks must differ), so no second shuffle.
+    BroadcastNestedLoopJoin the naive form needs. The codegen'd
+    Hamming gate (xor + bit_count) runs map-side straight off the
+    join; surviving multiplicity (one row per agreeing chunk, <= 13)
+    collapses in a narrow (doc_a, doc_b) groupBy with map-side combine
+    — same post-join ordering rationale as
+    q_simhash_wide_blocked_pairs (an interpreted first-matching-chunk
+    filter over raw candidates was ~10x slower on dup-dense data).
 
     Honest scale math: at t/bits = 12/60 the chunks are only 4–5 bits
     wide, so random-signature candidate volume is Σ n²/2^w ≈ 0.28 n² —
@@ -850,29 +852,23 @@ def q_simhash_blocked_pairs_loose(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a = chunks.alias("a")
     b = chunks.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.ci") == F.col("b.ci"))
-        & (F.col("a.cv") == F.col("b.cv"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.simhash").alias("ha"),
-        F.col("b.simhash").alias("hb"),
-        F.col("a.ci").alias("ci"),
-    )
-    first_match = F.expr(
-        f"ci = 0 OR forall(sequence(0, ci - 1), j -> "
-        f"(shiftright(ha, element_at({_SQL_ARR}, j + 1)) & element_at({_SQL_MASKS}, j + 1)) != "
-        f"(shiftright(hb, element_at({_SQL_ARR}, j + 1)) & element_at({_SQL_MASKS}, j + 1)))"
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # Unordered pair dump (oracle compare is order-insensitive).
     return (
-        joined.where(first_match)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .where(F.col("hamming") <= _HAMMING_T)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 
@@ -1063,9 +1059,6 @@ def _simhash_wide_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_W_HALVES = "array(" + ",".join(f"'{h}'" for h, _, _ in _WIDE_CHUNKS) + ")"
-_W_OFFS = "array(" + ",".join(str(o) for _, o, _ in _WIDE_CHUNKS) + ")"
-_W_MASKS = "array(" + ",".join(str((1 << w) - 1) for _, _, w in _WIDE_CHUNKS) + ")"
 
 
 @query(
@@ -1084,20 +1077,27 @@ _W_MASKS = "array(" + ",".join(str((1 << w) - 1) for _, _, w in _WIDE_CHUNKS) + 
 def q_simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming <= 12 near-pairs on the 120-bit SimHash via 13-chunk
     pigeonhole — the widened-signature fix that makes the loose
-    threshold sub-quadratic (candidates ~n^2/39 on random data vs
+    threshold sub-quadratic on random data (candidates ~n^2/39 vs
     ~0.28 n^2 for 60-bit chunks; q_simhash_blocked_pairs_loose
-    docstring). Same exact-recall first-matching-chunk plan as the
-    60-bit blocked queries: 13 shuffled equi-joins, a FILTER instead
-    of a distinct, no nested-loop join anywhere. The tighter 120-bit
-    Hamming ball also yields a sharper (smaller) pair set than the
-    60-bit queries — it is a different, better similarity measure,
-    which the brute-force oracle certifies independently.
+    docstring): 13 shuffled equi-joins, no nested-loop join anywhere.
+    The tighter 120-bit Hamming ball also yields a sharper (smaller)
+    pair set than the 60-bit queries — it is a different, better
+    similarity measure, which the brute-force oracle certifies
+    independently.
 
-    Measured at sf0.1 (local[32]): 74 s / 0.9 M pairs vs 95 s / 5.5 M
-    pairs for the 60-bit loose query — this corpus is dup-dense, so
-    both are output-volume-bound; the width win shows up as 6x fewer
-    (and tighter) pairs for less wall time despite the 2x signature
-    build."""
+    Post-join order matters more than candidate count on dup-dense
+    data (this corpus at sf0.1: 5000 docs but only 3930 distinct
+    signatures, one 3058-doc chunk bucket, 23.7 M candidates): the
+    Hamming test is two xor + two bit_count — whole-stage-codegen
+    pennies — so it runs FIRST, map-side, straight off the join;
+    the multiplicity that survives (a pair appears once per matching
+    chunk, <= 13) is then collapsed by a narrow (doc_a, doc_b) groupBy
+    whose map-side combine shrinks it before the only extra shuffle.
+    The previous form ran an interpreted higher-order first-matching-
+    chunk filter over every raw candidate — 138 s at sf0.1; this plan
+    is ~12 s for the identical pair set. At 100 TB the same ordering
+    holds: cheap codegen predicate at the join, output-sized shuffle
+    after."""
     sig = materialize(_simhash_wide_signatures(spark, sf_dir))
     chunk_structs = F.array(
         *[
@@ -1123,36 +1123,27 @@ def q_simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.ci") == F.col("b.ci"))
-        & (F.col("a.cv") == F.col("b.cv"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.sim_lo").alias("alo"),
-        F.col("a.sim_hi").alias("ahi"),
-        F.col("b.sim_lo").alias("blo"),
-        F.col("b.sim_hi").alias("bhi"),
-        F.col("a.ci").alias("ci"),
-    )
-    first_match = F.expr(
-        f"ci = 0 OR forall(sequence(0, ci - 1), j -> "
-        f"(shiftright(CASE WHEN element_at({_W_HALVES}, j + 1) = 'lo' "
-        f"THEN alo ELSE ahi END, element_at({_W_OFFS}, j + 1)) "
-        f"& element_at({_W_MASKS}, j + 1)) != "
-        f"(shiftright(CASE WHEN element_at({_W_HALVES}, j + 1) = 'lo' "
-        f"THEN blo ELSE bhi END, element_at({_W_OFFS}, j + 1)) "
-        f"& element_at({_W_MASKS}, j + 1)))"
-    )
-    hamming = F.bit_count(F.col("alo").bitwiseXOR(F.col("blo"))) + F.bit_count(
-        F.col("ahi").bitwiseXOR(F.col("bhi"))
-    )
+    hamming = F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
     return (
-        joined.where(first_match)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .where(F.col("hamming") <= _HAMMING_T)
+        # One row per matching chunk survives the Hamming gate; min() is
+        # over identical values (hamming is a pair function) — the agg
+        # exists to collapse multiplicity with map-side combine.
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 
