@@ -74,6 +74,10 @@ def _previous_times() -> dict[str, float]:
         try:
             with open(path) as f:
                 prev = json.load(f)
+            # Driver records wrap the bench line under "parsed"; accept
+            # both that shape and a raw bench line.
+            if isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
             queries = dict(prev.get("queries") or {})
             if queries:  # skip failure records (no per-query times)
                 return queries
