@@ -399,3 +399,126 @@ def q_token_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(lambda pdf: _pack_curriculum_group(pdf), _PACK_CURR_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed inference batching: the padded-batch sibling of
+# concat-packing. Serving/eval pipelines don't concatenate docs; they
+# pad every sequence in a batch to the batch max, so cost = rows x
+# max_len. Sorting by length within a shard puts similar lengths
+# together, and the greedy assembler closes a batch when either the
+# row cap or the padded-token budget would be exceeded.
+# --------------------------------------------------------------------------
+
+_BATCH_MAX_ROWS = 8
+_BATCH_TOKEN_BUDGET = 1024  # rows x padded_len ceiling per batch
+
+_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("batch", T.LongType()),
+        T.StructField("rows_after", T.LongType()),
+        T.StructField("padded_after", T.LongType()),
+    ]
+)
+
+
+def _batch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy padded-batch assembly in ASCENDING (n_tokens, doc_id)
+    order: each new doc is the running max, so the open batch's padded
+    cost is (rows+1) * n. Join while both caps hold; an over-budget
+    single doc still gets a batch to itself (same oversize rule as
+    next-fit packing)."""
+    pdf = pdf.sort_values(["n_tokens", "doc_id"]).reset_index(drop=True)
+    batches, rows_after, padded = [], [], []
+    b, r = 0, 0
+    first = True
+    for n in pdf["n_tokens"]:
+        n = int(n)
+        fits = (
+            r + 1 <= _BATCH_MAX_ROWS
+            and (r + 1) * n <= _BATCH_TOKEN_BUDGET
+        )
+        if first:
+            b, r, first = 0, 1, False
+        elif fits:
+            r += 1
+        else:
+            b, r = b + 1, 1
+        batches.append(b)
+        rows_after.append(r)
+        padded.append(r * n)
+    pdf["batch"] = pd.Series(batches, dtype="int64")
+    pdf["rows_after"] = pd.Series(rows_after, dtype="int64")
+    pdf["padded_after"] = pd.Series(padded, dtype="int64")
+    return pdf[
+        ["doc_id", "shard", "n_tokens", "batch", "rows_after", "padded_after"]
+    ]
+
+
+@query(
+    "q_length_bucketed_batches",
+    oracle=f"""
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id,
+             CAST({sql_hash_bucket("doc_id", _SQL_N_SHARDS)} AS BIGINT) AS shard,
+             len(str_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, shard, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY n_tokens, doc_id
+             ) AS rn
+      FROM d0
+    ),
+    bat(shard, rn, doc_id, n_tokens, batch, rows_in) AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN b.rows_in + 1 <= {_BATCH_MAX_ROWS}
+                       AND (b.rows_in + 1) * d.n_tokens
+                             <= {_BATCH_TOKEN_BUDGET}
+                  THEN b.batch ELSE b.batch + 1 END,
+             CASE WHEN b.rows_in + 1 <= {_BATCH_MAX_ROWS}
+                       AND (b.rows_in + 1) * d.n_tokens
+                             <= {_BATCH_TOKEN_BUDGET}
+                  THEN b.rows_in + 1 ELSE CAST(1 AS BIGINT) END
+      FROM bat b JOIN d ON d.shard = b.shard AND d.rn = b.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, batch,
+           rows_in AS rows_after,
+           CAST(rows_in * n_tokens AS BIGINT) AS padded_after
+    FROM bat
+    ORDER BY doc_id
+    """,
+)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference/eval batching plan: within each size-scaled md5 shard,
+    docs sort by (n_tokens, doc_id) and batches close at
+    {_BATCH_MAX_ROWS} rows or a {_BATCH_TOKEN_BUDGET} padded-token
+    budget — length bucketing, the standard padding-waste reduction
+    for padded-batch inference (vs packing, which concatenates).
+    Content-addressed shard + total length order makes the whole plan
+    retry/partition-invariant, like every placement decision in this
+    module.
+
+    Oracle: recursive CTE replaying the same greedy recurrence per
+    shard.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_shards = shard_count(d.count())
+    base = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), n_shards).cast("long").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.groupBy("shard")
+        .applyInPandas(_batch_group, _BATCH_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -325,3 +325,33 @@ def test_shard_count_scales_with_corpus():
     # Linear growth: 100x the docs -> ~100x the shards.
     assert shard_count(500_000) == 500_000 // _DOCS_PER_SHARD + 1
     assert shard_count(50_000_000) > 100 * shard_count(500_000) / 110
+
+
+def test_batch_group_length_bucketing_edges():
+    """Greedy padded-batch assembly (no Spark): row cap, padded-token
+    budget, and the oversized-doc-alone rule."""
+    import pandas as pd
+
+    from geoparquet_python_spark.operators.packing import (
+        _BATCH_MAX_ROWS,
+        _BATCH_TOKEN_BUDGET,
+        _batch_group,
+    )
+
+    # Lengths chosen so: docs 1-4 (128 tokens) fill to the budget
+    # exactly at 8 rows? 8*128=1024 == budget -> all 8 tiny docs batch
+    # together; then a 200-token doc starts batch 1 (9th row > cap);
+    # 600-token doc joins? (2*600=1200>budget) -> new batch; 2000-token
+    # doc (over budget alone) still gets its own batch.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 9)) + [9, 10, 11],
+            "shard": [0] * 11,
+            "n_tokens": [128] * 8 + [200, 600, 2000],
+        }
+    )
+    out = _batch_group(pdf)
+    assert list(out["batch"]) == [0] * 8 + [1, 2, 3]
+    assert list(out["rows_after"])[:8] == list(range(1, 9))
+    assert list(out["padded_after"])[-3:] == [200, 600, 2000]
+    assert _BATCH_MAX_ROWS == 8 and _BATCH_TOKEN_BUDGET == 1024
