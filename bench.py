@@ -57,6 +57,9 @@ HEADLINE = [
     "q_repetition_signals",
     "q_token_pack_nextfit",
     "q_embedding_quantize_int8",
+    # Round-4: composition showcase — near-dup components feeding a
+    # cluster-keyed (leakage-safe) split decision.
+    "q_leakage_safe_split",
 ]
 
 
