@@ -272,35 +272,21 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_pairs(spark, sf_dir, bucket_cap=None)
 
 
-def _minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
-) -> DataFrame:
-    """MinHash-LSH pair pipeline.
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) MinHash band table from a (doc_id, sh) frame.
 
-    ``bucket_cap``: drop band buckets holding more than this many docs
-    before pair expansion. A bucket of d docs expands to d(d−1)/2
-    candidate pairs — one boilerplate bucket of 10⁶ docs is 5·10¹¹
-    pairs, the classic LSH blow-up. Near-dup pairs agree on ~many of
-    the 16 bands, so dropping one oversized bucket rarely loses a true
-    pair (each pair has 15 more chances); recall loss is bounded and
-    the capped candidate volume is Σ min(d, cap)² — linear in corpus
-    size for fixed cap. Default None = uncapped (oracle semantics).
+    One md5 per shingle; 32 signature slots by double hashing
+    h1 + j*h2 (mirrors _sql_minhash exactly; max < 2^62,
+    overflow-safe). Entirely stateless projections + one explode, so
+    the same function serves batch pipelines AND structured streams
+    (streaming/neardup.py screens a document stream with it).
     """
-    d = load_table(spark, sf_dir, "documents")
-    # The shingle projection feeds the signature pipeline and both
-    # refine sides; recomputing it is cheaper than checkpointing the
-    # wide shingle arrays (measured both ways at sf0.1 — the narrow
-    # candidate set is what's worth materializing, via broadcast below).
-    docs = spread(d.select("doc_id", tokens("text").alias("toks"))).select(
-        "doc_id", shingles("toks", k=3).alias("sh")
-    )
-    # One md5 per shingle; 32 signature slots by double hashing
-    # h1 + j*h2 (mirrors _sql_minhash exactly; max < 2^62, overflow-safe).
     hs = F.transform("sh", lambda s: F.md5(s))
     hashed = docs.select("doc_id", "sh", hs.alias("hs"))
     h1 = F.transform("hs", lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long"))
     h2 = F.transform("hs", lambda h: F.conv(F.substring(h, 16, 14), 16, 10).cast("long"))
     hashed = hashed.select("doc_id", "sh", h1.alias("h1"), h2.alias("h2"))
+
     def _slot(j: int):
         return lambda a, b: a + F.lit(j).cast("long") * b
 
@@ -324,9 +310,34 @@ def _minhash_lsh_pairs(
             for b in range(_N_BANDS)
         ]
     )
-    banded = signed.select(
+    return signed.select(
         "doc_id", F.explode(band_structs).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def _minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
+    """MinHash-LSH pair pipeline.
+
+    ``bucket_cap``: drop band buckets holding more than this many docs
+    before pair expansion. A bucket of d docs expands to d(d−1)/2
+    candidate pairs — one boilerplate bucket of 10⁶ docs is 5·10¹¹
+    pairs, the classic LSH blow-up. Near-dup pairs agree on ~many of
+    the 16 bands, so dropping one oversized bucket rarely loses a true
+    pair (each pair has 15 more chances); recall loss is bounded and
+    the capped candidate volume is Σ min(d, cap)² — linear in corpus
+    size for fixed cap. Default None = uncapped (oracle semantics).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # The shingle projection feeds the signature pipeline and both
+    # refine sides; recomputing it is cheaper than checkpointing the
+    # wide shingle arrays (measured both ways at sf0.1 — the narrow
+    # candidate set is what's worth materializing, via broadcast below).
+    docs = spread(d.select("doc_id", tokens("text").alias("toks"))).select(
+        "doc_id", shingles("toks", k=3).alias("sh")
+    )
+    banded = minhash_bands(docs)
     # Candidates by bucket-grouping, not a self-join: the self-join form
     # evaluates the whole signature lineage once per side; grouping runs
     # it once and expands (a < b) pairs inside each bucket with array
