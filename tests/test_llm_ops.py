@@ -355,3 +355,60 @@ def test_batch_group_length_bucketing_edges():
     assert list(out["rows_after"])[:8] == list(range(1, 9))
     assert list(out["padded_after"])[-3:] == [200, 600, 2000]
     assert _BATCH_MAX_ROWS == 8 and _BATCH_TOKEN_BUDGET == 1024
+
+
+def test_packing_and_batching_invariants_hypothesis():
+    """Property check over random token-length profiles: next-fit bins
+    never overflow except as singletons, batches respect both caps
+    except as singletons, indices are contiguous from 0, and placement
+    order matches the declared sort."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pandas as pd
+
+    from geoparquet_python_spark.operators.packing import (
+        _BATCH_MAX_ROWS,
+        _BATCH_TOKEN_BUDGET,
+        _CAPACITY,
+        _batch_group,
+        _pack_group,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=60)
+    )
+    def check(lengths):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(lengths)),
+                "shard": [0] * len(lengths),
+                "n_tokens": lengths,
+            }
+        )
+        packed = _pack_group(pdf.copy())
+        # bins contiguous from 0; fills never exceed capacity unless the
+        # bin holds a single oversized doc
+        assert sorted(packed["bin"].unique()) == list(
+            range(packed["bin"].max() + 1)
+        )
+        for b, grp in packed.groupby("bin"):
+            total = grp["n_tokens"].sum()
+            assert total <= _CAPACITY or len(grp) == 1
+            assert grp["bin_fill_after"].iloc[-1] == total
+        # doc order preserved
+        assert list(packed["doc_id"]) == sorted(packed["doc_id"])
+
+        batched = _batch_group(pdf.copy())
+        assert sorted(batched["batch"].unique()) == list(
+            range(batched["batch"].max() + 1)
+        )
+        for b, grp in batched.groupby("batch"):
+            assert len(grp) <= _BATCH_MAX_ROWS
+            mx = grp["n_tokens"].max()
+            assert len(grp) * mx <= _BATCH_TOKEN_BUDGET or len(grp) == 1
+        # ascending-length placement order
+        key = list(zip(batched["n_tokens"], batched["doc_id"]))
+        assert key == sorted(key)
+
+    check()
