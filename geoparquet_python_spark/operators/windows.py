@@ -373,3 +373,84 @@ def q_range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@query(
+    "q_scd2_user_state",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT *,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version_no
+      FROM e
+    ),
+    runs AS (
+      SELECT user_id, version_no,
+             MIN(event_type) AS state,
+             MIN(ts) AS valid_from,
+             COUNT(*) AS n_events
+      FROM v
+      GROUP BY user_id, version_no
+    )
+    SELECT user_id, CAST(version_no AS BIGINT) AS version_no, state,
+           valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY version_no) AS valid_to,
+           n_events
+    FROM runs
+    ORDER BY user_id, version_no
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 state history via gaps-and-islands: consecutive
+    events with the same event_type collapse into one version row with
+    [valid_from, valid_to) effective dating (valid_to NULL on the open
+    version) — the run-length/temporal-versioning pattern warehouses
+    use for slowly changing dimensions, built from a change flag
+    (lag), a cumulative version counter, a per-run rollup, and a lead
+    over versions.
+
+    Scale: every window/aggregate keys on user_id — ONE partition
+    domain end to end, so AQE sees a single uniform shuffle; the runs
+    relation is versions-sized (<= events), and nothing is collected.
+    Ties in ts break on event_id in both engines, keeping the change
+    flags — and therefore every version boundary — deterministic.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0)
+    )
+    v = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("version_no"),
+    )
+    runs = v.groupBy("user_id", "version_no").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version_no")
+    return runs.select(
+        "user_id",
+        F.col("version_no").cast("bigint").alias("version_no"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "version_no")
