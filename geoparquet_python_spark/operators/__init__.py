@@ -21,6 +21,7 @@ import geoparquet_python_spark.operators.sampling  # noqa: F401
 import geoparquet_python_spark.operators.scalars  # noqa: F401
 import geoparquet_python_spark.operators.similarity  # noqa: F401
 import geoparquet_python_spark.operators.sketches  # noqa: F401
+import geoparquet_python_spark.operators.skew  # noqa: F401
 import geoparquet_python_spark.operators.splits  # noqa: F401
 import geoparquet_python_spark.operators.textanalysis  # noqa: F401
 import geoparquet_python_spark.operators.tpch_more  # noqa: F401
