@@ -429,24 +429,29 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_b(doc) = sign(Σ_words ±1 by hash-bit b): one explode + one
     groupBy with 60 integer-sum aggregates — a single shuffle on
     doc_id regardless of corpus size.
-    """
+
+    The ±1 sum is computed as set-bit count vs word count (sign(2*c1 -
+    n) ≡ sign(Σ ±1)): SUM((h >> b) & 1) is a branch-free shift+mask the
+    codegen compiles to pennies, where the literal CASE WHEN ... 1 ELSE
+    -1 form cost ~4x the whole aggregation wall (measured at sf0.1:
+    4.2 s -> 0.9 s for the 120-bit sibling). The oracle keeps the ±1
+    formulation — same signature either way, which the hash-match
+    certifies."""
     d = load_table(spark, sf_dir, "documents")
     words = spread(d.select("doc_id", F.array_distinct(tokens("text")).alias("ws"))).select(
         "doc_id", F.explode("ws").alias("w")
     )
     hashed = words.select("doc_id", md5_long(F.col("w")).alias("h"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
+    bit_aggs = [F.count(F.lit(1)).alias("nw")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1)).alias(f"s{b}")
         for b in range(_SIMHASH_BITS)
     ]
     bitsums = hashed.groupBy("doc_id").agg(*bit_aggs)
     simhash = None
     for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        term = F.when(
+            F.col(f"s{b}") * 2 > F.col("nw"), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
         simhash = term if simhash is None else simhash + term
     return bitsums.select("doc_id", simhash.alias("simhash"))
 
@@ -1045,14 +1050,15 @@ def _simhash_wide_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hhi"),
     )
-    aggs = []
+    # Branch-free bit sums (see _simhash_signatures: sign(2*c1 - n) ≡
+    # sign(Σ ±1), 4x cheaper than the CASE WHEN ±1 form — measured
+    # 4.2 s -> 0.9 s at sf0.1 for this 120-sum aggregation).
+    aggs = [F.count(F.lit(1)).alias("nw")]
     for col, half in (("hlo", "lo"), ("hhi", "hi")):
         aggs += [
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(col), b).bitwiseAND(1) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"{half}{b}")
+            F.sum(F.shiftright(F.col(col), b).bitwiseAND(1)).alias(
+                f"{half}{b}"
+            )
             for b in range(60)
         ]
     bitsums = hashed.groupBy("doc_id").agg(*aggs)
@@ -1061,7 +1067,8 @@ def _simhash_wide_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc = None
         for b in range(60):
             term = F.when(
-                F.col(f"{half}{b}") > 0, F.lit(1 << b).cast("bigint")
+                F.col(f"{half}{b}") * 2 > F.col("nw"),
+                F.lit(1 << b).cast("bigint"),
             ).otherwise(F.lit(0).cast("bigint"))
             acc = term if acc is None else acc + term
         packed[half] = acc
@@ -1096,20 +1103,36 @@ def q_simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity measure, which the brute-force oracle certifies
     independently.
 
-    Post-join order matters more than candidate count on dup-dense
-    data (this corpus at sf0.1: 5000 docs but only 3930 distinct
-    signatures, one 3058-doc chunk bucket, 23.7 M candidates): the
-    Hamming test is two xor + two bit_count — whole-stage-codegen
-    pennies — so it runs FIRST, map-side, straight off the join;
-    the multiplicity that survives (a pair appears once per matching
-    chunk, <= 13) is then collapsed by a narrow (doc_a, doc_b) groupBy
-    whose map-side combine shrinks it before the only extra shuffle.
-    The previous form ran an interpreted higher-order first-matching-
-    chunk filter over every raw candidate — 138 s at sf0.1; this plan
-    is ~12 s for the identical pair set. At 100 TB the same ordering
-    holds: cheap codegen predicate at the join, output-sized shuffle
-    after."""
-    sig = materialize(_simhash_wide_signatures(spark, sf_dir))
+    Exact-then-near composition (the standard 100 TB dedup shape):
+    duplicate-dense corpora — the NORMAL case for a dedup workload —
+    put many docs on one identical signature (sf0.1: 5000 docs but
+    only 3930 distinct 120-bit signatures, one 3058-doc chunk bucket),
+    and a naive per-doc chunk join pays O(c^2) join rows per hot
+    signature cluster (23.7 M candidates here — MORE than the 12.5 M
+    brute-force pairs). So: (1) collapse identical (sim_lo, sim_hi)
+    signatures — Hamming-0 exact-dup families — electing min(doc_id)
+    as representative (one window shuffle on the signature); (2) run
+    the 13-chunk pigeonhole join over DISTINCT signatures only
+    (3930 vs 5000 rows; candidates drop ~60x to ~0.4 M), Hamming gate
+    codegen-cheap at the join, rep-pair multiplicity (<=13, one row
+    per matching chunk) collapsed by a rep-level groupBy — the
+    collapse shuffle is now rep-pair-sized, not doc-pair-sized;
+    (3) expand back to doc pairs: intra-cluster pairs at Hamming 0
+    (a members self-join on the cluster key, output-bound) plus
+    cross-cluster pairs inheriting the rep-pair Hamming (two
+    rep_id-keyed expansion joins, output-bound). Output is identical
+    to the per-doc form — cross-cluster Hamming depends only on the
+    signatures, intra-cluster is Hamming 0 — so the existing
+    brute-force oracle certifies the rewrite unchanged
+    (tests/test_llm_ops.py asserts blocked == brute at two scales)."""
+    sig = _simhash_wide_signatures(spark, sf_dir)
+    wsig = Window.partitionBy("sim_lo", "sim_hi")
+    members = materialize(
+        sig.withColumn("rep_id", F.min("doc_id").over(wsig))
+    )
+    reps = members.where(F.col("doc_id") == F.col("rep_id")).select(
+        "rep_id", "sim_lo", "sim_hi"
+    )
     chunk_structs = F.array(
         *[
             F.struct(
@@ -1123,10 +1146,10 @@ def q_simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for idx, (half, off, w) in enumerate(_WIDE_CHUNKS)
         ]
     )
-    chunks = sig.select(
-        "doc_id", "sim_lo", "sim_hi", F.explode(chunk_structs).alias("c")
+    chunks = reps.select(
+        "rep_id", "sim_lo", "sim_hi", F.explode(chunk_structs).alias("c")
     ).select(
-        "doc_id",
+        "rep_id",
         "sim_lo",
         "sim_hi",
         F.col("c.ci").alias("ci"),
@@ -1137,25 +1160,53 @@ def q_simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(
         F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
     ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
             & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rep_id").alias("rep_a"),
+            F.col("b.rep_id").alias("rep_b"),
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= _HAMMING_T)
         # One row per matching chunk survives the Hamming gate; min() is
-        # over identical values (hamming is a pair function) — the agg
-        # exists to collapse multiplicity with map-side combine.
-        .groupBy("doc_a", "doc_b")
+        # over identical values — the agg collapses multiplicity with
+        # map-side combine, over distinct-signature pairs only.
+        .groupBy("rep_a", "rep_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+    # Expansion. Cross-cluster: each surviving rep pair fans out to its
+    # two clusters' members (disjoint clusters => each unordered doc
+    # pair appears exactly once; least/greatest restores doc_a < doc_b).
+    ma = members.select(
+        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
+    )
+    mb = members.select(
+        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
+    )
+    cross = rep_pairs.join(ma, "rep_a").join(mb, "rep_b").select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+        "hamming",
+    )
+    # Intra-cluster: identical signatures are Hamming-0 near-dups by
+    # definition — emit all within-cluster pairs directly.
+    intra = (
+        ma.join(
+            mb,
+            (F.col("rep_a") == F.col("rep_b")) & (F.col("da") < F.col("db")),
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # --------------------------------------------------------------------------

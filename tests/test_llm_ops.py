@@ -412,3 +412,47 @@ def test_packing_and_batching_invariants_hypothesis():
         assert key == sorted(key)
 
     check()
+
+
+def test_simhash_wide_blocked_equals_brute(spark, sf_dir, sf_dir_small):
+    """Pigeonhole recall invariant guarding the signature-collapse
+    rewrite (VERDICT r4 #1): the 13-chunk blocked pair set must equal
+    the brute-force Hamming<=12 pair set over the same 120-bit
+    signatures, at two scales. Recall 1.0 is a theorem (t=12 over 13
+    chunks leaves >=1 chunk untouched); this asserts the implementation
+    — collapse, chunk join, expansion — didn't break it."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.operators.dedup import (
+        _HAMMING_T,
+        _simhash_wide_signatures,
+    )
+
+    for d in (sf_dir_small, sf_dir):
+        sig = _simhash_wide_signatures(spark, d).cache()
+        a = sig.alias("a")
+        b = sig.alias("b")
+        hamming = F.bit_count(
+            F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+        ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+        brute = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.alias("hamming"),
+            )
+            .where(F.col("hamming") <= _HAMMING_T)
+            .collect()
+        }
+        blocked = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in registry.QUERIES["q_simhash_wide_blocked_pairs"](
+                spark, d
+            ).collect()
+        }
+        sig.unpersist()
+        assert blocked == brute, (
+            f"{d}: blocked {len(blocked)} pairs != brute {len(brute)}"
+        )
