@@ -100,17 +100,35 @@ def main() -> None:
     # Warm up JVM/codegen/Python-worker pools so per-query times measure
     # the plan, not first-start overhead.
     _force(spark.range(1_000_000).selectExpr("sum(id) AS s"))
-    _force(registry.QUERIES["q1_pricing_summary"](spark, sf_dir))
+
+    # Idle/contention gate (round-4 lesson: four same-direction 1.3-1.6x
+    # TPC-H drifts in one run, plus a 2.61x phantom on a sub-second
+    # query, all traced to box load and cold JIT — not plans): re-run q1
+    # until two consecutive times agree within 10% before timing anything.
+    prev_t = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _force(registry.QUERIES["q1_pricing_summary"](spark, sf_dir))
+        t = time.perf_counter() - t0
+        if prev_t is not None and abs(t - prev_t) / max(t, prev_t) < 0.10:
+            break
+        prev_t = t
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(3):  # best-of-3: this box swings ±40% per run
+        runs = 0
+        # Best-of-3, extended to best-of-5 for sub-2s queries: short
+        # queries are the ones whose per-run noise (JIT tiers, GC, a
+        # stray background task) exceeds the 1.3x regression threshold,
+        # so they get more samples before a delta is believed.
+        while runs < 3 or (best < 2.0 and runs < 5):
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            runs += 1
         times[name] = round(best, 3)
         # Row count per query (untimed extra run): lets round-over-round
         # comparisons detect silent result shrinkage behind a "speedup".

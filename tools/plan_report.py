@@ -69,7 +69,11 @@ def main() -> None:
         "SMJ sort-merge join, BNLJ broadcast nested-loop, exchanges =",
         "hash-partition shuffles in the final plan (AQE may coalesce at",
         "runtime), topk = TakeOrderedAndProject, pushed = scans with a",
-        "non-empty PushedFilters list. Queries that drain a stream during",
+        "non-empty PushedFilters list. A trailing `rangeX` on nearly",
+        "every query is the presentation sort required by the driver's",
+        "order-insensitive-hash oracle contract, not an algorithmic",
+        "shuffle — production plans drop it (see SCALE.md",
+        "\"Bench-protocol caveats\"). Queries that drain a stream during",
         "construction are excluded (see tests/test_streaming.py):",
         ", ".join(f"`{s}`" for s in skipped) + ".",
         "",

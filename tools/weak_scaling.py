@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Weak-scaling harness for SCALE.md's measured table.
+
+Builds an 8x (configurable) replica of the sf0.1 documents table with
+per-copy token remapping — each copy's tokens get a copy-local prefix,
+so duplicate DENSITY stays constant while volume grows (copies never
+near-dup against each other; the honest way to scale a dedup bench) —
+then times the named queries warm at 1x and Nx and prints the ratios.
+
+Usage:
+    python tools/weak_scaling.py [query ...]   # default: the SCALE.md set
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geoparquet_python_spark import registry  # noqa: E402
+from geoparquet_python_spark.session import get_spark  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "q_exact_dedup",
+    "q_token_pack_nextfit",
+    "q_length_bucketed_batches",
+    "q_minhash_lsh_neardup",
+    "q_simhash_wide_blocked_pairs",
+    "q_leakage_safe_split",
+]
+
+COPIES = int(os.environ.get("WEAK_COPIES", "8"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_corpus(spark, out_dir: str) -> None:
+    """COPIES replicas of documents; copy i>0 prefixes every token with
+    c{i}_ (disjoint vocabularies => no cross-copy near-dups) and offsets
+    doc_id by i*10^7. Other tables are symlinked unchanged — queries
+    under test only touch documents."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    parts = []
+    for i in range(COPIES):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            c = c.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda x: F.concat(F.lit(f"c{i}_"), x),
+                    ),
+                    " ",
+                ),
+            )
+        parts.append(c)
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    for name in os.listdir(SF_DIR):
+        if name != "documents.parquet":
+            os.symlink(f"{SF_DIR}/{name}", f"{out_dir}/{name}")
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
+    fn = registry.QUERIES[name]
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    registry.load_all()
+    spark = get_spark("weak-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = tempfile.mkdtemp(prefix="weak8_")
+    try:
+        build_corpus(spark, out_dir)
+        spark.range(1_000_000).selectExpr("sum(id) AS s").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        for name in names:
+            t1 = time_query(spark, name, SF_DIR)
+            t8 = time_query(spark, name, out_dir)
+            print(
+                f"{name}: 1x={t1:.1f}s {COPIES}x={t8:.1f}s "
+                f"ratio={t8 / t1:.1f}x"
+            )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
