@@ -83,9 +83,17 @@ def q_stream_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the sessionization queries. Oracle: the identical join in
     DuckDB over the full table (batch≡stream under availableNow).
     """
-    stream_docs = _read_documents_stream(spark, sf_dir).select(
-        "doc_id", tokens("text").alias("toks")
-    ).select("doc_id", shingles("toks", k=3).alias("sh"))
+    # Docs shorter than k tokens have an EMPTY shingle array: every
+    # minhash slot would be NULL and concat_ws would collapse each band
+    # sig to the same empty string, band-matching every short stream doc
+    # to every short corpus doc. The oracle's sh CTE naturally emits no
+    # rows for them, so drop them here BEFORE banding — on both sides.
+    stream_docs = (
+        _read_documents_stream(spark, sf_dir)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles("toks", k=3).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
     stream_bands = minhash_bands(stream_docs)
 
     corpus_docs = (
@@ -93,6 +101,7 @@ def q_stream_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(_CORPUS_PRED))
         .select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", shingles("toks", k=3).alias("sh"))
+        .where(F.size("sh") > 0)
     )
     corpus_bands = minhash_bands(corpus_docs).select(
         F.col("doc_id").alias("corpus_doc"),

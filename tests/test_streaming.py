@@ -224,3 +224,42 @@ def test_tws_query_parity(spark, sf_dir):
         registry.QUERIES["q_stateful_sessionization"](spark, sf_dir).toPandas()
     )
     assert a.equals(b)
+
+
+def test_stream_neardup_screen_ignores_short_docs(spark, tmp_path):
+    """Docs with fewer than k=3 tokens have EMPTY shingle arrays; before
+    the size('sh') > 0 guard their NULL minhash slots collapsed every
+    band sig to the same empty string, so every short stream doc
+    band-matched every short corpus doc (round-4 ADVICE). Plant two
+    short docs (one on each side of the even/odd corpus split) plus one
+    true near-dup pair: the short docs must NOT appear in the screen
+    output, the real pair must."""
+    import pandas as pd
+
+    texts = [
+        "hi there",  # doc 0: even -> corpus side, 2 tokens
+        "yo",  # doc 1: odd -> stream-only, 1 token
+        "completely unrelated filler document alpha beta gamma",
+        "another unrelated filler document delta epsilon zeta",
+        "the quick brown fox jumps over the lazy dog tonight again",
+        "the quick brown fox jumps over the lazy dog tonight today",
+    ]
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["planted"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+
+    rows = registry.QUERIES["q_stream_neardup_screen"](spark, d).collect()
+    flagged = {r.doc_id: r.min_match_doc for r in rows}
+    assert 0 not in flagged and 1 not in flagged, (
+        "short (<k tokens) docs must be dropped before banding, got "
+        f"{flagged}"
+    )
+    # doc 5 (odd, stream side) near-dups doc 4 (even, in corpus)
+    assert flagged.get(5) == 4
