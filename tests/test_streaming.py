@@ -3,6 +3,8 @@ containment checks."""
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark import registry
@@ -263,3 +265,82 @@ def test_stream_neardup_screen_ignores_short_docs(spark, tmp_path):
     )
     # doc 5 (odd, stream side) near-dups doc 4 (even, in corpus)
     assert flagged.get(5) == 4
+
+
+def test_stream_dedup_state_is_bounded_by_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must EVICT key state once the
+    watermark passes event time + delay — the property plain
+    dropDuplicates lacks (it keeps every key forever when the event
+    time is not part of the key set; round-4 verdict E5). Drive four
+    files through one-file-per-microbatch availableNow: a duplicate
+    batch within the 2h delay dedupes, then a 10h time jump must evict
+    the early keys, so final state holds only the recent ones."""
+    import os
+
+    import pandas as pd
+
+    from geoparquet_python_spark.streaming.windows import (
+        dedup_events_within_watermark,
+    )
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    base = 1_700_000_000
+
+    def write(name, ids, ts, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": list(ids),
+                "ts": pd.Timestamp(ts),
+                "value": 1.0,
+            }
+        )
+        p = f"{d}/{name}"
+        pdf.to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: 10 fresh keys; batch 2: the SAME keys 30 min later
+    # (inside the 2 h bound -> dropped); batch 3: 10 new keys 10 h
+    # later (advances the watermark to 18:00, past the first keys'
+    # 12:00/12:30 expiry); batch 4: 5 new keys (processed with the
+    # advanced watermark -> eviction visible in state metrics).
+    write("f1.parquet", range(10), "2024-01-01 10:00:00", base)
+    write("f2.parquet", range(10), "2024-01-01 10:30:00", base + 10)
+    write("f3.parquet", range(10, 20), "2024-01-01 20:00:00", base + 20)
+    write("f4.parquet", range(20, 25), "2024-01-01 20:30:00", base + 30)
+
+    schema = spark.read.parquet(f"{d}/f1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+        # pandas writes TIMESTAMP_NTZ; watermarks need TIMESTAMP (the
+        # real events path goes through io.normalize_event_ts)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        dedup_events_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_state_bound")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.table("dedup_state_bound")
+    assert emitted.count() == 25  # 25 distinct keys, 10 dups dropped
+    assert emitted.select("event_id").distinct().count() == 25
+
+    state = [
+        p["stateOperators"][0]
+        for p in (json.loads(pp.json) for pp in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    totals = [s["numRowsTotal"] for s in state]
+    removed = sum(s.get("numRowsRemoved", 0) for s in state)
+    assert removed >= 10, f"no state eviction observed: {totals}"
+    # bounded: final state excludes the expired early keys (25 keys
+    # ever seen; unbounded dropDuplicates would hold all 25)
+    assert totals[-1] <= 15, f"state grew unboundedly: {totals}"
