@@ -68,3 +68,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def parquet_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Table row count from Parquet FOOTER metadata — zero Spark jobs.
+
+    Sizing decisions made before the main query (e.g. packing's
+    shard_count) used to spend a full ``df.count()`` job per query; at
+    100 TB a count-before-plan is an extra pass over the table. Parquet
+    footers already carry exact row counts, so read them driver-side
+    with pyarrow (single file or a directory of part files) and fall
+    back to ``count()`` only for non-Parquet inputs. tests/test_plans
+    asserts query *construction* launches no jobs."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(
+            frag.metadata.num_rows for frag in pq.ParquetDataset(path).fragments
+        )
+    except Exception:
+        return load_table(spark, sf_dir, name).count()

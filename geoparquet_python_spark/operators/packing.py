@@ -29,8 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from geoparquet_python_spark.io import load_table
-from geoparquet_python_spark.operators.sampling import hash_bucket, sql_hash_bucket
+from geoparquet_python_spark.io import load_table, parquet_row_count
+from geoparquet_python_spark.operators.sampling import (
+    hash_bucket_wide,
+    sql_hash_bucket_wide,
+)
 from geoparquet_python_spark.registry import query
 
 _CAPACITY = 512  # tokens per packed context window
@@ -39,10 +42,14 @@ _CAPACITY = 512  # tokens per packed context window
 # floored at _MIN_SHARDS. A fixed shard count would pin applyInPandas
 # parallelism (8 tasks doing ALL the packing at 100 TB); this formula
 # keeps each packing group ~_DOCS_PER_SHARD docs no matter the scale,
-# so parallelism grows linearly with input. The count() feeding it is
-# parquet-metadata-served (no data scan). The SAME formula is embedded
-# in each oracle as a scalar subquery over `documents`, so Spark and
-# DuckDB always agree on the shard domain at any sf.
+# so parallelism grows linearly with input. The doc count feeding it
+# comes from Parquet footer metadata on the driver (io.parquet_row_count
+# — zero Spark jobs; a count()-before-plan at 100 TB is an extra table
+# pass), and the shard bucket uses the 60-bit hash (hash_bucket_wide —
+# a 16-bit hash would cap effective parallelism at 65536 shards). The
+# SAME formula is embedded in each oracle as a scalar subquery over
+# `documents`, so Spark and DuckDB always agree on the shard domain at
+# any sf.
 _DOCS_PER_SHARD = 64
 _MIN_SHARDS = 4
 
@@ -99,7 +106,7 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle=f"""
     WITH RECURSIVE d0 AS (
       SELECT doc_id,
-             CAST({sql_hash_bucket("doc_id", _SQL_N_SHARDS)} AS BIGINT) AS shard,
+             CAST({sql_hash_bucket_wide("doc_id", _SQL_N_SHARDS)} AS BIGINT) AS shard,
              len(str_split(text, ' ')) AS n_tokens
       FROM documents
     ),
@@ -137,10 +144,10 @@ def q_token_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side has no such depth limit).
     """
     d = load_table(spark, sf_dir, "documents")
-    n_shards = shard_count(d.count())
+    n_shards = shard_count(parquet_row_count(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id",
-        hash_bucket(F.col("doc_id"), n_shards).cast("long").alias("shard"),
+        hash_bucket_wide(F.col("doc_id"), n_shards).cast("long").alias("shard"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
     packed = base.groupBy("shard").applyInPandas(_pack_group, _PACK_SCHEMA)
@@ -343,7 +350,7 @@ def _pack_curriculum_group(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle=f"""
     WITH RECURSIVE d0 AS (
       SELECT doc_id,
-             CAST({sql_hash_bucket("doc_id", _SQL_N_SHARDS)} AS BIGINT) AS shard,
+             CAST({sql_hash_bucket_wide("doc_id", _SQL_N_SHARDS)} AS BIGINT) AS shard,
              len(str_split(text, ' ')) AS n_tokens,
              {_SQL_PACK_QUALITY} AS quality
       FROM documents
@@ -387,10 +394,10 @@ def q_token_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (
         F.least(n_toks / F.lit(64.0), F.lit(1.0)) * 0.4 + ttr * 0.4
     ) + mwl / 8.0 * 0.2
-    n_shards = shard_count(d.count())
+    n_shards = shard_count(parquet_row_count(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id",
-        hash_bucket(F.col("doc_id"), n_shards).cast("long").alias("shard"),
+        hash_bucket_wide(F.col("doc_id"), n_shards).cast("long").alias("shard"),
         n_toks.cast("long").alias("n_tokens"),
         quality.alias("quality"),
     )
@@ -463,7 +470,7 @@ def _batch_group(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle=f"""
     WITH RECURSIVE d0 AS (
       SELECT doc_id,
-             CAST({sql_hash_bucket("doc_id", _SQL_N_SHARDS)} AS BIGINT) AS shard,
+             CAST({sql_hash_bucket_wide("doc_id", _SQL_N_SHARDS)} AS BIGINT) AS shard,
              len(str_split(text, ' ')) AS n_tokens
       FROM documents
     ),
@@ -511,10 +518,10 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard.
     """
     d = load_table(spark, sf_dir, "documents")
-    n_shards = shard_count(d.count())
+    n_shards = shard_count(parquet_row_count(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id",
-        hash_bucket(F.col("doc_id"), n_shards).cast("long").alias("shard"),
+        hash_bucket_wide(F.col("doc_id"), n_shards).cast("long").alias("shard"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
     return (

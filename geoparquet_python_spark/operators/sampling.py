@@ -25,7 +25,12 @@ from geoparquet_python_spark.registry import query
 def hash_bucket(col, buckets: int = 100):
     """Deterministic bucket in [0, buckets) from the md5 of a column's
     string form. 16 hex chars = 64 bits, but conv() returns signed —
-    use 4 hex chars (16 bits, unsigned-safe) like the SQL mirror."""
+    use 4 hex chars (16 bits, unsigned-safe) like the SQL mirror.
+
+    The 16-bit domain is for SMALL, fixed bucket counts (percent-style
+    splits, buckets ≤ ~1000, where the mod bias is ≤1.6%). For a
+    modulus that scales with data size — packing shards — use
+    hash_bucket_wide: 16 bits saturate at 65536 buckets."""
     return (
         F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
         .cast("int")
@@ -36,6 +41,29 @@ def hash_bucket(col, buckets: int = 100):
 def sql_hash_bucket(expr: str, buckets: int = 100) -> str:
     return (
         f"(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 4)) AS INT)"
+        f" % {buckets})"
+    )
+
+
+def hash_bucket_wide(col, buckets) -> "F.Column":
+    """Deterministic bucket in [0, buckets) from 60 bits of md5 —
+    the scale-proof variant for data-sized moduli (packing shards:
+    shard_count grows with the corpus, so a 16-bit hash would leave
+    every shard ≥ 65536 permanently empty and cap parallelism at ~4.2M
+    docs). 15 hex chars = 60 bits < 63, so the signed BIGINT conv is
+    non-negative and plain % stays in range; mod bias at 2^60 is
+    negligible for any realistic shard count. Mirrors md5_long
+    (functions/text.py) and sql_hash_bucket_wide exactly."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
+def sql_hash_bucket_wide(expr: str, buckets) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
         f" % {buckets})"
     )
 

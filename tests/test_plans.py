@@ -215,3 +215,38 @@ def test_ivf_broadcasts_probe_list(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "probe list not broadcast"
     assert "BroadcastNestedLoopJoin" not in plan, "IVF fell back to NL join"
     assert "SortMergeJoin" not in plan, "probe join shuffled the corpus"
+
+
+PACKING_QUERIES = [
+    "q_token_pack_nextfit",
+    "q_token_pack_curriculum",
+    "q_length_bucketed_batches",
+]
+
+
+@pytest.mark.parametrize("name", PACKING_QUERIES)
+def test_packing_construction_launches_no_jobs(spark, sf_dir, name):
+    """Shard sizing reads Parquet footer metadata on the driver
+    (io.parquet_row_count); building the query must not spend a Spark
+    job (the old shard_count(df.count()) cost one full-table count
+    BEFORE the main query — an extra pass at 100 TB)."""
+    sc = spark.sparkContext
+    group = f"construct_probe_{name}"
+    sc.setJobGroup(group, "query construction: schema read only")
+    try:
+        registry.QUERIES[name](spark, sf_dir)  # construction only
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # spark.read.parquet itself spends one schema-inference job; the
+    # old shard_count(df.count()) added a second (the full-table scan).
+    assert len(jobs) <= 1, f"{name} construction launched extra jobs: {jobs}"
+
+
+def test_parquet_row_count_matches_spark_count(spark, sf_dir):
+    from geoparquet_python_spark.io import load_table, parquet_row_count
+
+    for t in ("documents", "events"):
+        assert parquet_row_count(spark, sf_dir, t) == load_table(
+            spark, sf_dir, t
+        ).count()
