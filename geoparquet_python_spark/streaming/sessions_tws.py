@@ -42,7 +42,12 @@ from geoparquet_python_spark.streaming.source import (
     read_events_stream,
     run_to_memory_table,
 )
-from geoparquet_python_spark.streaming.sessions import _GAP_MIN, _OUT_SCHEMA
+from geoparquet_python_spark.streaming.sessions import (
+    _CLOSED_SESSION_ORACLE,
+    _GAP_MIN,
+    _OUT_SCHEMA,
+    _value_fp,
+)
 
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -60,7 +65,7 @@ class _GapSessionProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._open = handle.getValueState(
             "open_session",
-            "start_us LONG, last_us LONG, n LONG, sum_value DOUBLE",
+            "start_us LONG, last_us LONG, n LONG, sum_fp LONG",
         )
 
     def handleInputRows(
@@ -69,27 +74,31 @@ class _GapSessionProcessor(StatefulProcessor):
         rows: Iterator[pd.DataFrame],
         timerValues: Any,
     ) -> Iterator[pd.DataFrame]:
+        # Concatenate ALL Arrow chunks for the key and sort once —
+        # per-chunk sorting would mis-order events spanning chunk
+        # boundaries (round-4 ADVICE; mirrors _sessionize_group).
         gap_us = _GAP_MIN * 60 * 1_000_000
         if self._open.exists():
-            start_us, last_us, n, sum_value = self._open.get()
+            start_us, last_us, n, sum_fp = self._open.get()
         else:
-            start_us, last_us, n, sum_value = None, None, 0, 0.0
+            start_us, last_us, n, sum_fp = None, None, 0, 0
         user_id = key[0]
-        closed: list[tuple[int, int, int, int, float]] = []
-        for pdf in rows:
-            pdf = pdf.sort_values("ts")
+        closed: list[tuple[int, int, int, int, int]] = []
+        chunks = [pdf for pdf in rows]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 ts_us = int(pd.Timestamp(ts).value // 1000)
                 if last_us is not None and ts_us - last_us > gap_us:
-                    closed.append((user_id, start_us, last_us, n, sum_value))
+                    closed.append((user_id, start_us, last_us, n, sum_fp))
                     start_us, last_us = ts_us, ts_us
-                    n, sum_value = 1, float(value)
+                    n, sum_fp = 1, _value_fp(value)
                 else:
                     start_us = ts_us if start_us is None else start_us
                     last_us = ts_us
                     n += 1
-                    sum_value += float(value)
-        self._open.update((start_us, last_us, n, sum_value))
+                    sum_fp += _value_fp(value)
+        self._open.update((start_us, last_us, n, sum_fp))
         if closed:
             yield pd.DataFrame(
                 {
@@ -101,7 +110,7 @@ class _GapSessionProcessor(StatefulProcessor):
                         pd.Timestamp(c[2] + gap_us, unit="us") for c in closed
                     ],
                     "n_events": [c[3] for c in closed],
-                    "sum_value": [c[4] for c in closed],
+                    "sum_value": [c[4] / 1e6 for c in closed],
                 }
             )
 
@@ -111,7 +120,15 @@ class _GapSessionProcessor(StatefulProcessor):
 
 def tws_available() -> bool:
     """True iff the transformWithState Python state protocol can run
-    here (it imports google.protobuf in its driver worker)."""
+    here (it imports google.protobuf in its driver worker).
+
+    LIMITATION: this probes the DRIVER's Python only. transformWith-
+    StateInPandas also imports google.protobuf inside executor Python
+    workers, so on a cluster with heterogeneous executor environments
+    the probe can pass while the query fails at runtime. Exact for the
+    single-machine layout this targets (driver and executors share one
+    interpreter); on a real cluster, probe via a tiny spark job that
+    imports protobuf on each executor instead."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -120,14 +137,16 @@ def tws_available() -> bool:
         return False
 
 
-@query("q_stateful_sessionization_tws")
+@query("q_stateful_sessionization_tws", oracle=_CLOSED_SESSION_ORACLE)
 def q_stateful_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6, Spark 4.x API: transformWithStateInPandas gap sessionizer.
 
-    Rows-only check (open sessions at stream end remain in state by
-    design); tests/test_streaming.py asserts output equality with the
-    applyInPandasWithState form — same recurrence, two runtimes — and
-    drives _GapSessionProcessor.handleInputRows directly.
+    Oracle-exact like its sibling (the closed-session set — every
+    session but each user's open final one — is deterministic; see
+    sessions._CLOSED_SESSION_ORACLE). tests/test_streaming.py asserts
+    output equality with the applyInPandasWithState form — same
+    recurrence, two runtimes — and drives
+    _GapSessionProcessor.handleInputRows directly.
 
     On hosts without google.protobuf (this container — see module
     docstring) the query falls back to the applyInPandasWithState
