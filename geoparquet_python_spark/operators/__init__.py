@@ -17,6 +17,7 @@ import geoparquet_python_spark.operators.pipeline  # noqa: F401
 import geoparquet_python_spark.operators.pq  # noqa: F401
 import geoparquet_python_spark.operators.quality  # noqa: F401
 import geoparquet_python_spark.operators.relational  # noqa: F401
+import geoparquet_python_spark.operators.retrieval  # noqa: F401
 import geoparquet_python_spark.operators.sampling  # noqa: F401
 import geoparquet_python_spark.operators.scalars  # noqa: F401
 import geoparquet_python_spark.operators.similarity  # noqa: F401

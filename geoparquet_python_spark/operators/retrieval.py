@@ -1,0 +1,267 @@
+"""Corpus retrieval operators: BM25 top-k search and RAG chunking.
+
+The retrieval half of a training-data platform: BM25 is the standard
+lexical ranking function (Robertson/Spärck Jones probabilistic
+relevance framework, k1/b form as in Robertson & Zaragoza 2009), and
+overlapping fixed-window chunking is the preprocessing step every
+retrieval-augmented pipeline runs before embedding.
+
+No reference equivalent (the reference is a GeoParquet I/O shim; see
+SURVEY.md §0 provenance) — [N] north-star scope like sampling.py,
+textanalysis.py.
+
+Scale shape (100 TB lens):
+- The query set is tiny and the per-query term list tinier — all
+  query-side frames ride broadcast joins; the corpus is touched by ONE
+  tokenize pass and never shuffled on anything wider than the
+  query-restricted postings (term, doc) rows.
+- Document frequency / corpus stats are computed AFTER restricting the
+  postings to query vocabulary, so the heavy groupBy runs on
+  |docs containing a query term| rows, not |corpus vocabulary|.
+- Scoring uses the repo's fixed-point determinism treatment
+  (registry.py): each per-term BM25 contribution is rounded to 1e-6
+  and accumulated as int64, so the (query, doc) score is independent
+  of partition order and bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
+from geoparquet_python_spark.functions.text import tokens
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+_K1 = 1.2
+_B = 0.75
+_TOPK = 3
+_QUERY_PRED = "doc_id % 101 = 7"  # deterministic held-out query docs
+_QTERMS = 4  # first-N tokens of a query doc form its query
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, str_split(text, ' ') AS sp FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, len(sp) AS dl, unnest(sp) AS term FROM d
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, dl, term
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len(sp)) AS BIGINT) AS sum_dl
+      FROM d
+    ),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(sp[1:{_QTERMS}]) AS term
+      FROM d WHERE {_QUERY_PRED}
+    ),
+    postings AS (
+      SELECT t.doc_id, t.dl, t.term, t.tf
+      FROM tf t WHERE t.term IN (SELECT term FROM qt)
+    ),
+    docfreq AS (
+      SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+    ),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(round(
+               ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * ({_K1} + 1))
+               / (p.tf + {_K1} * (1 - {_B} + {_B} * p.dl
+                                  / (s.sum_dl * 1.0 / s.n_docs)))
+               * 1000000) AS BIGINT) AS c_fp
+      FROM postings p
+      JOIN qt q ON q.term = p.term AND q.query_id <> p.doc_id
+      CROSS JOIN stats s
+      JOIN docfreq f ON f.term = p.term
+    ),
+    scored AS (
+      SELECT query_id, doc_id, CAST(SUM(c_fp) AS BIGINT) AS score_fp
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score_fp DESC, doc_id
+             ) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, doc_id, score_fp,
+           score_fp / 1000000.0 AS score
+    FROM ranked WHERE rank <= {_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{k} retrieval: held-out docs (doc_id % 101 = 7) issue
+    their first 4 distinct tokens as queries against the whole corpus;
+    report each query's 3 best docs (self excluded).
+
+    Plan: one tokenize+explode pass builds (doc, term, tf, dl)
+    postings; the tiny query-term table broadcasts into the postings
+    to restrict them to query vocabulary BEFORE df/idf aggregation, so
+    every aggregate downstream of the corpus scan runs on
+    docs-matching-queries rows only. Corpus stats (N, Σdl) are a
+    one-row aggregate broadcast via crossJoin — no collect. Per-term
+    contributions round to 1e-6 fixed-point before the (query, doc)
+    sum (order-independent, oracle bit-exact); ranking orders on the
+    int64 score.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("sum_dl"),
+    )
+    qt = materialize(
+        d.where(F.expr(_QUERY_PRED))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, _QTERMS)).alias("term"),
+        )
+        .distinct()
+    )
+    # Restrict tokens to query vocabulary BEFORE the tf aggregate: the
+    # broadcast semi-filter runs map-side in the scan stage, so the
+    # only corpus-wide shuffle carries matching tokens, not the whole
+    # (doc, term) domain.
+    tok_q = (
+        d.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .join(broadcast_narrow(qt.select("term").distinct()), "term")
+    )
+    # One corpus pass feeds both docfreq and scoring — materialize so
+    # the scan is not re-executed per branch.
+    postings = materialize(
+        tok_q.groupBy("doc_id", "dl", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    )
+    docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        postings.join(
+            broadcast_narrow(qt),
+            (qt.term == postings.term) & (F.col("query_id") != F.col("doc_id")),
+        )
+        .drop(qt.term)
+        .join(broadcast_narrow(docfreq), "term")
+        .crossJoin(broadcast_narrow(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _K1
+                    * (
+                        1
+                        - _B
+                        + _B
+                        * F.col("dl")
+                        / (F.col("sum_dl") * F.lit(1.0) / F.col("n_docs"))
+                    )
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("c_fp"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_fp").cast("bigint").alias("score_fp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score_fp",
+            (F.col("score_fp") / F.lit(1e6)).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (8-token overlap)
+
+
+@query(
+    "q_doc_chunks_overlap",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, str_split(text, ' ') AS sp FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, sp, len(sp) AS n,
+             unnest(range(0, len(sp), {_CHUNK_S})) AS s
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(s / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(LEAST({_CHUNK_W}, n - s) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+             sp[s + 1 : s + LEAST({_CHUNK_W}, n - s)], ' '
+           )) AS chunk_md5
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: split every document into {W}-token windows
+    on a {S}-token stride (overlapping), with a content md5 per chunk
+    — the chunk table an embedding/index stage consumes, keyed so
+    downstream chunk-level dedup is a plain groupBy(chunk_md5).
+
+    Map-only: chunk starts come from sequence() + one explode, chunk
+    text from slice() — no shuffle until the presentation sort, so the
+    operator streams at scan speed at any corpus size. Deterministic
+    chunk ids (doc_id, chunk_idx) + content hash make re-runs
+    idempotent.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    starts = d.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_CHUNK_S)
+            )
+        ).alias("s"),
+    )
+    chunk_len = F.least(F.lit(_CHUNK_W), F.col("n") - F.col("s"))
+    return starts.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_S).cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        chunk_len.cast("bigint").alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("s") + 1, chunk_len))
+        ).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
