@@ -25,6 +25,7 @@ import geoparquet_python_spark.operators.sketches  # noqa: F401
 import geoparquet_python_spark.operators.skew  # noqa: F401
 import geoparquet_python_spark.operators.splits  # noqa: F401
 import geoparquet_python_spark.operators.textanalysis  # noqa: F401
+import geoparquet_python_spark.operators.timeseries  # noqa: F401
 import geoparquet_python_spark.operators.tpch_more  # noqa: F401
 import geoparquet_python_spark.operators.udtf_ops  # noqa: F401
 import geoparquet_python_spark.operators.windows  # noqa: F401

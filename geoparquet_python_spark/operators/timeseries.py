@@ -1,0 +1,206 @@
+"""Time-series regularization operators over the events stream table:
+gap-filled resampling with forward fill, and OHLC bucket rollup.
+
+The hypertable-style pair every metrics/feature pipeline needs: (1)
+resample an irregular event stream onto a regular grid, carrying the
+last observation forward through empty buckets (feature-store
+"as-of ffill"); (2) downsample to per-bucket open/high/low/close
+summaries (the canonical lossy rollup).
+
+No reference equivalent (SURVEY.md §0 provenance) — [N] north-star
+scope alongside the as-of join (operators/asof.py).
+
+Scale shape (100 TB lens):
+- Bucketing is a map-side date_trunc; the only shuffles are on the
+  (key, bucket) aggregate and the per-key window — the same hash
+  partitioning, so AQE coalesces them and the window reuses the agg's
+  exchange where sizes allow.
+- Grid generation is sequence()+explode off a per-key 2-row span
+  aggregate: grid size is (span / step) per key, never events × grid
+  (no cross join). Forward fill is one pass of last(ignorenulls) —
+  running state, not a self-join per gap.
+- "Last observation in bucket" uses a row_number tie-break on
+  (ts, event_id) — event_id is unique, so re-runs and repartitions
+  pick the same row (determinism contract, registry.py), and the
+  identical window is spelled in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+
+@query(
+    "q_events_gapfill_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+      FROM events
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC
+             ) AS rz
+      FROM e
+    ),
+    b AS (
+      SELECT user_id, h, COUNT(*) AS n_events,
+             MAX(CASE WHEN rz = 1 THEN value END) AS last_in_bucket
+      FROM rn GROUP BY user_id, h
+    ),
+    span AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket,
+             COALESCE(b.n_events, 0) AS n_events,
+             b.last_in_bucket
+      FROM grid g
+      LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.bucket
+    )
+    SELECT user_id,
+           CAST(bucket AS TIMESTAMP) AS bucket,
+           CAST(n_events AS BIGINT) AS n_events,
+           last_value(last_in_bucket IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM j
+    ORDER BY user_id, bucket
+    """,
+)
+def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto an hourly grid spanning
+    their first→last active hour; empty buckets get n_events = 0 and
+    the last observed value carried forward (LOCF).
+
+    The grid never leaves the user's own span, so output is
+    Σ_user (span_hours) rows; the first grid point always holds an
+    observation (the span starts at an event), so filled_value is
+    never NULL.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    rz = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = (
+        e.withColumn("rz", F.row_number().over(rz))
+        .groupBy("user_id", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rz") == 1, F.col("value"))).alias(
+                "last_in_bucket"
+            ),
+        )
+    )
+    grid = (
+        e.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    j = grid.join(
+        b.withColumnRenamed("h", "bucket"), ["user_id", "bucket"], "left"
+    )
+    ffill = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        j.select(
+            "user_id",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("last_in_bucket", ignorenulls=True)
+            .over(ffill)
+            .alias("filled_value"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
+@query(
+    "q_events_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+      FROM events
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY event_type, h ORDER BY ts, event_id
+             ) AS ra,
+             row_number() OVER (
+               PARTITION BY event_type, h ORDER BY ts DESC, event_id DESC
+             ) AS rz
+      FROM e
+    )
+    SELECT event_type,
+           CAST(h AS TIMESTAMP) AS bucket,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rz = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM rn
+    GROUP BY event_type, h
+    ORDER BY event_type, bucket
+    """,
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC rollup per event type: open/close pick the first/
+    last event by the deterministic (ts, event_id) order, high/low are
+    plain min/max, and the volume sum goes through the DECIMAL(38,6)
+    exactness contract.
+
+    One window + one aggregate over the same (event_type, hour) hash
+    partitioning — the exchange is shared, so the rollup costs a
+    single shuffle of the events table at any scale.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wkey = Window.partitionBy("event_type", "h")
+    ra = wkey.orderBy(F.col("ts"), F.col("event_id"))
+    rz = wkey.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("ra", F.row_number().over(ra))
+        .withColumn("rz", F.row_number().over(rz))
+        .groupBy("event_type", F.col("h").alias("bucket"))
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rz") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
