@@ -2,6 +2,7 @@
 query in the central registry (geoparquet_python_spark.registry)."""
 
 import geoparquet_python_spark.operators.aggregation  # noqa: F401
+import geoparquet_python_spark.operators.analytics  # noqa: F401
 import geoparquet_python_spark.operators.asof  # noqa: F401
 import geoparquet_python_spark.operators.contamination  # noqa: F401
 import geoparquet_python_spark.operators.crosscorpus  # noqa: F401

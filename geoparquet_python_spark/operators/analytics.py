@@ -1,0 +1,165 @@
+"""Product-analytics operators over the events stream table:
+equi-width histogram and weekly cohort retention.
+
+The two reporting shapes every event warehouse serves constantly; both
+are pure two-level aggregations, so they exist here mainly to certify
+the *composition* (scalar-stat broadcast → map-side bucketing →
+re-aggregate) at oracle exactness.
+
+No reference equivalent (SURVEY.md §0 provenance) — [N] north-star
+scope.
+
+Scale shape (100 TB lens):
+- The histogram's min/max are a one-row aggregate broadcast back via
+  crossJoin (no collect, no driver loop); bucketing is then map-side
+  arithmetic and the final aggregate has 20 groups — partial
+  aggregation collapses it to nearly nothing before the shuffle.
+- Cohort retention shuffles on user_id twice (first-touch aggregate,
+  activity dedup) and both joins are user-keyed, so the exchanges
+  line up; the (cohort, offset) result domain is weeks × weeks —
+  tiny at any corpus size.
+- Floats: bucket arithmetic uses only IEEE-exact ops (- / floor) on
+  doubles, applied identically in the oracle; retention_rate is an
+  exact int/int division. Nothing is rounded, nothing accumulates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.exact import broadcast_narrow
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+_N_BINS = 20
+
+
+@query(
+    "q_value_histogram",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    binned AS (
+      SELECT LEAST(
+               CAST(FLOOR((value - s.lo) / ((s.hi - s.lo) / {_N_BINS}))
+                 AS BIGINT),
+               {_N_BINS - 1}
+             ) AS bin,
+             value
+      FROM events CROSS JOIN stats s
+    )
+    SELECT b.bin,
+           s.lo + b.bin * ((s.hi - s.lo) / {_N_BINS}) AS bin_lo,
+           s.lo + (b.bin + 1) * ((s.hi - s.lo) / {_N_BINS}) AS bin_hi,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(b.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM binned b CROSS JOIN stats s
+    GROUP BY b.bin, s.lo, s.hi
+    ORDER BY b.bin
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width {N}-bin histogram of events.value: global min/max
+    from a one-row broadcast aggregate, map-side bucketing, 20-group
+    re-aggregate. The max value folds into the last bin (LEAST cap),
+    bin edges are reported from the same IEEE-exact arithmetic the
+    oracle runs.
+    """
+    e = load_table(spark, sf_dir, "events").select("value")
+    stats = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _N_BINS
+    binned = e.crossJoin(broadcast_narrow(stats)).select(
+        "value",
+        "lo",
+        "hi",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+            F.lit(_N_BINS - 1),
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "bin",
+            (F.col("lo") + F.col("bin") * width).alias("bin_lo"),
+            (F.col("lo") + (F.col("bin") + 1) * width).alias("bin_hi"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "q_user_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(w) AS c FROM act GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT c, COUNT(*) AS cohort_size FROM cohort GROUP BY c
+    ),
+    ret AS (
+      SELECT co.c, CAST(date_diff('day', co.c, a.w) / 7 AS BIGINT) AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM act a JOIN cohort co ON co.user_id = a.user_id
+      GROUP BY co.c, week_offset
+    )
+    SELECT CAST(r.c AS TIMESTAMP) AS cohort_week,
+           r.week_offset,
+           r.n_active,
+           s.cohort_size,
+           r.n_active * 1.0 / s.cohort_size AS retention_rate
+    FROM ret r JOIN sizes s ON s.c = r.c
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by their
+    first-active ISO week; each later active week counts toward that
+    cohort's week-offset retention, reported as an exact n/size rate.
+
+    Both joins are user-keyed (activity ⋈ cohort) or week-keyed
+    (result ⋈ sizes, a weeks-sized frame), so the heavy exchanges all
+    hash on user_id and line up; the result domain is weeks², constant
+    in corpus size.
+    """
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("w").alias("c"))
+    sizes = cohort.groupBy("c").agg(F.count(F.lit(1)).alias("cohort_size"))
+    ret = (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "c",
+            (F.datediff("w", "c") / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(broadcast_narrow(sizes), "c")
+        .select(
+            F.col("c").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") * F.lit(1.0) / F.col("cohort_size")).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

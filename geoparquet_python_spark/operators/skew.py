@@ -108,3 +108,84 @@ def q_salted_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "q_join_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, COUNT(*) AS n_rows
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+             COUNT(*) AS n_keys,
+             MAX(n_rows) AS max_rows
+      FROM per_key
+    ),
+    ranked AS (
+      SELECT key, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rank
+      FROM per_key
+    )
+    SELECT r.rank, r.key, r.n_rows,
+           r.n_rows * 1.0 / t.total_rows AS pct_of_total,
+           r.n_rows / (t.total_rows * 1.0 / t.n_keys) AS skew_ratio,
+           t.total_rows, t.n_keys, t.max_rows
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rank <= 10
+    ORDER BY r.rank
+    """,
+)
+def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic you run BEFORE choosing a skew remedy: per-key
+    row counts for a join key (orders.o_custkey), the 10 heaviest keys
+    with their share of the table and their ratio to the mean key, and
+    the global key-distribution stats alongside. skew_ratio >> 1 on
+    the top key says salt or AQE-split; ~1 says the plain hash join is
+    already balanced.
+
+    One groupBy on the key, a one-row stats aggregate broadcast back,
+    and a DISTRIBUTED top-10 (orderBy().limit() plans
+    TakeOrderedAndProject: per-partition heaps merged on the driver —
+    never a global single-partition window over billions of keys);
+    ranks are assigned on the 10 surviving rows only.
+    """
+    from pyspark.sql import Window
+
+    from geoparquet_python_spark.functions.exact import broadcast_narrow
+
+    per_key = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = per_key.agg(
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    top = per_key.orderBy(F.col("n_rows").desc(), F.col("key")).limit(10)
+    # row_number over exactly 10 rows — the single-partition window is
+    # bounded by the limit, not the key domain
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(broadcast_narrow(tot))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            (F.col("n_rows") * F.lit(1.0) / F.col("total_rows")).alias(
+                "pct_of_total"
+            ),
+            (
+                F.col("n_rows")
+                / (F.col("total_rows") * F.lit(1.0) / F.col("n_keys"))
+            ).alias("skew_ratio"),
+            "total_rows",
+            "n_keys",
+            "max_rows",
+        )
+        .orderBy("rank")
+    )
