@@ -11,6 +11,7 @@ import geoparquet_python_spark.operators.geoio  # noqa: F401
 import geoparquet_python_spark.operators.geospatial  # noqa: F401
 import geoparquet_python_spark.operators.jsonio  # noqa: F401
 import geoparquet_python_spark.operators.kmeans  # noqa: F401
+import geoparquet_python_spark.operators.mmr  # noqa: F401
 import geoparquet_python_spark.operators.multimodal  # noqa: F401
 import geoparquet_python_spark.operators.packing  # noqa: F401
 import geoparquet_python_spark.operators.passages  # noqa: F401

@@ -71,3 +71,38 @@ def test_chunks_tile_documents(spark, sf_dir):
             assert r.start_tok <= covered_to  # no gap
             covered_to = max(covered_to, r.start_tok + r.n_chunk_tokens)
         assert covered_to == n, f"doc {doc_id} not fully covered"
+
+
+def test_mmr_prefers_diverse_over_nearest_duplicate(spark, tmp_path):
+    """Plant one label where the two most relevant candidates are
+    exact clones: plain top-2 would return both, but MMR's λ·max-sim
+    penalty must demote the clone below a less-relevant-but-diverse
+    vector. Geometry (e0/e1 plane): seed=(1,0); v1=v2=(0.9,0.436)
+    (rel 0.9, mutual cos 1 ⇒ clone score 0.4); v3=(0.6,-0.8)
+    (rel 0.6, cos to v1 ≈ 0.19 ⇒ score ≈ 0.504 > 0.4)."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = {
+        0: [1.0, 0.0],  # seed (min vec_id)
+        1: [0.9, 0.43589],
+        2: [0.9, 0.43589],  # exact clone of 1
+        3: [0.6, -0.8],
+    }
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [np.array(v + [0.0, 0.0], dtype="float32") for v in vecs.values()],
+            "label": np.zeros(len(vecs), dtype="int32"),
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+
+    rows = registry.QUERIES["q_mmr_diverse_topk"](spark, d).collect()
+    order = [(r.rank, r.vec_id) for r in rows]
+    assert order == [(1, 1), (2, 3), (3, 2)], order
+    by_rank = {r.rank: r for r in rows}
+    assert abs(by_rank[1].score - 0.9) < 1e-6
+    assert by_rank[2].score > by_rank[3].score
+    # the clone's selection-time score carries the full λ penalty
+    assert abs(by_rank[3].score - 0.4) < 1e-6
