@@ -60,6 +60,10 @@ HEADLINE = [
     # Round-4: composition showcase — near-dup components feeding a
     # cluster-keyed (leakage-safe) split decision.
     "q_leakage_safe_split",
+    # Round-5: retrieval + time-series regularization.
+    "q_bm25_topk",
+    "q_events_gapfill_hourly",
+    "q_events_ohlc_hourly",
 ]
 
 

@@ -204,3 +204,78 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "q_stream_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+      FROM events
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY event_type, h ORDER BY ts, event_id
+             ) AS ra,
+             row_number() OVER (
+               PARTITION BY event_type, h ORDER BY ts DESC, event_id DESC
+             ) AS rz
+      FROM e
+    )
+    SELECT event_type,
+           CAST(h AS TIMESTAMP) AS bucket,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rz = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM rn
+    GROUP BY event_type, h
+    ORDER BY event_type, bucket
+    """,
+)
+def q_stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLC rollup lifted to Structured Streaming: row_number is
+    not available inside a streaming aggregate, so open/close use
+    min_by/max_by ordered on struct(ts, event_id) — the SAME
+    deterministic total order the batch form and the oracle spell with
+    row_number, expressed as a mergeable aggregate the state store can
+    maintain incrementally per micro-batch. Watermark + tumbling
+    window bound state; availableNow drains prove batch≡stream, which
+    is exactly what sharing the batch query's oracle certifies.
+    """
+    from geoparquet_python_spark.streaming.source import (
+        read_events_stream,
+        run_to_memory_table,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    ordk = F.struct("ts", "event_id")
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = run_to_memory_table(agg, output_mode="complete")
+    return spark.table(name).orderBy("event_type", "bucket")
