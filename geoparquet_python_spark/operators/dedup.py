@@ -1260,3 +1260,97 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lsh_pairs") * F.lit(1.0) / F.col("n_true_pairs")
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# F2a': exact Jaccard via PREFIX FILTERING (AllPairs/PPJoin family)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_jaccard_prefix_filter_pairs",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_JACCARD_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.3 pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07) — LOSSLESS, so the
+    oracle is identical to q_ngram_jaccard_pairs' brute inverted-index
+    SQL and tests assert set equality between the two operators.
+
+    Principle: order every doc's shingle set by global rarity
+    (df asc, shingle asc); if J(A,B) ≥ t, the first
+    |A| − ⌈t·|A|⌉ + 1 elements of A must share a shingle with the
+    first |B| − ⌈t·|B|⌉ + 1 of B. So the candidate join runs on each
+    doc's RAREST ~70% only: boilerplate stop-shingles (the df² hot
+    buckets that blow up the plain inverted index at corpus scale)
+    sit in the suffixes and never generate candidates — pruned
+    losslessly, where the stop_shingle_df cap trades recall. A length
+    filter (t·|A| ≤ |B| ≤ |A|/t, integer arithmetic) prunes
+    cross-size pairs before the refine; the exact array_intersect
+    refine then scores survivors from FULL sets.
+
+    ⌈0.3·n⌉ is computed as integer floor((3n+9)/10) — double 0.3·n
+    rounds up spuriously (10·0.3 → 3.0000000000000004), which would
+    shorten prefixes and silently break the lossless guarantee.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = spread(
+        d.select("doc_id", tokens("text").alias("toks"))
+    ).select("doc_id", shingles("toks", k=3).alias("shset"))
+    docs = materialize(docs)
+    sh = docs.select("doc_id", F.explode("shset").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+
+    wdoc = Window.partitionBy("doc_id")
+    worder = wdoc.orderBy(F.col("df"), F.col("s"))
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        .withColumn("rn", F.row_number().over(worder))
+    )
+    # prefix length = sz - ceil(0.3*sz) + 1, in exact integer math
+    plen = F.col("sz") - F.floor((3 * F.col("sz") + 9) / 10) + 1
+    prefix = ranked.where(F.col("rn") <= plen).select("doc_id", "s", "sz")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: t|A| <= |B| and t|B| <= |A| (else J < t)
+            & (10 * F.col("b.sz") >= 3 * F.col("a.sz"))
+            & (10 * F.col("a.sz") >= 3 * F.col("b.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a"))
+    sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"))
+    inter_sz = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter_sz * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - inter_sz)
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -456,3 +456,48 @@ def test_simhash_wide_blocked_equals_brute(spark, sf_dir, sf_dir_small):
         assert blocked == brute, (
             f"{d}: blocked {len(blocked)} pairs != brute {len(brute)}"
         )
+
+
+def test_prefix_filter_jaccard_equals_inverted_index(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: the AllPairs-style operator must
+    produce exactly the brute inverted-index pair set with identical
+    scores."""
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry.QUERIES["q_ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry.QUERIES["q_jaccard_prefix_filter_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert pf == brute
+
+
+def test_prefix_filter_jaccard_survives_boilerplate(spark, tmp_path):
+    """The corpus-wide boilerplate shingle sits in every doc's SUFFIX
+    (highest df), so it never generates candidates — yet the true
+    near-dup pair must still surface with its exact uncapped score,
+    without any recall-trading df cap."""
+    boiler = "terms of service apply"
+    texts = [
+        f"{boiler} unrelated body {i} alpha{i} beta{i} gamma{i} delta{i}"
+        for i in range(40)
+    ]
+    texts.append(f"{boiler} the quick brown fox jumps over the lazy dog tonight")
+    texts.append(f"{boiler} the quick brown fox jumps over the lazy dog today")
+    sf = _write_planted_docs(tmp_path, texts)
+
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry.QUERIES["q_ngram_jaccard_pairs"](spark, sf).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry.QUERIES["q_jaccard_prefix_filter_pairs"](
+            spark, sf
+        ).collect()
+    }
+    assert (40, 41) in pf
+    assert pf == brute

@@ -47,7 +47,11 @@ def _headline_names():
 # aggregate (attach-a-scalar pattern: corpus size for IDF) also plans
 # as BroadcastNestedLoopJoin, but is O(n·1) — not an all-pairs shape.
 # Budget such sites explicitly so any NEW nested loop still fails.
-ONE_ROW_BNLJ_BUDGET = {"q_tfidf_top_terms": 1}
+ONE_ROW_BNLJ_BUDGET = {
+    "q_tfidf_top_terms": 1,
+    # corpus stats (N, Σdl) for BM25 — one-row aggregate crossJoin
+    "q_bm25_topk": 1,
+}
 
 
 @pytest.mark.parametrize("name", _headline_names())
