@@ -158,6 +158,24 @@ def st_envelope(g: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
+@pandas_udf(BooleanType())
+def st_envelope_intersects(
+    g: pd.Series, x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+) -> pd.Series:
+    """ST_EnvelopeIntersects(geom, x0, y0, x1, y1): does the geometry's
+    envelope overlap the window? The exact per-row refine behind the
+    SQL-string pushdown rewrite (geo/sqlrewrite.py) — same predicate
+    spatial_window_filter applies through the DataFrame API."""
+    out = []
+    for v, a, b, c, d in zip(g, x0, y0, x1, y1):
+        if v is None:
+            out.append(None)
+            continue
+        xmin, ymin, xmax, ymax = wkb.bbox(wkb.decode(v))
+        out.append(bool(xmin <= c and xmax >= a and ymin <= d and ymax >= b))
+    return pd.Series(out, dtype="object")
+
+
 @pandas_udf(DoubleType())
 def st_area(g: pd.Series) -> pd.Series:
     return pd.Series(
@@ -299,6 +317,7 @@ _UDFS = {
     "ST_ContainsPoint": st_contains_point,
     "ST_Buffer": st_buffer,
     "ST_Simplify": st_simplify,
+    "ST_EnvelopeIntersects": st_envelope_intersects,
 }
 
 

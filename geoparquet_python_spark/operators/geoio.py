@@ -87,3 +87,60 @@ def q_geoparquet_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q_geo_sql_pushdown_window",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_custkey, c_nationkey,
+             {_LON_SQL} AS x, {_LAT_SQL} AS y
+      FROM customer
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           MIN(x) AS min_x, MAX(x) AS max_x
+    FROM g
+    WHERE x <= {_X1} AND x >= {_X0} AND y <= {_Y1} AND y >= {_Y0}
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_geo_sql_pushdown_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §4.3 SQL-STRING pushdown path: the same windowed extent
+    query phrased as a plain SQL string with an ST_EnvelopeIntersects
+    predicate, run through geo_sql() — the rewriter conjoins sargable
+    bbox.{{xmin..ymax}} comparisons to the UDF atom, so the Parquet
+    scan prunes row groups exactly as the DataFrame API's
+    spatial_window_filter does (tests/test_geoparquet_io.py asserts
+    PushedFilters and rewrite soundness under OR/NOT)."""
+    from geoparquet_python_spark.geo.sqlrewrite import geo_sql
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"gpq_sqlpush_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") * 7919 % 3600) / 10.0 - 180.0
+    lat = (F.col("c_custkey") * 4409 % 1700) / 10.0 - 85.0
+    pts = cust.select(
+        "c_custkey", "c_nationkey", st_point(lon, lat).alias("geometry")
+    )
+    gio.write_geoparquet(pts, out, "geometry", crs="OGC:CRS84")
+
+    gio.read_geoparquet(spark, out).createOrReplaceTempView("geo_pts")
+    return geo_sql(
+        spark,
+        f"""
+        SELECT c_nationkey,
+               COUNT(*) AS n,
+               MIN(ST_X(geometry)) AS min_x,
+               MAX(ST_X(geometry)) AS max_x
+        FROM geo_pts
+        WHERE ST_EnvelopeIntersects(geometry, {_X0}, {_Y0}, {_X1}, {_Y1})
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """,
+    )

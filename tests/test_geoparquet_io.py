@@ -264,3 +264,53 @@ def test_root_level_reference_parity_api(spark, tmp_path):
     back = gpq.read_geoparquet(spark, path)
     assert back.count() == 7
     assert "geometry" in back.columns
+
+
+def test_sql_rewrite_injects_sargable_conjuncts():
+    """Text-level: every ST_EnvelopeIntersects atom gains covering-box
+    conjuncts, in ANY boolean context (atom-local implied-conjunct
+    rewrites are equivalences), and non-matching atoms are untouched."""
+    from geoparquet_python_spark.geo.sqlrewrite import rewrite_spatial_sql
+
+    sql = (
+        "SELECT * FROM t WHERE NOT (ST_EnvelopeIntersects(g, -1, -2.5, 3e1, 4)"
+        " OR flag) AND ST_EnvelopeIntersects(g, 0, 0, 1, 1)"
+    )
+    out = rewrite_spatial_sql(sql)
+    assert out.count("bbox.xmin <=") == 2
+    # atom preserved inside the conjunction (stays as the exact refine)
+    assert out.count("ST_EnvelopeIntersects(g, -1, -2.5, 3e1, 4)") == 1
+    assert "(bbox.xmin <= 3e1 AND bbox.xmax >= -1" in out
+    # column-bound windows are not literal-matchable: left untouched
+    dyn = "SELECT * FROM t WHERE ST_EnvelopeIntersects(g, a, 0, 1, 1)"
+    assert rewrite_spatial_sql(dyn) == dyn
+
+
+def test_sql_pushdown_query_prunes_and_matches_unrewritten(spark, sf_dir):
+    """The registered SQL-string query must (a) push the injected bbox
+    conjuncts into the Parquet scan, (b) return exactly what the same
+    SQL returns WITHOUT the rewrite (soundness end-to-end)."""
+    from geoparquet_python_spark import registry
+    from geoparquet_python_spark.geo.functions import register_sql
+    from geoparquet_python_spark.testing import canonicalize
+
+    registry.load_all()
+    df = registry.QUERIES["q_geo_sql_pushdown_window"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(bbox.xmin)" in plan, (
+        "bbox conjuncts did not reach the Parquet scan"
+    )
+
+    # same statement, no rewrite (UDF-only filter; geo_pts view was
+    # registered by the query above)
+    register_sql(spark)
+    raw = spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS n,
+               MIN(ST_X(geometry)) AS min_x, MAX(ST_X(geometry)) AS max_x
+        FROM geo_pts
+        WHERE ST_EnvelopeIntersects(geometry, -90.0, -40.0, 60.0, 55.0)
+        GROUP BY c_nationkey ORDER BY c_nationkey
+        """
+    )
+    assert canonicalize(df.toPandas()).equals(canonicalize(raw.toPandas()))
