@@ -21,6 +21,11 @@ CASES = [
     "q_minhash_lsh_neardup",  # banded LSH + refine
     "q_token_entropy",  # fixed-point ln accumulation
     "q_hash_split_stats",  # content-addressed membership
+    # round-5 operators with float scoring / tie-breaks
+    "q_bm25_topk",  # fixed-point BM25 contributions + int64 rank order
+    "q_mmr_diverse_topk",  # greedy argmax with (score, vec_id) tie-break
+    "q_events_gapfill_hourly",  # (ts, event_id) bucket-last + LOCF window
+    "q_jaccard_prefix_filter_pairs",  # rarity-ordered prefixes, exact refine
 ]
 
 
