@@ -163,3 +163,65 @@ def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_CUTOVER = "2024-01-21"
+
+
+@query(
+    "q_incremental_rollup_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-aggregation contract: a PRE-COMPUTED historical
+    rollup (events before the cutover day, aggregated and materialized
+    — standing in for yesterday's stored rollup table) merged with a
+    freshly-aggregated delta must equal a full recompute bit-for-bit.
+    That equality is exactly what the oracle checks (it recomputes from
+    scratch), and it holds because the partials carry DECIMAL(38,6)
+    sums and int64 counts — associative, so partial-merge order cannot
+    matter. This is the 100 TB shape: the daily job aggregates ONLY
+    the delta and merges rollup-sized frames; the full-history scan
+    happens never.
+    """
+    from geoparquet_python_spark.functions.exact import materialize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "value",
+    )
+    cut = F.lit(_CUTOVER).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        # keep the MERGEABLE forms: count + decimal sum (not avg/double)
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_dec"),
+        )
+
+    historical = materialize(partial(e.where(F.col("ts") < cut)))
+    delta = partial(e.where(F.col("ts") >= cut))
+    merged = (
+        historical.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    ).orderBy("event_type", "day")
