@@ -144,3 +144,68 @@ def q_geo_sql_pushdown_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_nationkey
         """,
     )
+
+
+_CELL_DEG = 30  # hive-partition cell width (degrees of longitude)
+
+
+@query(
+    "q_geo_partitioned_scan",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_custkey, c_nationkey,
+             {_LON_SQL} AS x, {_LAT_SQL} AS y,
+             CAST(FLOOR({_LON_SQL} / {_CELL_DEG}) AS BIGINT) AS cell_x
+      FROM customer
+    )
+    SELECT cell_x,
+           COUNT(*) AS n,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM g
+    WHERE cell_x BETWEEN -3 AND 0
+    GROUP BY cell_x
+    ORDER BY cell_x
+    """,
+)
+def q_geo_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatially PARTITIONED lake layout: points written hive-
+    partitioned by a 30°-longitude cell id, then scanned with a cell
+    filter. Unlike the covering-column query (row-group PushedFilters),
+    this prunes at the DIRECTORY level — PartitionFilters in the plan,
+    asserted by tests/test_geoparquet_io.py — so a 100 TB lake query
+    touching 4 of 12 cells never lists, opens, or reads the other 8.
+    The two levers compose: partition pruning skips files, the bbox
+    covering column then prunes row groups inside survivors.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"gpq_cells_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") * 7919 % 3600) / 10.0 - 180.0
+    lat = (F.col("c_custkey") * 4409 % 1700) / 10.0 - 85.0
+    pts = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        lon.alias("x"),
+        lat.alias("y"),
+        F.floor(lon / _CELL_DEG).cast("bigint").alias("cell_x"),
+        st_point(lon, lat).alias("geometry"),
+    )
+    pts.write.mode("overwrite").partitionBy("cell_x").parquet(out)
+
+    back = spark.read.parquet(out).where(F.col("cell_x").between(-3, 0))
+    return (
+        back.groupBy("cell_x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("cell_x")
+    )

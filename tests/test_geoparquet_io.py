@@ -314,3 +314,17 @@ def test_sql_pushdown_query_prunes_and_matches_unrewritten(spark, sf_dir):
         """
     )
     assert canonicalize(df.toPandas()).equals(canonicalize(raw.toPandas()))
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The hive-partitioned layout must prune at the directory level:
+    the cell filter appears in PartitionFilters (files for other cells
+    are never listed into the scan), distinct from the covering
+    column's row-group PushedFilters."""
+    from geoparquet_python_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q_geo_partitioned_scan"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell_x" in plan
+    assert "(cell_x" in plan.split("PartitionFilters:")[1][:120]
