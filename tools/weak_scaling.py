@@ -40,10 +40,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def build_corpus(spark, out_dir: str) -> None:
-    """COPIES replicas of documents; copy i>0 prefixes every token with
-    c{i}_ (disjoint vocabularies => no cross-copy near-dups) and offsets
-    doc_id by i*10^7. Other tables are symlinked unchanged — queries
-    under test only touch documents."""
+    """COPIES replicas of documents AND events; copy i>0 prefixes every
+    document token with c{i}_ (disjoint vocabularies => no cross-copy
+    near-dups) and offsets doc_id by i*10^7; event copies get fresh
+    user_id/event_id key spaces (same time range — weak-scaling a
+    time-series table grows the KEY population, the realistic axis:
+    more users, not a longer history). Other tables are symlinked."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     parts = []
     for i in range(COPIES):
@@ -64,8 +66,20 @@ def build_corpus(spark, out_dir: str) -> None:
     for p in parts[1:]:
         big = big.unionByName(p)
     big.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    eparts = [
+        events.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+        .withColumn("event_id", F.col("event_id") + F.lit(i * 1_000_000_000))
+        for i in range(COPIES)
+    ]
+    ebig = eparts[0]
+    for p in eparts[1:]:
+        ebig = ebig.unionByName(p)
+    ebig.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
     for name in os.listdir(SF_DIR):
-        if name != "documents.parquet":
+        if name not in ("documents.parquet", "events.parquet"):
             os.symlink(f"{SF_DIR}/{name}", f"{out_dir}/{name}")
 
 
