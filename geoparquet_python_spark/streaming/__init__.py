@@ -1,5 +1,6 @@
 """Structured Streaming operators (SURVEY.md §2.E)."""
 
+import geoparquet_python_spark.streaming.anomaly  # noqa: F401
 import geoparquet_python_spark.streaming.neardup  # noqa: F401
 import geoparquet_python_spark.streaming.sessions  # noqa: F401
 import geoparquet_python_spark.streaming.sessions_tws  # noqa: F401

@@ -344,3 +344,72 @@ def test_stream_dedup_state_is_bounded_by_watermark(spark, tmp_path):
     # bounded: final state excludes the expired early keys (25 keys
     # ever seen; unbounded dropDuplicates would hold all 25)
     assert totals[-1] <= 15, f"state grew unboundedly: {totals}"
+
+
+def test_stream_anomaly_state_carries_across_microbatches(spark, tmp_path):
+    """The per-user moments must persist in state between microbatches:
+    batch 1 builds a flat 12-event history, batch 2's outlier is then
+    flagged against it (n_prior = 12) while a normal value is not."""
+    import os
+
+    import pandas as pd
+
+    from geoparquet_python_spark.streaming.anomaly import _detect_group  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    base = 1_700_000_000
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value"])
+        # write µs (not pandas-default ns) timestamps: the state
+        # serializer's arrow round trip rejects ns-precision input
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        p = f"{d}/{name}"
+        pdf.to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    hist = [
+        (1, f"2024-01-01 10:{i:02d}:00", i, 10.0 + (i % 2) * 0.5)
+        for i in range(12)
+    ]
+    write("f1.parquet", hist, base)
+    write(
+        "f2.parquet",
+        [
+            (1, "2024-01-01 11:00:00", 100, 100.0),  # outlier vs history
+            (1, "2024-01-01 11:01:00", 101, 10.0),  # normal
+        ],
+        base + 10,
+    )
+
+    schema = spark.read.parquet(f"{d}/f1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    from geoparquet_python_spark.streaming import anomaly
+
+    q = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            anomaly._detect_group,
+            outputStructType=anomaly._OUT_SCHEMA,
+            stateStructType=anomaly._STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("anomaly_state_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("anomaly_state_test").collect()
+    assert [(r.event_id, r.n_prior) for r in rows] == [(100, 12)]
