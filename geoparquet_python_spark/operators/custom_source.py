@@ -1,0 +1,76 @@
+"""Query over the Spark-4 Python Data Source (sources/synthetic.py):
+proves the custom-source escape hatch end-to-end with a byte-exact
+oracle — the DuckDB side REGENERATES the same content-addressed corpus
+in SQL and must match a per-group 60-bit text checksum, so any
+divergence in the source (schema, option handling, partition
+boundaries, generation logic) hash-fails."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.text import md5_long
+from geoparquet_python_spark.registry import query
+from geoparquet_python_spark.session import prepare
+from geoparquet_python_spark.sources.synthetic import register
+
+_ROWS = 1000
+_PARTS = 8
+
+
+@query(
+    "q_pyds_synthetic_scan",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(generate_series(0, {_ROWS - 1})) AS doc_id),
+    toks AS (
+      SELECT ids.doc_id, j.j,
+             substr(md5(ids.doc_id || ':' || j.j), 1, 6) AS tok
+      FROM ids, LATERAL (
+        SELECT unnest(generate_series(0, 2 + ids.doc_id % 5)) AS j
+      ) j
+    ),
+    texts AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text
+      FROM toks GROUP BY doc_id
+    )
+    SELECT CAST(3 + doc_id % 5 AS INT) AS n_tokens,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS text_checksum
+    FROM texts
+    GROUP BY 1
+    ORDER BY n_tokens
+    """,
+)
+def q_pyds_synthetic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read {ROWS} content-addressed docs through the registered
+    ``synthetic_docs`` Python data source ({PARTS} InputPartitions —
+    a genuinely parallel scan), then aggregate per token-count bucket
+    with a summed md5 checksum (60-bit hash mod 1e9+7 per doc — the
+    sum of ≤250 such terms stays far inside int64) over every text
+    byte. sf_dir is
+    unused: the source generates; the oracle regenerates in SQL.
+    """
+    prepare(spark)
+    register(spark)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("rows", _ROWS)
+        .option("partitions", _PARTS)
+        .load()
+    )
+    return (
+        docs.groupBy(
+            F.size(F.split("text", " ")).cast("int").alias("n_tokens")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.sum(md5_long(F.col("text")) % 1000000007).cast("bigint").alias(
+                "text_checksum"
+            ),
+        )
+        .orderBy("n_tokens")
+    )

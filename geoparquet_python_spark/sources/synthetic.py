@@ -1,0 +1,77 @@
+"""Spark 4 Python Data Source API (SPARK-44076): a content-addressed
+synthetic-documents source, registered as ``format("synthetic_docs")``.
+
+The reference's entire source surface is "read a Parquet file"; a real
+engine also needs the ESCAPE HATCH for sources Spark doesn't ship —
+REST feeds, proprietary formats, generators. Spark 4 finally exposes
+that in pure Python (DataSource / DataSourceReader / InputPartition),
+and this module exercises it end-to-end: schema declaration, option
+handling, and PARTITIONED parallel reads (one InputPartition per
+shard — the reader scales across executors like any file source).
+
+Everything generated is content-addressed (md5 of "doc_id:j"), so the
+source is bit-reproducible across retries/partitionings AND exactly
+mirrorable in DuckDB SQL — the registered query's oracle regenerates
+the same corpus with generate_series + md5 and must hash-match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_DEFAULT_ROWS = 1000
+_DEFAULT_PARTS = 8
+
+
+def doc_text(doc_id: int) -> str:
+    """3 + (doc_id % 5) tokens; token j = first 6 hex chars of
+    md5('{doc_id}:{j}'). Mirrored verbatim in the SQL oracle."""
+    n_tok = 3 + doc_id % 5
+    return " ".join(
+        hashlib.md5(f"{doc_id}:{j}".encode()).hexdigest()[:6]
+        for j in range(n_tok)
+    )
+
+
+class _Part(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", _DEFAULT_ROWS))
+        self.parts = int(options.get("partitions", _DEFAULT_PARTS))
+
+    def partitions(self):
+        step = -(-self.rows // self.parts)  # ceil
+        return [
+            _Part(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _Part) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield (doc_id, doc_text(doc_id))
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthetic_docs").option("rows", N)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string"
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticDocsDataSource)

@@ -44,3 +44,28 @@ def test_merge_schema_reads_evolved_dataset(spark, tmp_path):
     assert merged.count() == 8
     nulls = merged.where(F.col("v2").isNull()).count()
     assert nulls == 5, "old-batch rows must read v2 as NULL"
+
+
+def test_python_datasource_partitioned_and_reproducible(spark):
+    """The Spark-4 Python data source must (a) expose its
+    InputPartitions as real scan parallelism, (b) produce identical
+    content at any partitioning (content-addressed generation), (c)
+    agree with the local generator byte-for-byte."""
+    from geoparquet_python_spark.sources.synthetic import doc_text, register
+
+    register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_docs")
+            .option("rows", 100)
+            .option("partitions", parts)
+            .load()
+        )
+
+    df8 = load(8)
+    assert df8.rdd.getNumPartitions() == 8
+    rows8 = {(r.doc_id, r.text) for r in df8.collect()}
+    rows1 = {(r.doc_id, r.text) for r in load(1).collect()}
+    assert rows8 == rows1
+    assert rows8 == {(i, doc_text(i)) for i in range(100)}
