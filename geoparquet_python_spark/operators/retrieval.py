@@ -265,3 +265,91 @@ def q_doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("toks", F.col("s") + 1, chunk_len))
         ).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "q_rag_index_build",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, str_split(text, ' ') AS sp FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, sp, len(sp) AS n,
+             unnest(range(0, len(sp), {_CHUNK_S})) AS s
+      FROM d
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+             md5(array_to_string(
+               sp[s + 1 : s + LEAST({_CHUNK_W}, n - s)], ' '
+             )) AS chunk_md5
+      FROM starts
+    ),
+    owner AS (
+      SELECT chunk_md5,
+             MIN(doc_id * 1000000 + chunk_idx) AS owner_key
+      FROM chunks GROUP BY chunk_md5
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN o.owner_key = c.doc_id * 1000000 + c.chunk_idx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,
+           CAST(SUM(CASE WHEN o.owner_key <> c.doc_id * 1000000 + c.chunk_idx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dupe
+    FROM chunks c JOIN owner o ON o.chunk_md5 = c.chunk_md5
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def q_rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 composition capstone: build the deduplicated chunk index
+    a RAG pipeline feeds its embedder. Documents are chunked
+    (q_doc_chunks_overlap's operator), identical chunks are deduped
+    CORPUS-WIDE by content hash (canonical owner = smallest
+    (doc_id, chunk_idx), packed into one int64 so the argmin is a plain
+    MIN aggregate — no window), and each doc reports how many of its
+    chunks it owns vs duplicates someone else's (the embed-bill you
+    save). One shuffle on chunk_md5 (uniform 128-bit key), one on
+    doc_id for the rollup — the exact-dedup scale shape applied to
+    chunks.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    starts = d.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_CHUNK_S)
+            )
+        ).alias("s"),
+    )
+    chunk_len = F.least(F.lit(_CHUNK_W), F.col("n") - F.col("s"))
+    chunks = materialize(
+        starts.select(
+            "doc_id",
+            (F.col("s") / _CHUNK_S).cast("bigint").alias("chunk_idx"),
+            F.md5(
+                F.concat_ws(" ", F.slice("toks", F.col("s") + 1, chunk_len))
+            ).alias("chunk_md5"),
+        )
+    )
+    key = F.col("doc_id") * 1_000_000 + F.col("chunk_idx")
+    owner = chunks.groupBy("chunk_md5").agg(F.min(key).alias("owner_key"))
+    return (
+        chunks.join(owner, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("owner_key") == key, 1).otherwise(0)
+            ).cast("bigint").alias("n_owned"),
+            F.sum(
+                F.when(F.col("owner_key") != key, 1).otherwise(0)
+            ).cast("bigint").alias("n_dupe"),
+        )
+        .orderBy("doc_id")
+    )
