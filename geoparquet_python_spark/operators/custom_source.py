@@ -74,3 +74,83 @@ def q_pyds_synthetic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_tokens")
     )
+
+
+_STREAM_ROWS = 250
+_STREAM_BATCH = 100
+
+
+@query(
+    "q_pyds_stream_scan",
+    oracle=f"""
+    WITH ids AS (
+      SELECT unnest(generate_series(0, {_STREAM_ROWS - 1})) AS doc_id
+    ),
+    toks AS (
+      SELECT ids.doc_id, j.j,
+             substr(md5(ids.doc_id || ':' || j.j), 1, 6) AS tok
+      FROM ids, LATERAL (
+        SELECT unnest(generate_series(0, 2 + ids.doc_id % 5)) AS j
+      ) j
+    ),
+    texts AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text
+      FROM toks GROUP BY doc_id
+    )
+    SELECT CAST(3 + doc_id % 5 AS INT) AS n_tokens,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS text_checksum
+    FROM texts
+    GROUP BY 1
+    ORDER BY n_tokens
+    """,
+)
+def q_pyds_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read through the same Python data source
+    (SimpleDataSourceStreamReader): {ROWS} docs arrive in micro-batches
+    of {BATCH} (genuinely 3 batches — Spark's availableNow falls back
+    to single-batch for Python stream sources, so the drain polls the
+    sink until the offset-bounded stream is exhausted, then stops).
+    Content-addressed generation makes the offsets replayable, so the
+    drained result equals the batch regeneration the oracle runs —
+    the exactly-once story for a custom streaming source.
+    """
+    import time
+    import uuid
+
+    prepare(spark)
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", _STREAM_ROWS)
+        .option("batch", _STREAM_BATCH)
+        .load()
+    )
+    name = f"pyds_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while spark.table(name).count() < _STREAM_ROWS:
+            if time.time() > deadline:
+                raise TimeoutError("stream drain did not finish")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.size(F.split("text", " ")).cast("int").alias("n_tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(md5_long(F.col("text")) % 1000000007)
+            .cast("bigint")
+            .alias("text_checksum"),
+        )
+        .orderBy("n_tokens")
+    )

@@ -20,7 +20,12 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _DEFAULT_ROWS = 1000
 _DEFAULT_PARTS = 8
@@ -72,6 +77,39 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------- streaming
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source (SimpleDataSourceStreamReader:
+    offset dict in, (rows, next offset) out; readBetweenOffsets replays
+    a committed range for recovery — trivially exact here because
+    generation is content-addressed, the property that makes the source
+    replayable/exactly-once under checkpoint recovery). Emits up to
+    ``batch`` docs per micro-batch until ``rows`` have been produced."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", _DEFAULT_ROWS))
+        self.batch = int(options.get("batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch, self.rows)
+        return (
+            iter([(i, doc_text(i)) for i in range(lo, hi)]),
+            {"next": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([(i, doc_text(i)) for i in range(start["next"], end["next"])])
