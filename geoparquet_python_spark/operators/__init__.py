@@ -24,6 +24,7 @@ import geoparquet_python_spark.operators.relational  # noqa: F401
 import geoparquet_python_spark.operators.retrieval  # noqa: F401
 import geoparquet_python_spark.operators.sampling  # noqa: F401
 import geoparquet_python_spark.operators.scalars  # noqa: F401
+import geoparquet_python_spark.operators.semdedup  # noqa: F401
 import geoparquet_python_spark.operators.similarity  # noqa: F401
 import geoparquet_python_spark.operators.sketches  # noqa: F401
 import geoparquet_python_spark.operators.skew  # noqa: F401

@@ -1,0 +1,245 @@
+"""SemDeDup — semantic (embedding-space) deduplication.
+
+Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication"): cluster the corpus embeddings with
+k-means, then WITHIN each cluster drop every item whose cosine
+similarity to another cluster member exceeds a threshold, keeping one
+representative per semantic-duplicate group. This is the layer of the
+dedup stack the lexical passes (exact md5, MinHash/Jaccard, SimHash —
+operators/dedup.py) cannot see: paraphrases and re-renderings that
+share no shingles but mean the same thing.
+
+No reference equivalent (SURVEY.md §0 provenance — the reference is a
+~100 LoC GeoParquet round-trip shim); [N] north-star scope beside the
+ANN/kmeans family (operators/similarity.py, operators/kmeans.py).
+
+Spark-first shape (reusing the deterministic fixed-point k-means from
+operators/kmeans.py — same trained centroids, same unrolled-CTE SQL
+mirror, so the whole composition stays bit-exact vs DuckDB):
+
+- cell assignment is the map-only centroid-literal projection
+  (kmeans._assign_expr): zero shuffle to cluster the corpus;
+- the within-cell candidate step shuffles the corpus ONCE on the cell
+  id, then expands in-cell (lo < hi) pairs map-side from a per-cell
+  sorted id list — identical to the LSH bucket expansion shape in
+  operators/similarity.py, so no BroadcastNestedLoopJoin anywhere;
+- the cosine refine is the Arrow-batched fixed-point dot
+  (functions/vector.py:dot_scaled_arrow) — numpy matmul per batch,
+  bit-identical to the JVM and DuckDB forms;
+- the verdict per vector is one groupBy min() over qualifying
+  (lower-id -> higher-id) edges: a vector is dropped iff SOME
+  lower-id cluster-mate is tau-similar (the standard keep-first
+  SemDeDup rule — deterministic, no iteration).
+
+Scale: the quadratic term is per-cell |c|^2, and SemDeDup's contract
+is that K grows with the corpus so |c| stays bounded (the paper runs
+50k clusters for LAION); the cell shuffle is the only corpus-wide
+movement, the centroid matrix rides along as a literal, and the pair
+stream never materializes beyond the tau filter + min() combine. A
+cell too hot for one partition would get the same two-level split the
+IVF path uses (probe the sub-quantizer inside the cell).
+
+Determinism contract: cells from fixed-point Lloyd (bit-exact);
+cosine from int64 fixed-point sums (order-independent); tau compare
+and the min() verdict are exact; reported `cos_micro` is
+floor(cosine * 1e6) of an IEEE-identical double — stable on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
+from geoparquet_python_spark.functions.vector import (
+    SQL_COSINE,
+    SQL_FLAT_EMBEDDINGS,
+    SQL_NORMS,
+    cosine_from_scaled,
+    dot_scaled_arrow,
+    norm2_scaled,
+    sql_pair_dot_scaled,
+)
+from geoparquet_python_spark.operators.kmeans import (
+    _T,
+    _assign_expr,
+    _fixed_points,
+    _sql_kmeans_ctes,
+    _train,
+)
+from geoparquet_python_spark.registry import query
+
+_TAU = 0.35  # semantic-duplicate cosine threshold
+
+
+def _cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-cell (vec_a < vec_b) candidate pairs with embeddings+norms
+    attached: one corpus shuffle on the cell id, map-side pair
+    expansion from the per-cell sorted id list."""
+    cents = _train(spark, sf_dir)
+    base = materialize(
+        _fixed_points(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            norm2_scaled("embedding").alias("n2"),
+            _assign_expr(cents).alias("cell"),
+        )
+    )
+    cells = (
+        base.groupBy("cell")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    cand = cells.select(
+        "cell",
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "b -> struct(a AS vec_a, b AS vec_b))))"
+            )
+        ).alias("p"),
+    ).select("cell", "p.vec_a", "p.vec_b")
+    ea = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("n2").alias("a_n2"),
+    )
+    eb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+    )
+    return (
+        ea.join(broadcast_narrow(cand), "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "cell",
+            "vec_a",
+            "vec_b",
+            cosine_from_scaled(
+                dot_scaled_arrow("a_emb", "b_emb"),
+                F.col("a_n2"),
+                F.col("b_n2"),
+            ).alias("cosine"),
+        )
+    )
+
+
+_SQL_SEMDEDUP_EDGES = f"""
+    flat AS ({SQL_FLAT_EMBEDDINGS}),
+    norms AS ({SQL_NORMS}),
+    pairs AS (
+      SELECT a.cid AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM a{_T} a JOIN a{_T} b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT p.cell, p.vec_a, p.vec_b, {sql_pair_dot_scaled("fa", "fb")} AS d
+      FROM pairs p
+      JOIN flat fa ON fa.vec_id = p.vec_a
+      JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
+      GROUP BY p.cell, p.vec_a, p.vec_b
+    ),
+    edges AS (
+      SELECT cell, vec_a, vec_b,
+             {SQL_COSINE.format(dot="d", na="na.n2", nb="nb.n2")} AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+    ),
+    hits AS (SELECT * FROM edges WHERE cosine >= {_TAU})"""
+
+
+@query(
+    "q_semdedup_dropped",
+    oracle=f"""
+    WITH {_sql_kmeans_ctes()},
+    {_SQL_SEMDEDUP_EDGES},
+    verdict AS (
+      SELECT cell, vec_b AS vec_id, MIN(vec_a) AS dup_of
+      FROM hits GROUP BY cell, vec_b
+    )
+    SELECT v.cell AS cell, v.vec_id AS vec_id, v.dup_of AS dup_of,
+           CAST(floor(h.cosine * 1e6) AS BIGINT) AS cos_micro
+    FROM verdict v
+    JOIN hits h ON h.cell = v.cell AND h.vec_b = v.vec_id
+               AND h.vec_a = v.dup_of
+    ORDER BY cell, vec_id
+    """,
+)
+def q_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop list: every vector with a tau-similar LOWER-id
+    mate in its k-means cell, with the lowest such mate as `dup_of`
+    and the cosine to it (micro-units). Keep-first rule: the corpus
+    minus this list is the semantically-deduped corpus."""
+    hits = _cell_pairs(spark, sf_dir).where(F.col("cosine") >= _TAU)
+    verdict = hits.groupBy("cell", F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dup_of")
+    )
+    return (
+        verdict.join(
+            hits.select(
+                "cell",
+                F.col("vec_b").alias("vec_id"),
+                F.col("vec_a").alias("dup_of"),
+                F.floor(F.col("cosine") * 1e6).cast("bigint").alias("cos_micro"),
+            ),
+            ["cell", "vec_id", "dup_of"],
+        )
+        .select("cell", "vec_id", "dup_of", "cos_micro")
+        .orderBy("cell", "vec_id")
+    )
+
+
+@query(
+    "q_semdedup_cell_stats",
+    oracle=f"""
+    WITH {_sql_kmeans_ctes()},
+    {_SQL_SEMDEDUP_EDGES},
+    dropped AS (SELECT DISTINCT vec_b AS vec_id, cell FROM hits),
+    members AS (SELECT cid AS cell, COUNT(*) AS n_members FROM a{_T} GROUP BY cid)
+    SELECT m.cell AS cell,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(m.n_members - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM members m
+    LEFT JOIN (SELECT cell, COUNT(*) AS n_dropped FROM dropped GROUP BY cell) d
+      USING (cell)
+    ORDER BY cell
+    """,
+)
+def q_semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell SemDeDup retention: members / dropped / kept. The
+    rollup a pipeline owner watches — a cell with an outsized drop
+    rate is either a true semantic-duplicate hotspot or a tau set too
+    loose for that region of embedding space."""
+    cents = _train(spark, sf_dir)
+    members = (
+        _fixed_points(spark, sf_dir)
+        .select(_assign_expr(cents).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    dropped = (
+        _cell_pairs(spark, sf_dir)
+        .where(F.col("cosine") >= _TAU)
+        .select("cell", "vec_b")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        members.join(dropped, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
+            (
+                F.col("n_members")
+                - F.coalesce("n_dropped", F.lit(0).cast("bigint"))
+            ).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
