@@ -6,6 +6,7 @@ import geoparquet_python_spark.operators.analytics  # noqa: F401
 import geoparquet_python_spark.operators.asof  # noqa: F401
 import geoparquet_python_spark.operators.contamination  # noqa: F401
 import geoparquet_python_spark.operators.crosscorpus  # noqa: F401
+import geoparquet_python_spark.operators.cdc  # noqa: F401
 import geoparquet_python_spark.operators.custom_source  # noqa: F401
 import geoparquet_python_spark.operators.dataquality  # noqa: F401
 import geoparquet_python_spark.operators.dedup  # noqa: F401

@@ -523,3 +523,98 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_grams", "n_fps", "n_shared_fps")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# F4g: PMI collocation mining (bigram association strength)
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 100
+_PMI_SCALE = 1_000_000
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS w,
+             generate_subscripts(str_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    big AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM big GROUP BY w1, w2
+    ),
+    lc AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM bc GROUP BY w1),
+    rc AS (SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM bc GROUP BY w2),
+    tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM bc)
+    SELECT w1, w2, n_ab, n_a, n_b,
+           CAST((n_ab * n * {_PMI_SCALE}) // (n_a * n_b) AS BIGINT)
+             AS pmi_ratio_micro
+    FROM bc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tot
+    WHERE n_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_ratio_micro DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information,
+    reported as the INTEGER-exact probability ratio
+    floor(1e6 · P(ab) / (P(a)·P(b))) — the monotone core of PMI
+    (log of it) without a cross-engine transcendental: exp/log never
+    enters, so Spark and the oracle rank and hash identically.
+
+    Shape: bigram extraction is a map-only positional zip (no
+    explode-join); counts shuffle once on the bigram key; the two
+    marginals re-aggregate the (already tiny) bigram-count frame, and
+    the scalar total rides in as a one-row cross join. Top-k is a
+    TakeOrdered, no global sort materialized.
+
+    Scale: the shuffled keyspace is the distinct-bigram domain
+    (vocab², bounded far below corpus size); marginals/total are
+    vocab-sized. int64 bound: n_ab·N·1e6 ≤ N²·1e6 — safe to N ≈ 3e6
+    bigrams at this scale factor; a 100 TB corpus drops the scale to
+    1e3 or splits the multiply (document contract, same monotonicity).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = d.select(toks.alias("t")).select(
+        F.explode(
+            F.expr(
+                "filter(transform(t, (x, i) -> "
+                "CASE WHEN i < size(t) - 1 THEN "
+                "struct(x AS w1, t[i + 1] AS w2) END), p -> p IS NOT NULL)"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = materialize(
+        bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    lc = bc.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    rc = bc.groupBy("w2").agg(F.sum("n_ab").alias("n_b"))
+    tot = bc.agg(F.sum("n_ab").alias("n"))
+    # True int64 division (Spark `div` == DuckDB `//` for positives):
+    # never a double, so no 2^53 precision cliff on the product.
+    ratio = F.expr(f"(n_ab * n * {_PMI_SCALE}) div (n_a * n_b)")
+    return (
+        bc.where(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(lc, "w1")
+        .join(rc, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            ratio.cast("bigint").alias("pmi_ratio_micro"),
+        )
+        .orderBy(F.col("pmi_ratio_micro").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )

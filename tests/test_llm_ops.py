@@ -501,3 +501,73 @@ def test_prefix_filter_jaccard_survives_boilerplate(spark, tmp_path):
     }
     assert (40, 41) in pf
     assert pf == brute
+
+
+def test_semdedup_keep_first_invariants(spark, sf_dir_small):
+    """Drop-list semantics: every dropped vector names a LOWER-id
+    cluster-mate; no vector is dropped twice; the kept set per cell
+    matches the stats rollup."""
+    dropped = registry.QUERIES["q_semdedup_dropped"](
+        spark, sf_dir_small
+    ).collect()
+    assert dropped, "tau should catch semantic dups at this sf"
+    seen = set()
+    by_cell: dict[int, int] = {}
+    for r in dropped:
+        assert r.dup_of < r.vec_id
+        assert r.vec_id not in seen, "a vector must have one verdict"
+        seen.add(r.vec_id)
+        by_cell[r.cell] = by_cell.get(r.cell, 0) + 1
+    stats = registry.QUERIES["q_semdedup_cell_stats"](
+        spark, sf_dir_small
+    ).collect()
+    for s in stats:
+        assert s.n_kept + s.n_dropped == s.n_members
+        assert by_cell.get(s.cell, 0) == s.n_dropped
+
+
+def test_cdc_merge_action_partition(spark, sf_dir_small):
+    """Action labels partition the keyspace; the post-merge snapshot
+    (non-delete actions) carries a value; deletes carry none."""
+    rows = registry.QUERIES["q_cdc_merge_upsert"](
+        spark, sf_dir_small
+    ).collect()
+    assert rows
+    actions = {r.action for r in rows}
+    assert actions <= {"carry", "insert", "update", "delete", "delete_noop"}
+    ids = [r.user_id for r in rows]
+    assert len(ids) == len(set(ids)), "one merge verdict per key"
+    for r in rows:
+        if r.action in ("delete", "delete_noop"):
+            assert r.final_value is None
+        else:
+            assert r.final_value is not None
+        if r.action == "carry":
+            assert r.n_delta_ops == 0
+        else:
+            assert r.n_delta_ops > 0
+
+
+def test_pmi_collocations_ranked(spark, sf_dir_small):
+    """Top-k is ranked by the integer PMI ratio with deterministic
+    tie-breaks, and every ratio is consistent with its own counts."""
+    rows = registry.QUERIES["q_pmi_collocations"](
+        spark, sf_dir_small
+    ).collect()
+    assert 0 < len(rows) <= 100
+    n = None
+    prev = None
+    for r in rows:
+        assert r.n_ab >= 5
+        key = (-r.pmi_ratio_micro, r.w1, r.w2)
+        if prev is not None:
+            assert prev <= key, "output must be rank-ordered"
+        prev = key
+        if n is None:
+            # recover N from any row: ratio = n_ab*N*1e6 // (n_a*n_b)
+            lo = r.pmi_ratio_micro * r.n_a * r.n_b // (r.n_ab * 1_000_000)
+            n = lo
+        assert (
+            r.n_ab * 1_000_000 * (n + 2) // (r.n_a * r.n_b)
+            >= r.pmi_ratio_micro
+        )
