@@ -147,7 +147,17 @@ def main() -> None:
         for n in times
         if n in prev and prev[n] > 0
     }
-    regressions = sorted(n for n, r in deltas.items() if r > 1.3)
+    # A regression needs BOTH a >1.3x ratio AND >0.5s absolute growth:
+    # sub-second queries (especially applyInPandas ones, whose Python
+    # task scheduling shows ±0.2-0.3s dispersion even warm — measured
+    # in SCALE.md's bench-protocol caveats) can trip a ratio-only flag
+    # on pure noise, which buries the real multi-second regressions
+    # the list exists to surface.
+    regressions = sorted(
+        n
+        for n, r in deltas.items()
+        if r > 1.3 and times[n] - prev[n] > 0.5
+    )
 
     total = round(sum(times.values()), 3)
     print(
