@@ -33,6 +33,8 @@ DEFAULT_QUERIES = [
     "q_minhash_lsh_neardup",
     "q_simhash_wide_blocked_pairs",
     "q_leakage_safe_split",
+    "q_pmi_collocations",
+    "q_cdc_merge_upsert",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
