@@ -11,6 +11,7 @@ import geoparquet_python_spark.operators.custom_source  # noqa: F401
 import geoparquet_python_spark.operators.dataquality  # noqa: F401
 import geoparquet_python_spark.operators.dedup  # noqa: F401
 import geoparquet_python_spark.operators.geoio  # noqa: F401
+import geoparquet_python_spark.operators.graph  # noqa: F401
 import geoparquet_python_spark.operators.geospatial  # noqa: F401
 import geoparquet_python_spark.operators.jsonio  # noqa: F401
 import geoparquet_python_spark.operators.kmeans  # noqa: F401
