@@ -571,3 +571,83 @@ def test_pmi_collocations_ranked(spark, sf_dir_small):
             r.n_ab * 1_000_000 * (n + 2) // (r.n_a * r.n_b)
             >= r.pmi_ratio_micro
         )
+
+
+def test_cdc_merge_random_fold(spark, tmp_path):
+    """One Spark run over a randomized adversarial changelog (equal-ts
+    ties broken by event_id, tombstones in every position, delta-only
+    and base-only keys) must equal a pure-Python fold of the same
+    merge semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from geoparquet_python_spark.operators.cdc import _CUTOFF, _TOMBSTONE
+
+    rng = np.random.RandomState(7)
+    n_users, rows = 200, []
+    eid = 0
+    base_day = pd.Timestamp("2024-01-01")
+    for u in range(n_users):
+        n_ops = rng.randint(1, 12)
+        # Coarse second-resolution offsets force frequent exact-ts
+        # collisions so the event_id tiebreak is genuinely exercised.
+        offs = rng.randint(0, 40, size=n_ops) * pd.Timedelta(days=1)
+        for o in offs:
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": base_day + o,
+                    "user_id": u,
+                    "event_type": str(
+                        rng.choice(["signup", "click", "view", _TOMBSTONE])
+                    ),
+                    "value": float(rng.randint(0, 100)),
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = {
+        r.user_id: r
+        for r in registry.QUERIES["q_cdc_merge_upsert"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    cutoff = pd.Timestamp(_CUTOFF)
+    expected = {}
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        b = g[g.ts < cutoff]
+        d = g[g.ts >= cutoff]
+        b_last = b.iloc[-1] if len(b) else None
+        if b_last is not None and b_last.event_type == _TOMBSTONE:
+            b_last = None  # deleted before the cutoff -> absent base
+            nb = 0
+        else:
+            nb = len(b)
+        d_last = d.iloc[-1] if len(d) else None
+        if b_last is None and d_last is None:
+            continue  # tombstoned base, no delta: key nowhere
+        if d_last is None:
+            action, val = "carry", b_last.value
+        elif d_last.event_type == _TOMBSTONE:
+            action = "delete" if b_last is not None else "delete_noop"
+            val = None
+        elif b_last is None:
+            action, val = "insert", d_last.value
+        else:
+            action, val = "update", d_last.value
+        expected[u] = (action, val, nb, len(d))
+
+    assert set(got) == set(expected)
+    for u, (action, val, nb, nd) in expected.items():
+        r = got[u]
+        assert r.action == action, (u, r.action, action)
+        assert (r.final_value is None) == (val is None)
+        if val is not None:
+            assert r.final_value == val
+        assert r.n_base_ops == nb
+        assert r.n_delta_ops == nd
