@@ -651,3 +651,35 @@ def test_cdc_merge_random_fold(spark, tmp_path):
             assert r.final_value == val
         assert r.n_base_ops == nb
         assert r.n_delta_ops == nd
+
+
+def test_percentile_approx_rank_error_bound(spark, sf_dir):
+    """The mergeable-sketch quantile path (percentile_approx — the
+    operator you'd run at 100 TB instead of the exact `percentile`
+    used by q_percentile_prices): Greenwald-Khanna guarantees the
+    returned value's RANK is within n/accuracy of the target rank,
+    regardless of merge order. Certify that bound per group instead
+    of registering a value-hash query (the sketch's exact value is
+    merge-order-dependent by design, unlike HLL's register-max)."""
+    from geoparquet_python_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    acc = 1000
+    e = load_table(spark, sf_dir, "events")
+    approx = {
+        r.event_type: r.ap
+        for r in e.groupBy("event_type")
+        .agg(F.percentile_approx("value", 0.5, acc).alias("ap"))
+        .collect()
+    }
+    rows = e.select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for et, ap in approx.items():
+        xs = sorted(by_type[et])
+        n = len(xs)
+        # rank of the returned value (count of elements <= ap)
+        rank = sum(1 for x in xs if x <= ap)
+        target = 0.5 * n
+        assert abs(rank - target) <= n / acc + 1, (et, rank, target, n)
