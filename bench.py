@@ -64,6 +64,8 @@ HEADLINE = [
     "q_bm25_topk",
     "q_events_gapfill_hourly",
     "q_events_ohlc_hourly",
+    # Round-5 (late): CDC changelog compaction + MERGE INTO.
+    "q_cdc_merge_upsert",
 ]
 
 
