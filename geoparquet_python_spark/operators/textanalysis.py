@@ -618,3 +618,114 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_ratio_micro").desc(), "w1", "w2")
         .limit(_PMI_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# F4h: bigram-LM log-probability (context-aware perplexity proxy)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bigram_logprob",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS w,
+             generate_subscripts(str_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    big AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM big GROUP BY w1, w2),
+    lc AS (SELECT w1, SUM(c_ab) AS c_a FROM bc GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM pos),
+    lp AS (
+      SELECT bc.w1, bc.w2,
+             CAST(round(ln((bc.c_ab + 1.0) / (lc.c_a + v.v)) * 1000000)
+                  AS BIGINT) AS lp
+      FROM bc JOIN lc USING (w1) CROSS JOIN v
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(lp.lp) AS BIGINT) AS logprob_fp,
+           CAST(SUM(lp.lp) AS BIGINT) * 1.0 / COUNT(*) / 1000000
+             AS avg_logprob
+    FROM big b JOIN lp ON lp.w1 = b.w1 AND lp.w2 = b.w2
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware perplexity proxy: per-doc mean log P(w2 | w1)
+    under the corpus's own add-one-smoothed bigram LM — the next rung
+    above `q_unigram_logprob` (a doc of common words in an uncommon
+    ORDER scores low here but fine there; that's the word-salad
+    signal CCNet-style filters want).
+
+    Shape: doc-tagged bigrams are the same map-only positional zip as
+    q_pmi_collocations; the LM (type-level counts + smoothed log
+    probs) lives on the vocab²-bounded bigram-type frame and joins
+    back to the doc stream via broadcast. Per-token ln is rounded to
+    1e-6 and summed as int64 — the exact determinism treatment the
+    unigram query documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    big = materialize(
+        d.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(t, (x, i) -> "
+                    "CASE WHEN i < size(t) - 1 THEN "
+                    "struct(x AS w1, t[i + 1] AS w2) END), "
+                    "p -> p IS NOT NULL)"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    lc = bc.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    vocab = (
+        d.select(F.explode(toks).alias("w")).agg(
+            F.countDistinct("w").alias("v")
+        )
+    )
+    lp = (
+        bc.join(lc, "w1")
+        .crossJoin(broadcast_narrow(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c_ab") + F.lit(1.0))
+                    / (F.col("c_a") + F.col("v"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    return (
+        big.join(broadcast_narrow(lp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("logprob_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logprob_fp",
+            (
+                F.col("logprob_fp") * F.lit(1.0) / F.col("n_bigrams") / 1e6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
