@@ -353,3 +353,126 @@ def q_rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Late-interaction (ColBERT-style) multi-vector max-sim retrieval
+# --------------------------------------------------------------------------
+
+from geoparquet_python_spark.functions.exact import broadcast_bounded  # noqa: E402
+from geoparquet_python_spark.functions.vector import (  # noqa: E402
+    SQL_COSINE,
+    SQL_FLAT_EMBEDDINGS,
+    SQL_NORMS,
+    cosine_from_scaled,
+    dot_scaled_arrow,
+    norm2_scaled,
+    sql_pair_dot_scaled,
+)
+
+_LI_NQ = 8  # query token vectors: vec_id < _LI_NQ
+_LI_TOPK = 5
+_LI_SCALE = 1_000_000_000  # 1e9 per-term cosine units
+
+
+@query(
+    "q_maxsim_late_interaction",
+    oracle=f"""
+    WITH flat AS ({SQL_FLAT_EMBEDDINGS}),
+    norms AS ({SQL_NORMS}),
+    q AS (SELECT vec_id AS qv FROM embeddings WHERE vec_id < {_LI_NQ}),
+    c AS (
+      SELECT vec_id AS cv, label FROM embeddings
+      WHERE vec_id >= {_LI_NQ}
+    ),
+    dots AS (
+      SELECT q.qv, c.cv, c.label, {sql_pair_dot_scaled("fa", "fb")} AS d
+      FROM q CROSS JOIN c
+      JOIN flat fa ON fa.vec_id = q.qv
+      JOIN flat fb ON fb.vec_id = c.cv AND fb.i = fa.i
+      GROUP BY q.qv, c.cv, c.label
+    ),
+    cosf AS (
+      SELECT qv, label,
+             CAST(floor({SQL_COSINE.format(dot="d", na="na.n2", nb="nb.n2")}
+                        * {_LI_SCALE}) AS BIGINT) AS cf
+      FROM dots
+      JOIN norms na ON na.vec_id = qv
+      JOIN norms nb ON nb.vec_id = cv
+    ),
+    mx AS (SELECT qv, label, MAX(cf) AS m FROM cosf GROUP BY qv, label),
+    sc AS (
+      SELECT label, CAST(SUM(m) AS BIGINT) AS score_fp,
+             COUNT(*) AS n_query_terms
+      FROM mx GROUP BY label
+    )
+    SELECT label, score_fp, score_fp / {float(_LI_SCALE)} AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY score_fp DESC, label) AS rank
+      FROM sc
+    )
+    WHERE rank <= {_LI_TOPK}
+    ORDER BY rank
+    """,
+)
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: the query is a BAG of
+    vectors (vec_id < 8 — per-token query embeddings), each corpus
+    document a bag of member vectors (its `label` group), and
+    score(doc) = Σ_q max_member cos(q, member) — MaxSim. Late
+    interaction beats single-vector retrieval when different query
+    tokens match different parts of a document.
+
+    Shape: the query bag broadcasts (bounded, |Q| rows) into the
+    corpus vector stream — ONE pass, no corpus shuffle for the
+    interaction; the per-(query-vector, doc) max and the per-doc sum
+    are two map-side-combinable aggregates on (qv, label) / (label);
+    top-k is a TakeOrdered over |labels| rows. Per-pair cosines use
+    the Arrow-batched fixed-point dot, floored to int64 1e-9 units so
+    max/sum are order-independent and oracle-exact. At 100 TB the
+    interaction stays |corpus vectors| × |Q| with an IVF pre-thin
+    (operators/kmeans.py) bounding the candidate members per query
+    vector.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", "label", "embedding", norm2_scaled("embedding").alias("n2")
+    )
+    q = base.where(F.col("vec_id") < _LI_NQ).select(
+        F.col("vec_id").alias("qv"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    c = base.where(F.col("vec_id") >= _LI_NQ)
+    cf = F.floor(
+        cosine_from_scaled(
+            dot_scaled_arrow("q_emb", "embedding"),
+            F.col("q_n2"),
+            F.col("n2"),
+        )
+        * _LI_SCALE
+    ).cast("bigint")
+    scored = (
+        c.join(broadcast_bounded(q, max_rows=_LI_NQ))
+        .select("qv", "label", cf.alias("cf"))
+        .groupBy("qv", "label")
+        .agg(F.max("cf").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.sum("m").alias("score_fp"),
+            F.count(F.lit(1)).alias("n_query_terms"),
+        )
+    )
+    w = Window.orderBy(F.col("score_fp").desc(), F.col("label"))
+    top = scored.orderBy(F.col("score_fp").desc(), "label").limit(_LI_TOPK)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "label",
+            "score_fp",
+            (F.col("score_fp") / F.lit(float(_LI_SCALE))).alias("score"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -224,3 +224,71 @@ def q_train_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# F6: weighted sample (Efraimidis-Spirakis priority sampling, A-ES)
+# --------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from geoparquet_python_spark.functions.text import SQL_MD5_LONG, md5_long  # noqa: E402
+
+_WS_K = 100
+SQL_MD5_LONG_DOC = SQL_MD5_LONG.format(expr="CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "q_weighted_priority_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(round((ln((({SQL_MD5_LONG_DOC} ) + 1.0)
+                            / {float((1 << 60) + 1)})
+                         / n_chars) * 1000000) AS BIGINT) AS priority_micro
+      FROM documents
+    )
+    SELECT row_number() OVER (ORDER BY priority_micro DESC, doc_id)
+             AS rank,
+           doc_id, lang, n_chars, priority_micro
+    FROM pri
+    ORDER BY priority_micro DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sample without replacement, deterministic:
+    Efraimidis-Spirakis priority sampling — each doc gets key
+    u^(1/w) for u ~ U(0,1), and the k largest keys are a weighted
+    sample. Ranking on ln(u)/w (monotone in the key) avoids pow();
+    u comes from the 60-bit md5 of doc_id, so the sample is
+    content-addressed: retries, repartitions, and incremental corpus
+    growth never reshuffle previously-sampled membership (the same
+    contract as q_hash_split_stats). Weight = n_chars: longer docs
+    proportionally likelier — the "sample by token budget" shape.
+
+    Shape: one map-only projection + a distributed top-k
+    (TakeOrderedAndProject) — no shuffle of the corpus at any size.
+    The per-doc ln is rounded to 1e-6 and compared as int64 with a
+    doc_id tie-break, the same cross-engine transcendental treatment
+    as q_unigram_logprob.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = (md5_long(F.col("doc_id").cast("string")) + F.lit(1.0)) / F.lit(
+        float((1 << 60) + 1)
+    )
+    pri = F.round((F.log(u) / F.col("n_chars")) * 1e6).cast("bigint")
+    # Distributed top-k (orderBy+limit => TakeOrderedAndProject — per-
+    # partition heaps, no global sort); the row_number window then runs
+    # over the k-row RESULT frame only, never the corpus.
+    top = (
+        d.select("doc_id", "lang", "n_chars", pri.alias("priority_micro"))
+        .orderBy(F.col("priority_micro").desc(), "doc_id")
+        .limit(_WS_K)
+    )
+    w = Window.orderBy(F.col("priority_micro").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "lang", "n_chars", "priority_micro")
+        .orderBy(F.col("priority_micro").desc(), "doc_id")
+    )
