@@ -543,3 +543,54 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# F3: hyperplane-LSH recall audit (vector-side sketch-quality gate)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hyperplane_recall_audit",
+    oracle=f"""
+    WITH {_SQL_COSINE_PAIRS.format(pair_cond="AND fa.vec_id < fb.vec_id")},
+    {_SQL_HYPERPLANE_CAND},
+    exact AS (
+      SELECT qid AS vec_a, cid AS vec_b FROM cos WHERE cosine >= {_COSINE_T}
+    ),
+    lshp AS (
+      SELECT e.vec_a, e.vec_b FROM exact e
+      JOIN cand c ON c.vec_a = e.vec_a AND c.vec_b = e.vec_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_lsh_pairs,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT)
+             - CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_missed,
+           CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) * 1.0
+             / (SELECT COUNT(*) FROM exact) AS recall
+    """,
+)
+def q_hyperplane_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-side twin of q_lsh_recall_audit: how much of the exact
+    cosine >= 0.45 pair set does the 96-plane/12-band hyperplane LSH
+    recover? Precision is 1.0 by construction (the refine recomputes
+    exact cosine on candidates), so recall is the whole quality story
+    — ship this with every plane/band parameter change. Both pair
+    sets are pair-graph sized; the intersection is one equi-join on
+    the pair key. An 8-bit band collides for vectors at angle θ with
+    P = (1 - θ/π)^8, so recall at cosine 0.45 (θ ≈ 63°) is set by
+    the 12-band union — parameter changes move it sharply, which is
+    exactly why the audit exists."""
+    exact = q_embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    lsh = q_hyperplane_lsh_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    found = exact.join(lsh, ["vec_a", "vec_b"], "left_semi")
+    nt = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    nl = found.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    return nt.crossJoin(nl).select(
+        "n_true_pairs",
+        "n_lsh_pairs",
+        (F.col("n_true_pairs") - F.col("n_lsh_pairs")).alias("n_missed"),
+        (
+            F.col("n_lsh_pairs") * F.lit(1.0) / F.col("n_true_pairs")
+        ).alias("recall"),
+    )
