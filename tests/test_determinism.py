@@ -26,6 +26,13 @@ CASES = [
     "q_mmr_diverse_topk",  # greedy argmax with (score, vec_id) tie-break
     "q_events_gapfill_hourly",  # (ts, event_id) bucket-last + LOCF window
     "q_jaccard_prefix_filter_pairs",  # rarity-ordered prefixes, exact refine
+    # round-5 (late) operators
+    "q_semdedup_dropped",  # trained cells + Arrow fixed-point refine
+    "q_cdc_merge_upsert",  # (ts, event_id) total-order compaction
+    "q_pmi_collocations",  # integer probability-ratio ranking
+    "q_pagerank_neardup",  # unrolled int64 power iterations
+    "q_weighted_priority_sample",  # A-ES keys, 1e-6-rounded ln, top-k
+    "q_maxsim_late_interaction",  # int64 1e-9 max/sum interaction
 ]
 
 
