@@ -403,11 +403,23 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tok = materialize(tok)
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.count()
+    # Corpus token total rides the dataflow as a one-row cross join
+    # (vocab-sized frame × 1) instead of a driver-side count() job —
+    # at 100 TB a count-before-plan is a full extra scan (same fix as
+    # the packing shard sizing, round-5 item #4).
+    tot = tok.agg(F.sum(F.lit(1)).cast("bigint").alias("n_total"))
     lp_fp = F.round(
-        F.log(F.col("c").cast("double") / F.lit(float(tot))) * 1e6
+        F.log(F.col("c").cast("double") / F.col("n_total").cast("double"))
+        * 1e6
     ).cast("bigint")
-    scored = tok.join(broadcast_narrow(freq.select("term", lp_fp.alias("lp"))), "term")
+    scored = tok.join(
+        broadcast_narrow(
+            freq.crossJoin(broadcast_narrow(tot)).select(
+                "term", lp_fp.alias("lp")
+            )
+        ),
+        "term",
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
