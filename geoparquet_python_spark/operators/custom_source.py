@@ -154,3 +154,78 @@ def q_pyds_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_tokens")
     )
+
+
+@query(
+    "q_pyds_writer_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS text_cksum
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITER face of the Python Data Source API (DataSourceWriter):
+    push `documents` through the custom manifest-committed JSONL sink
+    — each task writes part-{pid}-{uuid}.jsonl and returns a commit
+    message; only driver-committed files reach _MANIFEST.json — then
+    read back ONLY the manifest-listed files and aggregate per-lang
+    counts + an order-independent text checksum. Equality with the
+    oracle's direct aggregate over the parquet table proves (a) the
+    V2 commit protocol surfaced every committed row exactly once and
+    (b) the JSON round-trip is byte-faithful. The read honoring only
+    the manifest is what makes aborted-attempt files invisible — the
+    exactly-once visibility contract, exercised end to end.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    prepare(spark)
+    register(spark)
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pyds_w_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    d.write.format("synthetic_docs").mode("append").save(path)
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f["name"]) for f in manifest["files"]]
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(files)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(md5_long(F.col("text")) % 1000000007)
+            .cast("bigint")
+            .alias("text_cksum"),
+        )
+        .orderBy("lang")
+    )

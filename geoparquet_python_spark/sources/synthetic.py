@@ -23,8 +23,10 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _DEFAULT_ROWS = 1000
@@ -80,6 +82,9 @@ class SyntheticDocsDataSource(DataSource):
     def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
         return SyntheticDocsStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "ManifestJsonlWriter":
+        return ManifestJsonlWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
@@ -113,3 +118,82 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter([(i, doc_text(i)) for i in range(start["next"], end["next"])])
+
+
+# ---------------------------------------------------------------- writer
+
+
+class _FileCommit(WriterCommitMessage):
+    """One per task: the file it wrote + its row count and checksum.
+    Only files named in a commit message reach the manifest — files
+    from failed/speculative task attempts are dead on arrival, which
+    is the whole exactly-once story of the V2 commit protocol."""
+
+    def __init__(self, filename: str, n_rows: int, cksum: int):
+        self.filename = filename
+        self.n_rows = n_rows
+        self.cksum = cksum
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    """Batch writer face of the Python Data Source API: each task
+    streams its partition to ``part-{pid}-{uuid}.jsonl`` and returns a
+    commit message; the DRIVER's commit() writes ``_MANIFEST.json``
+    naming exactly the committed files (+ per-file checksums and the
+    total). Readers that go through the manifest never see output of
+    aborted attempts — the same visibility contract as Parquet's
+    _SUCCESS+file-listing, made explicit and checkable."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("synthetic_docs writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
+        full = _os.path.join(self.path, name)
+        n, cksum = 0, 0
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = row.asDict()
+                fh.write(_json.dumps(rec, sort_keys=True) + "\n")
+                n += 1
+                h = hashlib.md5(str(rec.get("text", "")).encode()).hexdigest()
+                cksum = (cksum + int(h[:15], 16)) % (1 << 60)
+        return _FileCommit(name, n, cksum)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "files": sorted(
+                [
+                    {"name": m.filename, "n_rows": m.n_rows, "cksum": m.cksum}
+                    for m in messages
+                ],
+                key=lambda f: f["name"],
+            ),
+            "total_rows": sum(m.n_rows for m in messages),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                _os.remove(_os.path.join(self.path, m.filename))
+            except OSError:
+                pass

@@ -69,3 +69,48 @@ def test_python_datasource_partitioned_and_reproducible(spark):
     rows1 = {(r.doc_id, r.text) for r in load(1).collect()}
     assert rows8 == rows1
     assert rows8 == {(i, doc_text(i)) for i in range(100)}
+
+
+def test_pyds_writer_manifest_visibility(spark, tmp_path):
+    """Only manifest-listed files are visible to a manifest-honoring
+    reader: rogue files in the directory (the debris a failed task
+    attempt would leave) change nothing, and abort() removes the files
+    its commit messages name."""
+    import json
+    import os
+
+    from geoparquet_python_spark.sources.synthetic import (
+        ManifestJsonlWriter,
+        register,
+    )
+
+    register(spark)
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "'en' AS lang", "CAST(id AS STRING) AS text",
+        "CAST(1 AS BIGINT) AS n_chars"
+    )
+    path = str(tmp_path / "out")
+    os.makedirs(path)
+    df.write.format("synthetic_docs").mode("append").save(path)
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 100
+    listed = {f["name"] for f in manifest["files"]}
+    on_disk = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    assert listed == on_disk, "every jsonl on disk must be committed"
+
+    # rogue file (uncommitted attempt debris) is invisible via manifest
+    with open(os.path.join(path, "part-99999-deadbeef.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 424242, "lang": "xx", "text": "junk", "n_chars": 4}\n')
+    files = [os.path.join(path, f["name"]) for f in manifest["files"]]
+    back = spark.read.json(files)
+    assert back.count() == 100
+    assert back.where("doc_id = 424242").count() == 0
+
+    # abort() deletes exactly the files its messages name
+    w = ManifestJsonlWriter({"path": path}, overwrite=False)
+
+    class _Msg:
+        filename = "part-99999-deadbeef.jsonl"
+
+    w.abort([_Msg()])
+    assert not os.path.exists(os.path.join(path, "part-99999-deadbeef.jsonl"))
