@@ -84,3 +84,77 @@ def q_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_FMT_ORACLE = f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM({SQL_MD5_LONG.format(expr="text")} % {_CKSUM_MOD})
+                AS BIGINT) AS text_cksum
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+def _roundtrip_stats(
+    spark: SparkSession, sf_dir: str, fmt: str, **wopts
+) -> DataFrame:
+    """Shared write→read-with-schema→checksum-aggregate harness for
+    the text/columnar format matrix; each format's query proves ITS
+    writer+reader path byte-faithful against the parquet original."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{fmt}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    w = d.write.mode("overwrite")
+    for k, v in wopts.items():
+        w = w.option(k, v)
+    w.format(fmt).save(path)
+    back = spark.read.schema(_SCHEMA)
+    for k, v in wopts.items():
+        back = back.option(k, v)
+    back = back.format(fmt).load(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(md5_long(F.col("text")) % _CKSUM_MOD).alias("text_cksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("q_csv_roundtrip_stats", oracle=_FMT_ORACLE)
+def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink certification — the header/quote/escape path
+    (document text can contain anything): write with explicit
+    quote-all so embedded delimiters survive, read back with the
+    explicit schema (inference over 100 TB of CSV is a full scan),
+    checksum against the parquet original. Splittable-format caveat
+    noted: unlike JSONL, quoted multi-line CSV is NOT safely
+    splittable — keep records single-line (ours are) or pay
+    single-task reads per file."""
+    return _roundtrip_stats(
+        spark,
+        sf_dir,
+        "csv",
+        header="true",
+        quoteAll="true",
+        escape='"',
+    )
+
+
+@query("q_orc_roundtrip_stats", oracle=_FMT_ORACLE)
+def q_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink certification — the other columnar format a
+    lake migration meets; same stripe-level pushdown/pruning family
+    as Parquet, exercised through Spark's native vectorized ORC
+    reader. Checksum equality against the parquet original proves
+    the type mapping (int64/string) round-trips exactly."""
+    return _roundtrip_stats(spark, sf_dir, "orc")
