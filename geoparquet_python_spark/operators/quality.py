@@ -434,3 +434,170 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "n_outliers", "mean", "std")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# F4: ensemble quality gate (multi-signal z-score fusion)
+# --------------------------------------------------------------------------
+
+_ENS_K = 20
+
+
+@query(
+    "q_quality_ensemble_gate",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    tri AS (SELECT doc_id, COUNT(*) AS ndt FROM sh GROUP BY doc_id),
+    tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok),
+    lpt AS (
+      SELECT t.doc_id,
+             CAST(round(ln(f.c * 1.0 / tot.n_total) * 1000000) AS BIGINT)
+               AS lp
+      FROM tok t JOIN freq f ON f.term = t.term CROSS JOIN tot
+    ),
+    lpd AS (
+      SELECT doc_id,
+             CAST(SUM(lp) AS BIGINT) * 1.0 / COUNT(*) / 1000000 AS avg_lp
+      FROM lpt GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT d.doc_id,
+             len(list_distinct(str_split(d.text, ' '))) * 1.0
+               / len(str_split(d.text, ' ')) AS ttr,
+             CASE WHEN len(str_split(d.text, ' ')) > 2
+                  THEN (len(str_split(d.text, ' ')) - 2 - t.ndt) * 1.0
+                       / (len(str_split(d.text, ' ')) - 2)
+                  ELSE 0.0 END AS dup3,
+             l.avg_lp
+      FROM documents d
+      JOIN tri t USING (doc_id)
+      JOIN lpd l USING (doc_id)
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(ttr AS DECIMAL(38,6))) AS DOUBLE) AS s_ttr,
+             CAST(SUM(CAST(ttr * ttr AS DECIMAL(38,6))) AS DOUBLE) AS s2_ttr,
+             CAST(SUM(CAST(dup3 AS DECIMAL(38,6))) AS DOUBLE) AS s_dup3,
+             CAST(SUM(CAST(dup3 * dup3 AS DECIMAL(38,6))) AS DOUBLE) AS s2_dup3,
+             CAST(SUM(CAST(avg_lp AS DECIMAL(38,6))) AS DOUBLE) AS s_lp,
+             CAST(SUM(CAST(avg_lp * avg_lp AS DECIMAL(38,6))) AS DOUBLE) AS s2_lp
+      FROM sig
+    ),
+    z AS (
+      SELECT s.doc_id, s.ttr, s.dup3, s.avg_lp,
+             ((s.ttr - m.s_ttr / m.n)
+              / SQRT((m.s2_ttr - (m.s_ttr * m.s_ttr) / m.n) / (m.n - 1))
+              + (s.avg_lp - m.s_lp / m.n)
+              / SQRT((m.s2_lp - (m.s_lp * m.s_lp) / m.n) / (m.n - 1))
+              - (s.dup3 - m.s_dup3 / m.n)
+              / SQRT((m.s2_dup3 - (m.s_dup3 * m.s_dup3) / m.n) / (m.n - 1))
+             ) / 3.0 AS quality_z
+      FROM sig s CROSS JOIN mom m
+    )
+    SELECT doc_id, ttr, dup3, avg_lp, quality_z
+    FROM z
+    ORDER BY quality_z, doc_id
+    LIMIT {_ENS_K}
+    """,
+)
+def q_quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Gopher-style multi-signal quality gate: z-score three
+    per-doc signals against the corpus — type-token ratio (up =
+    good), unigram-LM mean log-prob (up = good), duplicate-trigram
+    fraction (up = bad) — and flag the {K} worst by the averaged
+    composite. One signal catches one failure mode; the ensemble is
+    what production filters actually ship (word salad scores fine on
+    TTR, repetition loops score fine on LM — each is caught by the
+    other two).
+
+    Determinism: each signal is an exact integer ratio or a
+    fixed-point ln sum; corpus moments go through DECIMAL(38,6)
+    accumulation (partition-order independent, the registry
+    contract), and the z arithmetic after that is a fixed sequence
+    of IEEE scalar ops on bit-identical inputs. Shape: all three
+    signal frames are doc_id-keyed aggregates sharing one
+    partitioning; moments are a one-row broadcast; the gate is a
+    TakeOrdered bottom-k.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.size(shingles("toks", k=3)).alias("ndt"),
+    )
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.sum(F.lit(1)).cast("bigint").alias("n_total"))
+    lp = F.round(
+        F.log(F.col("c").cast("double") / F.col("n_total").cast("double"))
+        * 1e6
+    ).cast("bigint")
+    lpd = (
+        tok.join(
+            broadcast_narrow(
+                freq.crossJoin(broadcast_narrow(tot)).select(
+                    "term", lp.alias("lp")
+                )
+            ),
+            "term",
+        )
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum("lp").cast("bigint")
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+                / 1e6
+            ).alias("avg_lp")
+        )
+    )
+    n_tok = F.col("n_tok")
+    sig = base.join(lpd, "doc_id").select(
+        "doc_id",
+        (F.col("n_uniq") * F.lit(1.0) / n_tok).alias("ttr"),
+        F.when(
+            n_tok > 2,
+            (n_tok - 2 - F.col("ndt")) * F.lit(1.0) / (n_tok - 2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup3"),
+        "avg_lp",
+    )
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    mom = sig.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("ttr"))).cast("double").alias("s_ttr"),
+        F.sum(dec(F.col("ttr") * F.col("ttr"))).cast("double").alias("s2_ttr"),
+        F.sum(dec(F.col("dup3"))).cast("double").alias("s_dup3"),
+        F.sum(dec(F.col("dup3") * F.col("dup3")))
+        .cast("double")
+        .alias("s2_dup3"),
+        F.sum(dec(F.col("avg_lp"))).cast("double").alias("s_lp"),
+        F.sum(dec(F.col("avg_lp") * F.col("avg_lp")))
+        .cast("double")
+        .alias("s2_lp"),
+    )
+
+    def z(x, s, s2):
+        mean = F.col(s) / F.col("n")
+        var = (F.col(s2) - (F.col(s) * F.col(s)) / F.col("n")) / (
+            F.col("n") - 1
+        )
+        return (x - mean) / F.sqrt(var)
+
+    composite = (
+        z(F.col("ttr"), "s_ttr", "s2_ttr")
+        + z(F.col("avg_lp"), "s_lp", "s2_lp")
+        - z(F.col("dup3"), "s_dup3", "s2_dup3")
+    ) / F.lit(3.0)
+    return (
+        sig.crossJoin(broadcast_narrow(mom))
+        .select("doc_id", "ttr", "dup3", "avg_lp", composite.alias("quality_z"))
+        .orderBy("quality_z", "doc_id")
+        .limit(_ENS_K)
+    )
