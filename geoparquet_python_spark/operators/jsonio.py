@@ -158,3 +158,68 @@ def q_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader. Checksum equality against the parquet original proves
     the type mapping (int64/string) round-trips exactly."""
     return _roundtrip_stats(spark, sf_dir, "orc")
+
+
+@query(
+    "q_schema_evolution_read",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT doc_id, lang, text, n_chars FROM documents WHERE doc_id % 2 = 1
+    ),
+    unioned AS (
+      SELECT doc_id, lang, text, NULL AS n_chars FROM v1
+      UNION ALL
+      SELECT doc_id, lang, text, n_chars FROM v2
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars,
+           CAST(SUM({SQL_MD5_LONG.format(expr="text")} % {_CKSUM_MOD})
+                AS BIGINT) AS text_cksum
+    FROM unioned
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read path: two parquet generations of the
+    same dataset — v1 written WITHOUT `n_chars`, v2 with it — land in
+    one directory, and a `mergeSchema` read unifies them (v1 rows get
+    NULL for the added column). The aggregate proves exactly the
+    column-addition contract every long-lived lake relies on: counts
+    split correctly by generation (`n_with_chars`), the added
+    column's sum covers only v2 rows, and the text checksum shows no
+    row was lost or duplicated across generations.
+
+    Scale note: mergeSchema costs a footer read per FILE on the
+    driver — fine for generation counts in the hundreds; a 100 TB
+    lake pins the merged schema in a catalog (or reads with an
+    explicit schema, as every other query here does) instead of
+    re-merging per query.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_evo_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    v1 = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "text")
+    v2 = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("total_chars"),
+            F.sum(md5_long(F.col("text")) % _CKSUM_MOD).alias("text_cksum"),
+        )
+        .orderBy("lang")
+    )
