@@ -223,3 +223,69 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_federated_format_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_federated_format_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format federation in ONE plan: the parquet `lineitem`
+    fact joins an `orders` dimension that lives as JSONL (written
+    here to stand in for the API-export / crawl-dump side of a real
+    lake), keyed on orderkey, rolled up to priority revenue. The
+    optimizer treats both scans uniformly — predicate pushdown and
+    join planning don't care about the format boundary — which is
+    exactly why a lake can migrate formats table by table. Revenue
+    goes through DECIMAL(38,6) per the registry contract.
+
+    JSON caveat exercised on purpose: o_totalprice/o_orderdate ride
+    the JSON text form and are read back with an explicit schema —
+    the oracle joins the ORIGINAL parquet tables, so any JSON type
+    mangling (timestamp formatting, double round-trip) would
+    hash-fail. The keys and grouping column survive byte-exact.
+    """
+    import pyspark.sql.types as T
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_fedjson_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    o.write.mode("overwrite").json(path)
+    oschema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    o_json = spark.read.schema(oschema).json(path)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o_json, li.l_orderkey == o_json.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
