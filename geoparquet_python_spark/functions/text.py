@@ -68,3 +68,16 @@ def sql_shingles_cte(k: int = 3, source: str = "documents") -> str:
       FROM pos t0
 {joins}
     )"""
+
+
+def bigram_structs(tokens_col: str) -> "Column":
+    """Adjacent-token bigrams as an array of (w1, w2) structs, built
+    in-row (transform-with-index, no explode-join). Shared by the PMI
+    and bigram-LM operators so "what is a bigram" has one definition.
+    """
+    t = tokens_col
+    return F.expr(
+        f"filter(transform({t}, (x, i) -> "
+        f"CASE WHEN i < size({t}) - 1 THEN "
+        f"struct(x AS w1, {t}[i + 1] AS w2) END), p -> p IS NOT NULL)"
+    )

@@ -184,40 +184,25 @@ def q_pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import json
     import os
-    import shutil
     import tempfile
 
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.jsonio import _SCHEMA
 
     prepare(spark)
     register(spark)
-    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", "n_chars"
     )
     path = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_pyds_w_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    d.write.format("synthetic_docs").mode("append").save(path)
+    d.write.format("synthetic_docs").mode("overwrite").save(path)
     with open(os.path.join(path, "_MANIFEST.json")) as fh:
         manifest = json.load(fh)
     files = [os.path.join(path, f["name"]) for f in manifest["files"]]
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("lang", StringType()),
-            StructField("text", StringType()),
-            StructField("n_chars", LongType()),
-        ]
-    )
-    back = spark.read.schema(schema).json(files)
+    back = spark.read.schema(_SCHEMA).json(files)
     return (
         back.groupBy("lang")
         .agg(

@@ -136,7 +136,11 @@ def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (document text can contain anything): write with explicit
     quote-all so embedded delimiters survive, read back with the
     explicit schema (inference over 100 TB of CSV is a full scan),
-    checksum against the parquet original. Splittable-format caveat
+    checksum against the parquet original. The explicit `nullValue`
+    sentinel matters: with Spark's defaults an empty-string field
+    parses back as NULL (verified live), silently corrupting any
+    corpus with empty documents — the sentinel keeps '' and NULL
+    distinct through the round trip. Splittable-format caveat
     noted: unlike JSONL, quoted multi-line CSV is NOT safely
     splittable — keep records single-line (ours are) or pay
     single-task reads per file."""
@@ -147,6 +151,7 @@ def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         header="true",
         quoteAll="true",
         escape='"',
+        nullValue="\\N",
     )
 
 
@@ -231,7 +236,9 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lines,
            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS dim_totalprice
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
@@ -248,16 +255,17 @@ def q_federated_format_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly why a lake can migrate formats table by table. Revenue
     goes through DECIMAL(38,6) per the registry contract.
 
-    JSON caveat exercised on purpose: o_totalprice/o_orderdate ride
-    the JSON text form and are read back with an explicit schema —
-    the oracle joins the ORIGINAL parquet tables, so any JSON type
-    mangling (timestamp formatting, double round-trip) would
-    hash-fail. The keys and grouping column survive byte-exact.
+    JSON caveat exercised on purpose: o_totalprice (a DOUBLE) rides
+    the JSON text form and is summed on the JSON side of the join,
+    while the oracle sums it from the ORIGINAL parquet — so the
+    shortest-round-trip double serialization is actually certified
+    (a mangled last ulp would hash-fail). Timestamps are NOT pushed
+    through JSON here; their format contract is a separate concern.
     """
     import pyspark.sql.types as T
 
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
+        "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     path = os.path.join(
         tempfile.gettempdir(),
@@ -268,6 +276,7 @@ def q_federated_format_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("o_orderkey", T.LongType()),
             T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
         ]
     )
     o_json = spark.read.schema(oschema).json(path)
@@ -286,6 +295,9 @@ def q_federated_format_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("double")
             .alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("dim_totalprice"),
         )
         .orderBy("o_orderpriority")
     )

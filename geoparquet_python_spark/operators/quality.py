@@ -37,6 +37,10 @@ from geoparquet_python_spark.functions.text import (
 )
 from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.operators.textanalysis import (
+    SQL_UNIGRAM_LPD_CTES,
+    unigram_logprob_doc_frame,
+)
 from geoparquet_python_spark.registry import query
 
 # A 5-gram appearing in >= _BOILER_DF distinct documents is boilerplate.
@@ -448,22 +452,7 @@ _ENS_K = 20
     oracle=f"""
     WITH {sql_shingles_cte(k=3)},
     tri AS (SELECT doc_id, COUNT(*) AS ndt FROM sh GROUP BY doc_id),
-    tok AS (
-      SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
-    ),
-    freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
-    tot AS (SELECT COUNT(*) AS n_total FROM tok),
-    lpt AS (
-      SELECT t.doc_id,
-             CAST(round(ln(f.c * 1.0 / tot.n_total) * 1000000) AS BIGINT)
-               AS lp
-      FROM tok t JOIN freq f ON f.term = t.term CROSS JOIN tot
-    ),
-    lpd AS (
-      SELECT doc_id,
-             CAST(SUM(lp) AS BIGINT) * 1.0 / COUNT(*) / 1000000 AS avg_lp
-      FROM lpt GROUP BY doc_id
-    ),
+    {SQL_UNIGRAM_LPD_CTES},
     sig AS (
       SELECT d.doc_id,
              len(list_distinct(str_split(d.text, ' '))) * 1.0
@@ -474,7 +463,7 @@ _ENS_K = 20
                   ELSE 0.0 END AS dup3,
              l.avg_lp
       FROM documents d
-      JOIN tri t USING (doc_id)
+      LEFT JOIN tri t USING (doc_id)
       JOIN lpd l USING (doc_id)
     ),
     mom AS (
@@ -530,31 +519,8 @@ def q_quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("toks")).alias("n_uniq"),
         F.size(shingles("toks", k=3)).alias("ndt"),
     )
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.agg(F.sum(F.lit(1)).cast("bigint").alias("n_total"))
-    lp = F.round(
-        F.log(F.col("c").cast("double") / F.col("n_total").cast("double"))
-        * 1e6
-    ).cast("bigint")
-    lpd = (
-        tok.join(
-            broadcast_narrow(
-                freq.crossJoin(broadcast_narrow(tot)).select(
-                    "term", lp.alias("lp")
-                )
-            ),
-            "term",
-        )
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum("lp").cast("bigint")
-                * F.lit(1.0)
-                / F.count(F.lit(1))
-                / 1e6
-            ).alias("avg_lp")
-        )
+    lpd = unigram_logprob_doc_frame(spark, sf_dir).select(
+        "doc_id", "avg_lp"
     )
     n_tok = F.col("n_tok")
     sig = base.join(lpd, "doc_id").select(

@@ -402,8 +402,7 @@ _LI_SCALE = 1_000_000_000  # 1e9 per-term cosine units
     ),
     mx AS (SELECT qv, label, MAX(cf) AS m FROM cosf GROUP BY qv, label),
     sc AS (
-      SELECT label, CAST(SUM(m) AS BIGINT) AS score_fp,
-             COUNT(*) AS n_query_terms
+      SELECT label, CAST(SUM(m) AS BIGINT) AS score_fp
       FROM mx GROUP BY label
     )
     SELECT label, score_fp, score_fp / {float(_LI_SCALE)} AS score,
@@ -459,10 +458,7 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qv", "label")
         .agg(F.max("cf").alias("m"))
         .groupBy("label")
-        .agg(
-            F.sum("m").alias("score_fp"),
-            F.count(F.lit(1)).alias("n_query_terms"),
-        )
+        .agg(F.sum("m").alias("score_fp"))
     )
     w = Window.orderBy(F.col("score_fp").desc(), F.col("label"))
     top = scored.orderBy(F.col("score_fp").desc(), "label").limit(_LI_TOPK)

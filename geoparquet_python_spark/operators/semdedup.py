@@ -73,12 +73,13 @@ from geoparquet_python_spark.registry import query
 _TAU = 0.35  # semantic-duplicate cosine threshold
 
 
-def _cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """In-cell (vec_a < vec_b) candidate pairs with embeddings+norms
-    attached: one corpus shuffle on the cell id, map-side pair
-    expansion from the per-cell sorted id list."""
+def _assigned_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (vec_id, embedding, n2, cell) assignment frame —
+    computed ONCE per query and shared by the pair expansion and the
+    membership rollup (the centroid-argmin projection is the
+    expensive interpreted-HOF pass; see kmeans.py's Generate note)."""
     cents = _train(spark, sf_dir)
-    base = materialize(
+    return materialize(
         _fixed_points(spark, sf_dir).select(
             "vec_id",
             "embedding",
@@ -86,6 +87,16 @@ def _cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _assign_expr(cents).alias("cell"),
         )
     )
+
+
+def _cell_pairs(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
+    """In-cell (vec_a < vec_b) candidate pairs with embeddings+norms
+    attached: one corpus shuffle on the cell id, map-side pair
+    expansion from the per-cell sorted id list."""
+    if base is None:
+        base = _assigned_base(spark, sf_dir)
     cells = (
         base.groupBy("cell")
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
@@ -215,15 +226,12 @@ def q_semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup a pipeline owner watches — a cell with an outsized drop
     rate is either a true semantic-duplicate hotspot or a tau set too
     loose for that region of embedding space."""
-    cents = _train(spark, sf_dir)
-    members = (
-        _fixed_points(spark, sf_dir)
-        .select(_assign_expr(cents).alias("cell"))
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_members"))
+    base = _assigned_base(spark, sf_dir)
+    members = base.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members")
     )
     dropped = (
-        _cell_pairs(spark, sf_dir)
+        _cell_pairs(spark, sf_dir, base=base)
         .where(F.col("cosine") >= _TAU)
         .select("cell", "vec_b")
         .distinct()

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
 from geoparquet_python_spark.functions.text import (
     SQL_MD5_LONG,
+    bigram_structs,
     md5_long,
     shingles,
     sql_shingles_cte,
@@ -360,51 +361,39 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F4: unigram log-probability (perplexity-proxy quality filter)
 # --------------------------------------------------------------------------
 
-
-@query(
-    "q_unigram_logprob",
-    oracle="""
-    WITH tok AS (
+# Shared unigram-LM core (also consumed by quality.py's ensemble gate):
+# per-token 1e-6-rounded ln(c/N) as int64, rolled up per document. One
+# definition on each engine so a change to the fixed-point treatment
+# (scale, rounding, smoothing) can never de-synchronize consumers.
+SQL_UNIGRAM_LPD_CTES = """
+    tok AS (
       SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
     ),
     freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
     tot AS (SELECT COUNT(*) AS n FROM tok),
-    fp AS (
+    lpt AS (
       SELECT t.doc_id,
              CAST(round(ln(f.c * 1.0 / tot.n) * 1000000) AS BIGINT) AS lp
       FROM tok t JOIN freq f ON f.term = t.term CROSS JOIN tot
-    )
-    SELECT doc_id,
-           COUNT(*) AS n_tokens,
-           CAST(SUM(lp) AS BIGINT) AS logprob_fp,
-           CAST(SUM(lp) AS BIGINT) * 1.0 / COUNT(*) / 1000000
-             AS avg_logprob
-    FROM fp
-    GROUP BY doc_id
-    ORDER BY doc_id
-    """,
-)
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style perplexity proxy: per-doc mean unigram
-    log-probability under the corpus's own unigram LM. Gibberish and
-    boilerplate score far from the corpus mean; the downstream gate
-    is a plain filter on avg_logprob.
+    ),
+    lpd AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(lp) AS BIGINT) AS logprob_fp,
+             CAST(SUM(lp) AS BIGINT) * 1.0 / COUNT(*) / 1000000 AS avg_lp
+      FROM lpt GROUP BY doc_id
+    )"""
 
-    Two aggregates over the exploded tokens (corpus LM build + per-doc
-    score) bridged by an equi-join on the term: the frequency table is
-    vocabulary-sized — broadcast when it fits, shuffle equi-join (AQE
-    skew-split for stopword terms) when it doesn't. ln() is libm-
-    backed, so each per-TOKEN term is rounded to 1e-6 and accumulated
-    as fixed-point int64 (order-independent; a double sum of 10^11
-    tokens would be partition-order-dependent) — same determinism
-    treatment as functions/vector.py.
-    """
+
+def unigram_logprob_doc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, logprob_fp, avg_lp) under the corpus's own
+    unigram LM — the Spark twin of SQL_UNIGRAM_LPD_CTES' lpd."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tok = materialize(tok)
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     # Corpus token total rides the dataflow as a one-row cross join
-    # (vocab-sized frame × 1) instead of a driver-side count() job —
+    # (vocab-sized frame x 1) instead of a driver-side count() job -
     # at 100 TB a count-before-plan is a full extra scan (same fix as
     # the packing shard sizing, round-5 item #4).
     tot = tok.agg(F.sum(F.lit(1)).cast("bigint").alias("n_total"))
@@ -420,19 +409,47 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "term",
     )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp").alias("logprob_fp"),
+        (
+            F.sum("lp").cast("bigint") * F.lit(1.0) / F.count(F.lit(1)) / 1e6
+        ).alias("avg_lp"),
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH {SQL_UNIGRAM_LPD_CTES}
+    SELECT doc_id, n_tokens, logprob_fp, avg_lp AS avg_logprob
+    FROM lpd
+    ORDER BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-doc mean unigram
+    log-probability under the corpus's own unigram LM. Gibberish and
+    boilerplate score far from the corpus mean; the downstream gate
+    is a plain filter on avg_logprob.
+
+    Two aggregates over the exploded tokens (corpus LM build + per-doc
+    score) bridged by an equi-join on the term: the frequency table is
+    vocabulary-sized - broadcast when it fits, shuffle equi-join (AQE
+    skew-split for stopword terms) when it doesn't. ln() is libm-
+    backed, so each per-TOKEN term is rounded to 1e-6 and accumulated
+    as fixed-point int64 (order-independent; a double sum of 10^11
+    tokens would be partition-order-dependent) - same determinism
+    treatment as functions/vector.py. Core shared with the ensemble
+    gate via unigram_logprob_doc_frame / SQL_UNIGRAM_LPD_CTES.
+    """
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lp").alias("logprob_fp"),
-        )
+        unigram_logprob_doc_frame(spark, sf_dir)
         .select(
             "doc_id",
             "n_tokens",
             "logprob_fp",
-            (
-                F.col("logprob_fp") * F.lit(1.0) / F.col("n_tokens") / 1e6
-            ).alias("avg_logprob"),
+            F.col("avg_lp").alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -596,15 +613,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    bigrams = d.select(toks.alias("t")).select(
-        F.explode(
-            F.expr(
-                "filter(transform(t, (x, i) -> "
-                "CASE WHEN i < size(t) - 1 THEN "
-                "struct(x AS w1, t[i + 1] AS w2) END), p -> p IS NOT NULL)"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    bigrams = (
+        d.select(toks.alias("t"))
+        .select(F.explode(bigram_structs("t")).alias("p"))
+        .select("p.w1", "p.w2")
+    )
     bc = materialize(
         bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
     )
@@ -687,17 +700,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     big = materialize(
         d.select("doc_id", toks.alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "filter(transform(t, (x, i) -> "
-                    "CASE WHEN i < size(t) - 1 THEN "
-                    "struct(x AS w1, t[i + 1] AS w2) END), "
-                    "p -> p IS NOT NULL)"
-                )
-            ).alias("p"),
-        )
+        .select("doc_id", F.explode(bigram_structs("t")).alias("p"))
         .select("doc_id", "p.w1", "p.w2")
     )
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))

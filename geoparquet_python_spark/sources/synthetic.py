@@ -145,10 +145,22 @@ class ManifestJsonlWriter(DataSourceWriter):
     _SUCCESS+file-listing, made explicit and checkable."""
 
     def __init__(self, options, overwrite: bool):
+        import os as _os
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("synthetic_docs writer requires a path")
-        self.overwrite = overwrite
+        # The writer is constructed on the DRIVER, so directory prep
+        # and overwrite semantics happen here, before any task runs:
+        # mode("overwrite") clears prior part files AND the manifest —
+        # without this, stale parts from an earlier write would sit
+        # beside the new manifest, violating Spark's overwrite
+        # contract for any reader globbing *.jsonl.
+        _os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for f in _os.listdir(self.path):
+                if f.endswith(".jsonl") or f == "_MANIFEST.json":
+                    _os.remove(_os.path.join(self.path, f))
 
     def write(self, iterator):
         import json as _json
@@ -159,6 +171,7 @@ class ManifestJsonlWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         name = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
+        _os.makedirs(self.path, exist_ok=True)
         full = _os.path.join(self.path, name)
         n, cksum = 0, 0
         with open(full, "w", encoding="utf-8") as fh:

@@ -114,3 +114,19 @@ def test_pyds_writer_manifest_visibility(spark, tmp_path):
 
     w.abort([_Msg()])
     assert not os.path.exists(os.path.join(path, "part-99999-deadbeef.jsonl"))
+
+    # mode('overwrite') clears stale parts AND the old manifest before
+    # any task writes — afterwards disk contents equal the NEW commit.
+    df2 = df.where("doc_id < 7")
+    df2.write.format("synthetic_docs").mode("overwrite").save(path)
+    manifest2 = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest2["total_rows"] == 7
+    on_disk2 = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    assert on_disk2 == {f["name"] for f in manifest2["files"]}
+
+    # writer also works into a not-yet-existing directory
+    fresh = str(tmp_path / "fresh" / "nested")
+    df2.write.format("synthetic_docs").mode("overwrite").save(fresh)
+    assert json.load(open(os.path.join(fresh, "_MANIFEST.json")))[
+        "total_rows"
+    ] == 7

@@ -683,3 +683,48 @@ def test_percentile_approx_rank_error_bound(spark, sf_dir):
         rank = sum(1 for x in xs if x <= ap)
         target = 0.5 * n
         assert abs(rank - target) <= n / acc + 1, (et, rank, target, n)
+
+
+def test_edge_docs_oracle_parity(spark, tmp_path):
+    """Short (<3-token) and empty-text documents — legal corpus
+    content the standard fixtures lack — must keep oracle parity for
+    the queries whose handling of them is non-obvious: the ensemble
+    gate (trigram-frame eligibility: the oracle must not drop
+    sub-trigram docs) and the CSV round trip (empty string must not
+    come back as NULL)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from geoparquet_python_spark.io import TABLES
+    from geoparquet_python_spark.testing import duckdb_connect, run_compare
+
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    docs = pd.read_parquet(f"{src}/documents.parquet").head(40)
+    edge = pd.DataFrame(
+        {
+            "doc_id": [900001, 900002, 900003],
+            "text": ["solo", "two tokens", ""],
+            "lang": ["en", "en", "en"],
+            "source": ["edge", "edge", "edge"],
+            "n_chars": [4, 10, 0],
+        }
+    )
+    pd.concat([docs, edge], ignore_index=True).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    duck = duckdb_connect(str(tmp_path))
+    for name in ("q_quality_ensemble_gate", "q_csv_roundtrip_stats"):
+        run_compare(
+            spark,
+            duck,
+            name,
+            registry.QUERIES[name],
+            registry.ORACLES[name],
+            str(tmp_path),
+        )
+    shutil.rmtree(tmp_path, ignore_errors=True)
