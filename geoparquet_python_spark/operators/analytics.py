@@ -225,3 +225,113 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_dec").cast("double").alias("sum_value"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# AN+: correlation analysis (integer-exact Pearson over a dense grid)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hourly_type_correlation",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ),
+    grid AS (
+      SELECT day, h.h AS hour
+      FROM days CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+    ),
+    hc AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(hour(ts) AS BIGINT) AS hour,
+             CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS x,
+             CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT grid.day, grid.hour,
+             COALESCE(hc.x, 0) AS x, COALESCE(hc.y, 0) AS y
+      FROM grid LEFT JOIN hc ON hc.day = grid.day AND hc.hour = grid.hour
+    ),
+    m AS (
+      SELECT day,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM g GROUP BY day
+    )
+    SELECT day, CAST(sx AS BIGINT) AS n_purchases,
+           CAST(sy AS BIGINT) AS n_errors,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy) * 1.0
+                     / SQRT((n * sxx - sx * sx) * 1.0
+                            * (n * syy - sy * sy))
+                ELSE NULL END AS pearson_r
+    FROM m
+    ORDER BY day
+    """,
+)
+def q_hourly_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Pearson correlation between the hourly purchase count
+    and the hourly error count — the 'do errors move with load'
+    diagnostic. Each day is a dense 24-point series (empty hours count
+    0 via a generated grid, so missing hours can't bias the moments).
+
+    Determinism: counts are integers, so ALL five moment sums are
+    exact int64 arithmetic — the only doubles are one final
+    multiply/sqrt/divide sequence applied identically on both engines
+    (same trick as q_qty_dispersion). Zero-variance days yield NULL
+    on both sides. Shape: one shuffle on (day, hour) for the counts,
+    one on day for the moments; the hour grid explodes from the
+    days frame (rows = days x 24), never from the fact table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hc = (
+        e.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.hour("ts").alias("hour"),
+            "event_type",
+        )
+        .groupBy("day", "hour")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("x"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("y"),
+        )
+    )
+    grid = (
+        e.select(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+        .select("day", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour"))
+    )
+    g = (
+        grid.join(hc, ["day", "hour"], "left")
+        .select(
+            "day",
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    m = g.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when(
+        vx * vy > 0,
+        cov * F.lit(1.0) / F.sqrt(vx * F.lit(1.0) * vy),
+    )
+    return m.select(
+        "day",
+        F.col("sx").alias("n_purchases"),
+        F.col("sy").alias("n_errors"),
+        r.alias("pearson_r"),
+    ).orderBy("day")

@@ -141,3 +141,89 @@ def q_asof_purchase_click_grouped(spark: SparkSession, sf_dir: str) -> DataFrame
         lambda pdf: _merge_asof_group(pdf), _ASOF_SCHEMA
     )
     return out.orderBy("purchase_event_id")
+
+
+@query(
+    "q_asof_purchase_click_forward",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_event_id,
+           p.user_id,
+           cc.event_id AS click_event_id,
+           epoch_us(cc.tsu) - epoch_us(p.tsu) AS lead_us
+    FROM p LEFT JOIN LATERAL (
+      SELECT event_id, tsu FROM c
+      WHERE c.user_id = p.user_id AND c.tsu >= p.tsu
+      ORDER BY tsu, event_id LIMIT 1
+    ) cc ON TRUE
+    ORDER BY purchase_event_id
+    """,
+)
+def q_asof_purchase_click_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'):
+    for each purchase, the EARLIEST click at-or-after it per user —
+    the 'what happened next' enrichment (post-purchase behavior,
+    next-heartbeat, retry attribution), completing the direction
+    surface next to the backward form above.
+
+    Same union + window mechanics mirrored: clicks sort AFTER
+    purchases at equal timestamps (kind 1 vs 0 → inclusive >=), and
+    each purchase reads first(click, ignorenulls) over the
+    [current row, unbounded following] frame — still ONE shuffle on
+    the user key, no Python. Ties at equal click ts break to the
+    lowest event_id on both engines (the window's third sort key;
+    the oracle's LATERAL ORDER BY ... LIMIT 1).
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("click_event_id"),
+        F.lit(None).cast("long").alias("purchase_event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "click_event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "purchase_event_id",
+        F.first("click_event_id", ignorenulls=True).over(w).alias(
+            "click_event_id"
+        ),
+        F.first(
+            F.when(F.col("click_event_id").isNotNull(), F.col("ts")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_ts"),
+    )
+    return (
+        merged.where(F.col("purchase_event_id").isNotNull())
+        .select(
+            "purchase_event_id",
+            "user_id",
+            "click_event_id",
+            (F.unix_micros("click_ts") - F.unix_micros("ts")).alias(
+                "lead_us"
+            ),
+        )
+        .orderBy("purchase_event_id")
+    )
