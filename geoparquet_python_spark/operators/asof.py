@@ -227,3 +227,72 @@ def q_asof_purchase_click_forward(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("purchase_event_id")
     )
+
+
+@query(
+    "q_asof_purchase_click_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_event_id,
+           p.user_id,
+           cc.event_id AS click_event_id,
+           epoch_us(cc.tsu) - epoch_us(p.tsu) AS delta_us
+    FROM p LEFT JOIN LATERAL (
+      SELECT event_id, tsu FROM c
+      WHERE c.user_id = p.user_id
+      ORDER BY abs(epoch_us(c.tsu) - epoch_us(p.tsu)), tsu, event_id
+      LIMIT 1
+    ) cc ON TRUE
+    ORDER BY purchase_event_id
+    """,
+)
+def q_asof_purchase_click_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (merge_asof direction='nearest'): per
+    purchase, the click with the smallest ABSOLUTE time distance,
+    either side. Completes the direction trio; tie at equal distance
+    breaks to the earlier click then lower event_id (documented —
+    pandas leaves it unspecified).
+
+    Composed from the two directional forms rather than re-derived:
+    backward and forward candidates each come from their single-
+    shuffle window pass, then one CASE picks the closer — the same
+    user-key partitioning throughout, so composing adds joins on
+    already-co-partitioned frames, not new corpus shuffles. The
+    oracle's LATERAL is the spec, not the plan (it scans each user's
+    clicks per purchase — fine at oracle scale, never run at corpus
+    scale).
+    """
+    back = q_asof_purchase_click(spark, sf_dir).select(
+        "purchase_event_id",
+        "user_id",
+        F.col("click_event_id").alias("b_click"),
+        F.col("lag_us").alias("b_lag"),
+    )
+    fwd = q_asof_purchase_click_forward(spark, sf_dir).select(
+        F.col("purchase_event_id"),
+        F.col("click_event_id").alias("f_click"),
+        F.col("lead_us").alias("f_lead"),
+    )
+    j = back.join(fwd, "purchase_event_id")
+    # b_lag >= 0 measures backward distance; f_lead >= 0 forward.
+    # Prefer backward on ties (the earlier click).
+    pick_back = F.col("f_click").isNull() | (
+        F.col("b_click").isNotNull() & (F.col("b_lag") <= F.col("f_lead"))
+    )
+    return j.select(
+        "purchase_event_id",
+        "user_id",
+        F.when(pick_back, F.col("b_click"))
+        .otherwise(F.col("f_click"))
+        .alias("click_event_id"),
+        F.when(pick_back, -F.col("b_lag"))
+        .otherwise(F.col("f_lead"))
+        .alias("delta_us"),
+    ).orderBy("purchase_event_id")
