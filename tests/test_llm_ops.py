@@ -728,3 +728,57 @@ def test_edge_docs_oracle_parity(spark, tmp_path):
             str(tmp_path),
         )
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_pagerank_matches_pure_python_fold(spark, sf_dir_small):
+    """Independent replication: recompute the 3-iteration fixed-point
+    PageRank recurrence in pure Python from the edge list and demand
+    EXACT int64 equality with the Spark result — a different
+    implementation path (dict fold vs joins) over the same integer
+    algebra, so any divergence in div semantics, damping order, or
+    join fan-out shows up as a hard mismatch. Also checks the
+    conservation invariant: with no dangling nodes, total rank stays
+    within per-node truncation loss of the 1e12 unit mass."""
+    from geoparquet_python_spark.operators.dedup import _exact_jaccard_pairs
+    from geoparquet_python_spark.operators.graph import (
+        _PR_D_DEN,
+        _PR_D_NUM,
+        _PR_SCALE,
+        _PR_T,
+    )
+
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in _exact_jaccard_pairs(spark, sf_dir_small).collect()
+    ]
+    assert edges, "fixture must yield a non-empty near-dup graph"
+    sym = edges + [(b, a) for a, b in edges]
+    deg: dict[int, int] = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    ranks = {v: _PR_SCALE // n for v in deg}
+    for _ in range(_PR_T):
+        contrib: dict[int, int] = {v: 0 for v in deg}
+        for s, d in sym:
+            # truncating div on non-negative ints == Spark `div`
+            contrib[d] += ranks[s] // deg[s]
+        base = (15 * _PR_SCALE) // (_PR_D_DEN * n)
+        ranks = {
+            v: base + (_PR_D_NUM * c) // _PR_D_DEN
+            for v, c in contrib.items()
+        }
+    got = {
+        r.doc_id: (r.rank_fp, r.degree)
+        for r in registry.QUERIES["q_pagerank_neardup"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert set(got) == set(ranks)
+    for v, rfp in ranks.items():
+        assert got[v] == (rfp, deg[v]), (v, got[v], rfp, deg[v])
+    total = sum(ranks.values())
+    # each of n nodes loses < 1 unit per div/damping truncation per
+    # iteration; 3 iterations + init
+    assert _PR_SCALE - total < 4 * n * (max(deg.values()) + 2)
+    assert total <= _PR_SCALE
