@@ -782,3 +782,55 @@ def test_pagerank_matches_pure_python_fold(spark, sf_dir_small):
     # iteration; 3 iterations + init
     assert _PR_SCALE - total < 4 * n * (max(deg.values()) + 2)
     assert total <= _PR_SCALE
+
+
+def test_semdedup_matches_pure_numpy_fold(spark, sf_dir_small):
+    """Independent replication of the whole SemDeDup verdict in pure
+    numpy — fixed-point int64 assignment to the SAME trained
+    centroids, within-cell pairwise fixed-point cosine, keep-first
+    rule — compared EXACTLY (ids and cos_micro) against the Spark
+    drop list."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geoparquet_python_spark.operators.kmeans import _train
+    from geoparquet_python_spark.operators.semdedup import _TAU
+
+    tbl = pq.read_table(f"{sf_dir_small}/embeddings.parquet")
+    vec_ids = tbl.column("vec_id").to_pylist()
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    xfix = np.floor(emb * 1_000_000).astype(np.int64)
+    cents = np.array(_train(spark, sf_dir_small), dtype=np.int64)
+    # nearest centroid, ties to lowest cid (argmin returns first min)
+    d2 = ((xfix[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)
+    # fixed-point pair cosine, exactly dot_scaled_arrow's math
+    terms = lambda a, b: np.floor(a * b * 1e12).astype(np.int64).sum()  # noqa: E731
+    n2 = {i: terms(emb[i], emb[i]) for i in range(len(vec_ids))}
+    expected = {}
+    by_cell: dict[int, list[int]] = {}
+    for i, c in enumerate(cell):
+        by_cell.setdefault(int(c), []).append(i)
+    for c, idxs in by_cell.items():
+        idxs = sorted(idxs, key=lambda i: vec_ids[i])
+        for bi_pos, bi in enumerate(idxs):
+            for ai in idxs[:bi_pos]:
+                cos = (terms(emb[ai], emb[bi]) / 1e12) / (
+                    (n2[ai] / 1e12) ** 0.5 * (n2[bi] / 1e12) ** 0.5
+                )
+                if cos >= _TAU:
+                    key = vec_ids[bi]
+                    if key not in expected:
+                        expected[key] = (
+                            c,
+                            vec_ids[ai],
+                            int(np.floor(cos * 1e6)),
+                        )
+                    break  # lowest-id qualifying mate found
+    got = {
+        r.vec_id: (r.cell, r.dup_of, r.cos_micro)
+        for r in registry.QUERIES["q_semdedup_dropped"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert got == expected
