@@ -214,3 +214,72 @@ def q_pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_PD_LO, _PD_HI = 100, 300
+
+
+@query(
+    "q_pyds_pushdown_scan",
+    oracle=f"""
+    WITH ids AS (
+      SELECT unnest(generate_series({_PD_LO}, {_PD_HI - 1})) AS doc_id
+    ),
+    toks AS (
+      SELECT ids.doc_id, j.j,
+             substr(md5(ids.doc_id || ':' || j.j), 1, 6) AS tok
+      FROM ids, LATERAL (
+        SELECT unnest(generate_series(0, 2 + ids.doc_id % 5)) AS j
+      ) j
+    ),
+    texts AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text
+      FROM toks GROUP BY doc_id
+    )
+    SELECT CAST(3 + doc_id % 5 AS INT) AS n_tokens,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS text_checksum
+    FROM texts
+    GROUP BY 1
+    ORDER BY n_tokens
+    """,
+)
+def q_pyds_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER PUSHDOWN through the Python Data Source (Spark 4.1
+    `pushFilters`): a doc_id range predicate reaches the reader,
+    which narrows its GENERATION range — filtered ids are never
+    produced, the strongest form of pushdown (the database/API-source
+    scenario the API exists for). The oracle regenerates exactly the
+    narrowed range, so if pushdown silently widened or shifted the
+    range, min/max/count/checksum all hash-fail; non-pushable
+    predicates stay residual and are Spark-evaluated (unit-tested in
+    tests/test_layout.py)."""
+    prepare(spark)
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("rows", _ROWS)
+        .option("partitions", _PARTS)
+        .load()
+        .where(
+            (F.col("doc_id") >= _PD_LO) & (F.col("doc_id") < _PD_HI)
+        )
+    )
+    return (
+        docs.groupBy(
+            F.size(F.split("text", " ")).cast("int").alias("n_tokens")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.sum(md5_long(F.col("text")) % 1000000007).cast("bigint").alias(
+                "text_checksum"
+            ),
+        )
+        .orderBy("n_tokens")
+    )

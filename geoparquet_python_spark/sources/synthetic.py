@@ -24,7 +24,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -53,12 +58,51 @@ class SyntheticDocsReader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", _DEFAULT_ROWS))
         self.parts = int(options.get("partitions", _DEFAULT_PARTS))
+        # generation range, narrowed by pushFilters (Spark 4.1 Python
+        # DS filter pushdown; requires
+        # spark.sql.python.filterPushdown.enabled=true)
+        self.lo = 0
+        self.hi = self.rows
+
+    def pushFilters(self, filters):
+        """Consume doc_id range/point filters by narrowing the
+        GENERATION range — pushdown to the source in the strongest
+        sense: filtered ids are never generated, not generated then
+        dropped. Everything else is yielded back for Spark to
+        evaluate post-scan (the contract: returned filters are the
+        residual, by reference)."""
+        for f in filters:
+            consumed = False
+            if getattr(f, "attribute", None) == ("doc_id",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    consumed = True
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    consumed = True
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    consumed = True
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    consumed = True
+                elif isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    consumed = True
+            if not consumed:
+                yield f
 
     def partitions(self):
-        step = -(-self.rows // self.parts)  # ceil
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = hi - lo
+        if n == 0:
+            return [_Part(lo, lo)]
+        step = -(-n // self.parts)  # ceil
         return [
-            _Part(lo, min(lo + step, self.rows))
-            for lo in range(0, self.rows, step)
+            _Part(p, min(p + step, hi)) for p in range(lo, hi, step)
         ]
 
     def read(self, partition: _Part) -> Iterator[tuple]:

@@ -130,3 +130,62 @@ def test_pyds_writer_manifest_visibility(spark, tmp_path):
     assert json.load(open(os.path.join(fresh, "_MANIFEST.json")))[
         "total_rows"
     ] == 7
+
+
+def test_pyds_filter_pushdown_narrows_generation(spark):
+    """pushFilters consumes doc_id range/point filters (narrowing the
+    generation range and the partition plan) and yields everything
+    else back as residual, by reference."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+        StringStartsWith,
+    )
+
+    from geoparquet_python_spark.sources.synthetic import SyntheticDocsReader
+
+    r = SyntheticDocsReader({"rows": "1000", "partitions": "4"})
+    unsupported = StringStartsWith(("text",), "ab")
+    residual = list(
+        r.pushFilters(
+            [
+                LessThan(("doc_id",), 300),
+                GreaterThanOrEqual(("doc_id",), 100),
+                unsupported,
+            ]
+        )
+    )
+    assert residual == [unsupported], "residual must be by-reference"
+    assert (r.lo, r.hi) == (100, 300)
+    parts = r.partitions()
+    assert parts[0].start == 100 and parts[-1].end == 300
+    assert sum(p.end - p.start for p in parts) == 200
+
+    # point filter: EqualTo collapses the range to one id
+    r2 = SyntheticDocsReader({"rows": "1000"})
+    assert list(r2.pushFilters([EqualTo(("doc_id",), 42)])) == []
+    assert (r2.lo, r2.hi) == (42, 43)
+
+    # contradictory range -> empty scan, no crash
+    r3 = SyntheticDocsReader({"rows": "1000"})
+    list(r3.pushFilters([LessThan(("doc_id",), 10), GreaterThanOrEqual(("doc_id",), 500)]))
+    assert sum(p.end - p.start for p in r3.partitions()) == 0
+
+    # end-to-end with the session conf: result equals the unpushed scan
+    from geoparquet_python_spark.sources.synthetic import register
+
+    register(spark)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        pushed = (
+            spark.read.format("synthetic_docs")
+            .option("rows", 1000)
+            .load()
+            .where("doc_id >= 100 AND doc_id < 300")
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+    assert pushed == 200
