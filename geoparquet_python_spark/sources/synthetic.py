@@ -131,6 +131,11 @@ class SyntheticDocsDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # A reader that implements pushFilters() REQUIRES the session conf
+    # to be on — Spark 4.1 refuses the read otherwise
+    # (DATA_SOURCE_PUSHDOWN_DISABLED) — so registration enables it;
+    # every consumer of this source goes through register().
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
 
 
