@@ -41,9 +41,10 @@ _ASOF_ORACLE = """
 """
 
 
-@query("q_asof_purchase_click", oracle=_ASOF_ORACLE)
-def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join via union + last(ignorenulls) window (the scale path).
+def _backward_asof(
+    spark: SparkSession, sf_dir: str, tie_lowest: bool = False
+) -> DataFrame:
+    """Backward as-of join via union + last(ignorenulls) window.
 
     Interleave clicks and purchases per user ordered by (ts, kind):
     each purchase row then reads the latest preceding click with
@@ -51,6 +52,13 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; no per-group Python. kind orders clicks
     before purchases at equal timestamps → inclusive (≤) semantics,
     matching ASOF and merge_asof defaults.
+
+    `tie_lowest` controls which click wins when several share the
+    nearest backward timestamp: False → highest event_id (the default
+    last-in-window behavior, matching DuckDB's native ASOF JOIN on
+    this data), True → lowest event_id (descending third sort key, so
+    last() lands on the smallest id — what the NEAREST oracle's
+    `ORDER BY abs(..), tsu, event_id LIMIT 1` rule requires).
     """
     e = load_table(spark, sf_dir, "events")
     clicks = e.where(F.col("event_type") == "click").select(
@@ -67,9 +75,14 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("click_event_id"),
         F.col("event_id").alias("purchase_event_id"),
     )
+    tie_key = (
+        F.col("click_event_id").desc_nulls_last()
+        if tie_lowest
+        else F.col("click_event_id").asc_nulls_last()
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "click_event_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), tie_key)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = clicks.unionByName(purchases).select(
@@ -94,6 +107,13 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_event_id")
     )
+
+
+@query("q_asof_purchase_click", oracle=_ASOF_ORACLE)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union + last(ignorenulls) window (the scale
+    path) — see `_backward_asof` for mechanics."""
+    return _backward_asof(spark, sf_dir)
 
 
 _ASOF_SCHEMA = (
@@ -268,8 +288,13 @@ def q_asof_purchase_click_nearest(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle's LATERAL is the spec, not the plan (it scans each user's
     clicks per purchase — fine at oracle scale, never run at corpus
     scale).
+
+    The backward candidate uses the tie_lowest variant: among clicks
+    sharing the nearest timestamp, the LOWEST event_id wins, matching
+    the oracle's `ORDER BY abs(..), tsu, event_id LIMIT 1` rule (the
+    plain backward query keeps DuckDB-ASOF's highest-id behavior).
     """
-    back = q_asof_purchase_click(spark, sf_dir).select(
+    back = _backward_asof(spark, sf_dir, tie_lowest=True).select(
         "purchase_event_id",
         "user_id",
         F.col("click_event_id").alias("b_click"),

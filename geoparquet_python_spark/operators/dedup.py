@@ -1228,8 +1228,10 @@ def q_simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_lsh_pairs,
            CAST((SELECT COUNT(*) FROM pairs) AS BIGINT)
              - CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_missed,
-           CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) * 1.0
-             / (SELECT COUNT(*) FROM pairs) AS recall
+           CASE WHEN (SELECT COUNT(*) FROM pairs) > 0
+                THEN CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM pairs)
+           END AS recall
     """,
 )
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,8 +1258,11 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true_pairs",
         "n_lsh_pairs",
         (F.col("n_true_pairs") - F.col("n_lsh_pairs")).alias("n_missed"),
-        (
-            F.col("n_lsh_pairs") * F.lit(1.0) / F.col("n_true_pairs")
+        # NULL when the exact pair set is empty — same zero guard as
+        # q_hyperplane_recall_audit (engine-divergent NaN otherwise).
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.col("n_lsh_pairs") * F.lit(1.0) / F.col("n_true_pairs"),
         ).alias("recall"),
     )
 

@@ -245,7 +245,8 @@ SQL_MD5_LONG_DOC = SQL_MD5_LONG.format(expr="CAST(doc_id AS VARCHAR)")
       SELECT doc_id, lang, n_chars,
              CAST(round((ln((({SQL_MD5_LONG_DOC} ) + 1.0)
                             / {float((1 << 60) + 1)})
-                         / n_chars) * 1000000) AS BIGINT) AS priority_micro
+                         / greatest(n_chars, 1)) * 1000000) AS BIGINT)
+               AS priority_micro
       FROM documents
     )
     SELECT row_number() OVER (ORDER BY priority_micro DESC, doc_id)
@@ -277,7 +278,14 @@ def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (md5_long(F.col("doc_id").cast("string")) + F.lit(1.0)) / F.lit(
         float((1 << 60) + 1)
     )
-    pri = F.round((F.log(u) / F.col("n_chars")) * 1e6).cast("bigint")
+    # greatest(n_chars, 1): an empty document (n_chars = 0 is legal
+    # corpus content — see tests' edge-doc fixture) must not divide by
+    # zero; ln(u)/0 would yield -inf/NaN with engine-divergent BIGINT
+    # casts between Spark and DuckDB. Clamping to 1 gives empties the
+    # minimum weight, identically on both sides.
+    pri = F.round(
+        (F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))) * 1e6
+    ).cast("bigint")
     # Distributed top-k (orderBy+limit => TakeOrderedAndProject — per-
     # partition heaps, no global sort); the row_number window then runs
     # over the k-row RESULT frame only, never the corpus.

@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
+from geoparquet_python_spark.functions.exact import materialize
 from geoparquet_python_spark.functions.vector import (
     SQL_COSINE,
     SQL_FLAT_EMBEDDINGS,
@@ -93,48 +93,54 @@ def _cell_pairs(
     spark: SparkSession, sf_dir: str, base: DataFrame | None = None
 ) -> DataFrame:
     """In-cell (vec_a < vec_b) candidate pairs with embeddings+norms
-    attached: one corpus shuffle on the cell id, map-side pair
-    expansion from the per-cell sorted id list."""
+    attached: one corpus shuffle on the cell id, then MAP-SIDE pair
+    expansion from the per-cell (vec_id, embedding, n2) struct list.
+
+    No joins and no broadcasts anywhere: an earlier form expanded
+    id-only pairs and joined the embeddings back with a broadcast
+    hint on the pair frame — but the pair count is sum over cells of
+    |c|^2, corpus-proportional, not driver-sized, so the hint would
+    OOM the driver at scale (and the hint-free shuffle join is slow
+    at any scale). Carrying the embeddings through the cell shuffle
+    instead costs one pass of the corpus — which the shuffle moves
+    anyway — and the per-cell aggregation buffer holds |c|
+    embeddings, bounded by SemDeDup's K-grows-with-corpus contract
+    (module docstring). The |c|^2 pair structs stream through the
+    explode within the stage and never hit a shuffle."""
     if base is None:
         base = _assigned_base(spark, sf_dir)
+    # array_sort on structs compares field-by-field, so ordering by
+    # the unique leading vec_id is total → the (lo, hi) expansion
+    # below yields exactly the vec_a < vec_b pairs, deterministically.
     cells = (
         base.groupBy("cell")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding", "n2"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
     )
-    cand = cells.select(
+    return cells.select(
         "cell",
         F.explode(
             F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "b -> struct(a AS vec_a, b AS vec_b))))"
+                "flatten(transform(ms, (a, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "b -> struct(a.vec_id AS vec_a, b.vec_id AS vec_b, "
+                "a.embedding AS a_emb, b.embedding AS b_emb, "
+                "a.n2 AS a_n2, b.n2 AS b_n2))))"
             )
         ).alias("p"),
-    ).select("cell", "p.vec_a", "p.vec_b")
-    ea = base.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("a_emb"),
-        F.col("n2").alias("a_n2"),
-    )
-    eb = base.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("b_emb"),
-        F.col("n2").alias("b_n2"),
-    )
-    return (
-        ea.join(broadcast_narrow(cand), "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "cell",
-            "vec_a",
-            "vec_b",
-            cosine_from_scaled(
-                dot_scaled_arrow("a_emb", "b_emb"),
-                F.col("a_n2"),
-                F.col("b_n2"),
-            ).alias("cosine"),
-        )
+    ).select(
+        "cell",
+        "p.vec_a",
+        "p.vec_b",
+        cosine_from_scaled(
+            dot_scaled_arrow("p.a_emb", "p.b_emb"),
+            F.col("p.a_n2"),
+            F.col("p.b_n2"),
+        ).alias("cosine"),
     )
 
 

@@ -566,8 +566,10 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_lsh_pairs,
            CAST((SELECT COUNT(*) FROM exact) AS BIGINT)
              - CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_missed,
-           CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) * 1.0
-             / (SELECT COUNT(*) FROM exact) AS recall
+           CASE WHEN (SELECT COUNT(*) FROM exact) > 0
+                THEN CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) * 1.0
+                     / (SELECT COUNT(*) FROM exact)
+           END AS recall
     """,
 )
 def q_hyperplane_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,7 +592,11 @@ def q_hyperplane_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true_pairs",
         "n_lsh_pairs",
         (F.col("n_true_pairs") - F.col("n_lsh_pairs")).alias("n_missed"),
-        (
-            F.col("n_lsh_pairs") * F.lit(1.0) / F.col("n_true_pairs")
+        # NULL when the exact pair set is empty (possible at tiny
+        # scale factors or after a threshold change) — a bare divide
+        # would produce engine-dependent NaN/div-by-zero vs DuckDB.
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.col("n_lsh_pairs") * F.lit(1.0) / F.col("n_true_pairs"),
         ).alias("recall"),
     )

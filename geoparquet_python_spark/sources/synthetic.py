@@ -135,6 +135,16 @@ def register(spark) -> None:
     # to be on — Spark 4.1 refuses the read otherwise
     # (DATA_SOURCE_PUSHDOWN_DISABLED) — so registration enables it;
     # every consumer of this source goes through register().
+    #
+    # SESSION-WIDE MUTATION, by design: the conf stays flipped for the
+    # session's lifetime. It cannot be restored after the q_pyds_*
+    # queries because they return LAZY DataFrames — the conf is read
+    # at execution time, which happens after register() returns (the
+    # driver collects later). The flag only affects Python data
+    # sources that implement pushFilters(); built-in sources and
+    # plain Python sources ignore it, and this repo's only
+    # pushFilters() reader is this one. Tests that need the prior
+    # value save/restore it themselves (tests/test_llm_ops.py).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
 

@@ -690,8 +690,10 @@ def test_edge_docs_oracle_parity(spark, tmp_path):
     content the standard fixtures lack — must keep oracle parity for
     the queries whose handling of them is non-obvious: the ensemble
     gate (trigram-frame eligibility: the oracle must not drop
-    sub-trigram docs) and the CSV round trip (empty string must not
-    come back as NULL)."""
+    sub-trigram docs), the CSV round trip (empty string must not
+    come back as NULL), and the A-ES weighted sample (n_chars = 0
+    must not divide to -inf — greatest(n_chars, 1) on both
+    engines)."""
     import os
     import shutil
 
@@ -718,7 +720,11 @@ def test_edge_docs_oracle_parity(spark, tmp_path):
         tmp_path / "documents.parquet", index=False
     )
     duck = duckdb_connect(str(tmp_path))
-    for name in ("q_quality_ensemble_gate", "q_csv_roundtrip_stats"):
+    for name in (
+        "q_quality_ensemble_gate",
+        "q_csv_roundtrip_stats",
+        "q_weighted_priority_sample",
+    ):
         run_compare(
             spark,
             duck,
