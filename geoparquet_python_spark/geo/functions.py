@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -304,6 +305,23 @@ def st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
     return pd.Series([one(v, t) for v, t in zip(g, tol)])
 
 
+@pandas_udf(IntegerType())
+def st_num_geometries(g: pd.Series) -> pd.Series:
+    """ST_NumGeometries: part count of a Multi*/GeometryCollection,
+    1 for a single geometry (PostGIS semantics), None for NULL."""
+
+    def one(v):
+        if v is None:
+            return None
+        kind, val = wkb.decode(v)
+        if kind in ("MultiPoint", "MultiLineString", "MultiPolygon",
+                    "GeometryCollection"):
+            return len(val)
+        return 1
+
+    return pd.Series([one(v) for v in g], dtype="object")
+
+
 _UDFS = {
     "ST_Point": st_point,
     "ST_X": st_x,
@@ -318,6 +336,7 @@ _UDFS = {
     "ST_Buffer": st_buffer,
     "ST_Simplify": st_simplify,
     "ST_EnvelopeIntersects": st_envelope_intersects,
+    "ST_NumGeometries": st_num_geometries,
 }
 
 

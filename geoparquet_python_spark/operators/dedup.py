@@ -1079,6 +1079,102 @@ def _simhash_wide_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _blocked_hamming_pairs(
+    sig: DataFrame,
+    sig_cols: tuple[str, ...],
+    chunks: list[tuple[str, int, int]],
+    t: int,
+) -> DataFrame:
+    """Exact-then-near blocked Hamming pair join over a multi-word
+    signature — the shared engine behind the 120- and 240-bit wide
+    SimHash queries (see q_simhash_wide_blocked_pairs's docstring for
+    the full narrative): (1) collapse identical signatures to
+    min(doc_id) representatives, (2) pigeonhole chunk equi-join over
+    DISTINCT signatures with a codegen Hamming gate, (3) expand back
+    to doc pairs (cross-cluster inherits the rep-pair Hamming;
+    intra-cluster is Hamming 0 by definition). `chunks` is a list of
+    (signature column, bit offset, width); with len(chunks) > t the
+    pigeonhole guarantees exact recall."""
+    wsig = Window.partitionBy(*sig_cols)
+    members = materialize(
+        sig.withColumn("rep_id", F.min("doc_id").over(wsig))
+    )
+    reps = members.where(F.col("doc_id") == F.col("rep_id")).select(
+        "rep_id", *sig_cols
+    )
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(idx).alias("ci"),
+                F.shiftright(F.col(colname), off)
+                .bitwiseAND((1 << w) - 1)
+                .alias("cv"),
+            )
+            for idx, (colname, off, w) in enumerate(chunks)
+        ]
+    )
+    chunked = reps.select(
+        "rep_id", *sig_cols, F.explode(chunk_structs).alias("c")
+    ).select(
+        "rep_id",
+        *sig_cols,
+        F.col("c.ci").alias("ci"),
+        F.col("c.cv").alias("cv"),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    hamming = None
+    for cname in sig_cols:
+        term = F.bit_count(
+            F.col(f"a.{cname}").bitwiseXOR(F.col(f"b.{cname}"))
+        )
+        hamming = term if hamming is None else hamming + term
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
+        )
+        .select(
+            F.col("a.rep_id").alias("rep_a"),
+            F.col("b.rep_id").alias("rep_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= t)
+        # One row per matching chunk survives the Hamming gate; min() is
+        # over identical values — the agg collapses multiplicity with
+        # map-side combine, over distinct-signature pairs only.
+        .groupBy("rep_a", "rep_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+    # Expansion. Cross-cluster: each surviving rep pair fans out to its
+    # two clusters' members (disjoint clusters => each unordered doc
+    # pair appears exactly once; least/greatest restores doc_a < doc_b).
+    ma = members.select(
+        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
+    )
+    mb = members.select(
+        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
+    )
+    cross = rep_pairs.join(ma, "rep_a").join(mb, "rep_b").select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+        "hamming",
+    )
+    # Intra-cluster: identical signatures are Hamming-0 near-dups by
+    # definition — emit all within-cluster pairs directly.
+    intra = ma.join(
+        mb,
+        (F.col("rep_a") == F.col("rep_b")) & (F.col("da") < F.col("db")),
+    ).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.lit(0).cast("integer").alias("hamming"),
+    )
+    return cross.unionByName(intra)
+
+
 @query(
     "q_simhash_wide_blocked_pairs",
     oracle=f"""
@@ -1124,89 +1220,174 @@ def q_simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the per-doc form — cross-cluster Hamming depends only on the
     signatures, intra-cluster is Hamming 0 — so the existing
     brute-force oracle certifies the rewrite unchanged
-    (tests/test_llm_ops.py asserts blocked == brute at two scales)."""
+    (tests/test_llm_ops.py asserts blocked == brute at two scales).
+
+    Known parameter ceiling (SCALE.md): at t=12 over 120 bits the
+    pigeonhole forces 8-10-bit blocks, so random-collision candidates
+    grow ~quadratically once distinct signatures >> 2^10 (measured
+    3.6x at 8x volume). q_simhash_wide240_blocked_pairs below is the
+    scale variant that removes the ceiling."""
     sig = _simhash_wide_signatures(spark, sf_dir)
-    wsig = Window.partitionBy("sim_lo", "sim_hi")
-    members = materialize(
-        sig.withColumn("rep_id", F.min("doc_id").over(wsig))
+    chunks = [
+        ("sim_lo" if half == "lo" else "sim_hi", off, w)
+        for half, off, w in _WIDE_CHUNKS
+    ]
+    return _blocked_hamming_pairs(
+        sig, ("sim_lo", "sim_hi"), chunks, _HAMMING_T
     )
-    reps = members.where(F.col("doc_id") == F.col("rep_id")).select(
-        "rep_id", "sim_lo", "sim_hi"
+
+
+# --------------------------------------------------------------------------
+# F2i+: 240-bit SimHash at t=12 — the block-saturation scale fix
+# --------------------------------------------------------------------------
+
+# 240 bits = four 60-bit words from two md5 evaluations per token:
+# word1 = md5(w) (lo: hex 1-15, hi: hex 16-30), word2 = md5(w || '~2')
+# likewise — both engines compute the identical concat-then-hash, so
+# the signature is bit-exact cross-engine like the 60/120-bit forms.
+#
+# 13 chunks at t=12 keeps the pigeonhole exact-recall theorem, but the
+# blocks are now 15-20 bits wide instead of 8-10: random-collision
+# candidates drop from sum(n^2/2^w) ~ n^2/39 (120-bit) to ~n^2/7800 —
+# the ~200x headroom that removes the 120-bit form's quadratic
+# candidate growth once distinct signatures exceed ~2^10 (SCALE.md's
+# 3.6x-at-8x ceiling). Build cost is 2x hashing + 240 int sums in the
+# one doc_id aggregation — still a single corpus shuffle.
+_W240_SALT = "~2"
+_W240_COLS = ("s1lo", "s1hi", "s2lo", "s2hi")
+_W240_CHUNKS = (
+    [("s1lo", off, 20) for off in (0, 20, 40)]
+    + [("s1hi", off, 20) for off in (0, 20, 40)]
+    + [("s2lo", off, 20) for off in (0, 20, 40)]
+    + [("s2hi", off, 15) for off in (0, 15, 30, 45)]
+)
+
+
+def _sql_simhash_w240_cte() -> str:
+    salted = f"w || '{_W240_SALT}'"
+    hash_exprs = {
+        "s1lo": SQL_MD5_LONG.format(expr="w"),
+        "s1hi": _SQL_HI.format(expr="w"),
+        "s2lo": SQL_MD5_LONG.format(expr=salted),
+        "s2hi": _SQL_HI.format(expr=salted),
+    }
+    sums = [
+        f"SUM(({col}_h >> {b}) & 1) AS {col}_{b}"
+        for col in _W240_COLS
+        for b in range(60)
+    ]
+    packs = {
+        col: " + ".join(
+            f"CASE WHEN {col}_{b} * 2 > nw THEN {1 << b}::BIGINT"
+            f" ELSE 0 END"
+            for b in range(60)
+        )
+        for col in _W240_COLS
+    }
+    return f"""
+    words AS (
+      SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+    ),
+    hashedw AS (
+      SELECT doc_id,
+             {", ".join(f"{e} AS {c}_h" for c, e in hash_exprs.items())}
+      FROM words
+    ),
+    bitsumsw AS (
+      SELECT doc_id, COUNT(*) AS nw, {", ".join(sums)}
+      FROM hashedw GROUP BY doc_id
+    ),
+    sigw AS (
+      SELECT doc_id,
+             {", ".join(f'CAST({packs[c]} AS BIGINT) AS {c}' for c in _W240_COLS)}
+      FROM bitsumsw
+    )"""
+
+
+def _simhash_w240_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s1lo, s1hi, s2lo, s2hi) 240-bit SimHash: one explode +
+    one groupBy with 240 int sums — still a single doc_id shuffle; the
+    extra cost vs 120-bit is a second md5 per token and arithmetic
+    width."""
+    d = load_table(spark, sf_dir, "documents")
+    words = spread(
+        d.select("doc_id", F.array_distinct(tokens("text")).alias("ws"))
+    ).select("doc_id", F.explode("ws").alias("w"))
+    w2 = F.concat(F.col("w"), F.lit(_W240_SALT))
+    hashed = words.select(
+        "doc_id",
+        md5_long(F.col("w")).alias("s1lo_h"),
+        F.conv(F.substring(F.md5(F.col("w")), 16, 15), 16, 10)
+        .cast("long")
+        .alias("s1hi_h"),
+        md5_long(w2).alias("s2lo_h"),
+        F.conv(F.substring(F.md5(w2), 16, 15), 16, 10)
+        .cast("long")
+        .alias("s2hi_h"),
     )
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(idx).alias("ci"),
-                F.shiftright(
-                    F.col("sim_lo" if half == "lo" else "sim_hi"), off
-                )
-                .bitwiseAND((1 << w) - 1)
-                .alias("cv"),
-            )
-            for idx, (half, off, w) in enumerate(_WIDE_CHUNKS)
+    aggs = [F.count(F.lit(1)).alias("nw")]
+    for col in _W240_COLS:
+        aggs += [
+            F.sum(
+                F.shiftright(F.col(f"{col}_h"), b).bitwiseAND(1)
+            ).alias(f"{col}_{b}")
+            for b in range(60)
         ]
-    )
-    chunks = reps.select(
-        "rep_id", "sim_lo", "sim_hi", F.explode(chunk_structs).alias("c")
-    ).select(
-        "rep_id",
-        "sim_lo",
-        "sim_hi",
-        F.col("c.ci").alias("ci"),
-        F.col("c.cv").alias("cv"),
-    )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    hamming = F.bit_count(
-        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
-    ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
-    rep_pairs = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.rep_id") < F.col("b.rep_id")),
-        )
-        .select(
-            F.col("a.rep_id").alias("rep_a"),
-            F.col("b.rep_id").alias("rep_b"),
-            hamming.alias("hamming"),
-        )
-        .where(F.col("hamming") <= _HAMMING_T)
-        # One row per matching chunk survives the Hamming gate; min() is
-        # over identical values — the agg collapses multiplicity with
-        # map-side combine, over distinct-signature pairs only.
-        .groupBy("rep_a", "rep_b")
-        .agg(F.min("hamming").alias("hamming"))
-    )
-    # Expansion. Cross-cluster: each surviving rep pair fans out to its
-    # two clusters' members (disjoint clusters => each unordered doc
-    # pair appears exactly once; least/greatest restores doc_a < doc_b).
-    ma = members.select(
-        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
-    )
-    mb = members.select(
-        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
-    )
-    cross = rep_pairs.join(ma, "rep_a").join(mb, "rep_b").select(
-        F.least("da", "db").alias("doc_a"),
-        F.greatest("da", "db").alias("doc_b"),
-        "hamming",
-    )
-    # Intra-cluster: identical signatures are Hamming-0 near-dups by
-    # definition — emit all within-cluster pairs directly.
-    intra = (
-        ma.join(
-            mb,
-            (F.col("rep_a") == F.col("rep_b")) & (F.col("da") < F.col("db")),
-        )
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            F.lit(0).cast("integer").alias("hamming"),
-        )
-    )
-    return cross.unionByName(intra)
+    bitsums = hashed.groupBy("doc_id").agg(*aggs)
+    sel = [F.col("doc_id")]
+    for col in _W240_COLS:
+        acc = None
+        for b in range(60):
+            term = F.when(
+                F.col(f"{col}_{b}") * 2 > F.col("nw"),
+                F.lit(1 << b).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            acc = term if acc is None else acc + term
+        sel.append(acc.alias(col))
+    return bitsums.select(*sel)
+
+
+# Each bit_count is cast up front: DuckDB's bit_count returns an
+# 8-bit integer and the four-word sum can exceed 127 (overflow error
+# observed at sf0.1); the 2-word 120-bit form stays <= 120 by luck.
+_W240_HAMMING_SQL = " + ".join(
+    f"CAST(bit_count(xor(a.{c}, b.{c})) AS INTEGER)" for c in _W240_COLS
+)
+
+
+@query(
+    "q_simhash_wide240_blocked_pairs",
+    oracle=f"""
+    WITH {_sql_simhash_w240_cte()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_W240_HAMMING_SQL} AS hamming
+    FROM sigw a JOIN sigw b ON a.doc_id < b.doc_id
+    WHERE {_W240_HAMMING_SQL} <= {_HAMMING_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_simhash_wide240_blocked_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamming <= 12 near-pairs on the 240-bit SimHash — the scale
+    variant of q_simhash_wide_blocked_pairs that removes its one
+    remaining quadratic ceiling (SCALE.md: 3.6x candidate growth at 8x
+    volume for the 120-bit form).
+
+    Same exact-then-near composition via _blocked_hamming_pairs
+    (signature collapse -> 13-chunk pigeonhole equi-join over distinct
+    signatures -> codegen Hamming gate -> membership expansion), but
+    the chunks are 15-20 bits wide instead of 8-10: random-chance
+    chunk collisions fall by ~2^8-2^10 per block, so candidate volume
+    stays ~linear in distinct signatures far past the 120-bit form's
+    ~2^10 saturation point. Recall 1.0 remains a theorem (t=12 over 13
+    chunks leaves >=1 chunk untouched); the brute-force oracle and the
+    two-scale set-equality pytest certify the composition unchanged.
+    The Hamming<=12 ball over 240 bits is tighter relative to
+    signature width than over 120 — a sharper similarity measure,
+    certified independently by its own brute-force oracle."""
+    sig = _simhash_w240_signatures(spark, sf_dir)
+    return _blocked_hamming_pairs(sig, _W240_COLS, _W240_CHUNKS, _HAMMING_T)
 
 
 # --------------------------------------------------------------------------

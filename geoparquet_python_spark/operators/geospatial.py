@@ -621,3 +621,132 @@ def q_geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .orderBy("c_custkey", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# D1+: multi-part geometries at query scale (MultiPolygon / MultiLineString)
+# --------------------------------------------------------------------------
+
+# Every registered geo query so far exercises Points and Polygons; the
+# codec supports all 7 WKB types (geo/wkb.py). This query closes the
+# codec-vs-query coverage gap: per-nation MULTI-part territories
+# (MultiPolygon of 1-3 axis-aligned squares) and supply routes
+# (MultiLineString of 3-4-5 right-triangle hypotenuse segments), with a
+# closed-form oracle in the q_geo_buffer_measures style. All
+# coordinates are dyadic rationals (integers and halves), so envelope
+# algebra is BIT-exact cross-engine; area/perimeter/centroid reduce to
+# exact small-integer forms (part sides are equal within a nation, so
+# the area-weighted centroid equals the mean of part centers —
+# divisions by p in {1,2,3} land on integers or exact halves by
+# construction of the center grid).
+
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+from pyspark.sql.types import BinaryType  # noqa: E402
+
+import pandas as pd  # noqa: E402
+
+from geoparquet_python_spark.geo.functions import st_num_geometries  # noqa: E402
+
+
+def _territory_params(k: int) -> tuple[int, int]:
+    """(n_parts, side) for nation key k — mirrored in the oracle SQL."""
+    return k % 3 + 1, k % 4 + 1
+
+
+@pandas_udf(BinaryType())
+def _territory_wkb(keys: pd.Series) -> pd.Series:
+    """MultiPolygon of p axis-aligned squares (side s, centers
+    (10k+7i, 5k-4i)) — CCW shells, no holes."""
+
+    def one(v):
+        k = int(v)
+        p, s = _territory_params(k)
+        h = s / 2.0
+        polys = []
+        for i in range(p):
+            cx, cy = 10.0 * k + 7.0 * i, 5.0 * k - 4.0 * i
+            ring = [
+                [cx - h, cy - h],
+                [cx + h, cy - h],
+                [cx + h, cy + h],
+                [cx - h, cy + h],
+                [cx - h, cy - h],
+            ]
+            polys.append([ring])
+        return wkb.encode(("MultiPolygon", polys))
+
+    return pd.Series([one(v) for v in keys])
+
+
+@pandas_udf(BinaryType())
+def _routes_wkb(keys: pd.Series) -> pd.Series:
+    """MultiLineString of p segments, each a 3-4-5 hypotenuse from the
+    matching square's center — per-segment length exactly 5.0."""
+
+    def one(v):
+        k = int(v)
+        p, _ = _territory_params(k)
+        lines = []
+        for i in range(p):
+            cx, cy = 10.0 * k + 7.0 * i, 5.0 * k - 4.0 * i
+            lines.append([[cx, cy], [cx + 3.0, cy + 4.0]])
+        return wkb.encode(("MultiLineString", lines))
+
+    return pd.Series([one(v) for v in keys])
+
+
+@query(
+    "q_geo_multipart_territories",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey,
+             (n_nationkey % 3) + 1 AS p,
+             (n_nationkey % 4) + 1 AS s
+      FROM nation
+    )
+    SELECT n_nationkey,
+           CAST(p AS INTEGER) AS n_parts,
+           ROUND(CAST(p * s * s AS DOUBLE), 6) AS area,
+           ROUND(CAST(4.0 * s * p AS DOUBLE), 6) AS perimeter,
+           ROUND(10.0 * n_nationkey + 3.5 * (p - 1), 6) AS cx,
+           ROUND(5.0 * n_nationkey - 2.0 * (p - 1), 6) AS cy,
+           10.0 * n_nationkey - s / 2.0 AS xmin,
+           5.0 * n_nationkey - 4.0 * (p - 1) - s / 2.0 AS ymin,
+           10.0 * n_nationkey + 7.0 * (p - 1) + s / 2.0 AS xmax,
+           5.0 * n_nationkey + s / 2.0 AS ymax,
+           ROUND(CAST(5.0 * p AS DOUBLE), 6) AS route_len
+    FROM g
+    ORDER BY n_nationkey
+    """,
+)
+def q_geo_multipart_territories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-geometry measures end-to-end through the WKB codec: build
+    each nation's MultiPolygon territory and MultiLineString route
+    network, then ST_NumGeometries / ST_Area / ST_Length / ST_Centroid
+    / ST_Envelope over the multi-part forms (geo/wkb.py sums parts and
+    subtracts holes; the oracle is the closed-form algebra of the same
+    construction). Nation is a 25-row dim — the Arrow batch cost is
+    nil; the point of the query is codec + measure parity on every
+    multi-part branch, certified by the same oracle machinery as the
+    single-geometry queries."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    g = n.select(
+        "n_nationkey",
+        _territory_wkb(F.col("n_nationkey")).alias("terr"),
+        _routes_wkb(F.col("n_nationkey")).alias("routes"),
+    )
+    env = st_envelope(F.col("terr"))
+    cen = st_centroid(F.col("terr"))
+    return g.select(
+        "n_nationkey",
+        st_num_geometries("terr").alias("n_parts"),
+        F.round(st_area("terr"), 6).alias("area"),
+        F.round(st_length("terr"), 6).alias("perimeter"),
+        F.round(st_x(cen), 6).alias("cx"),
+        F.round(st_y(cen), 6).alias("cy"),
+        env["xmin"].alias("xmin"),
+        env["ymin"].alias("ymin"),
+        env["xmax"].alias("xmax"),
+        env["ymax"].alias("ymax"),
+        F.round(st_length("routes"), 6).alias("route_len"),
+    ).orderBy("n_nationkey")

@@ -118,23 +118,38 @@ class _GapSessionProcessor(StatefulProcessor):
         pass
 
 
-def tws_available() -> bool:
+def tws_available(spark: SparkSession | None = None) -> bool:
     """True iff the transformWithState Python state protocol can run
-    here (it imports google.protobuf in its driver worker).
+    here (it imports google.protobuf in its Python workers).
 
-    LIMITATION: this probes the DRIVER's Python only. transformWith-
-    StateInPandas also imports google.protobuf inside executor Python
-    workers, so on a cluster with heterogeneous executor environments
-    the probe can pass while the query fails at runtime. Exact for the
-    single-machine layout this targets (driver and executors share one
-    interpreter); on a real cluster, probe via a tiny spark job that
-    imports protobuf on each executor instead."""
+    Without `spark` this probes the DRIVER's Python only — exact for a
+    single-machine layout where driver and executors share one
+    interpreter, but on a cluster with heterogeneous executor
+    environments a driver-only probe can pass while the query fails at
+    runtime. Pass the session to ALSO run a one-task job that attempts
+    the import inside an executor Python worker (the 100 TB-safe form;
+    one empty-partition task, ~ms)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-
-        return True
     except ImportError:
         return False
+    if spark is not None:
+
+        def _probe(_):
+            try:
+                from google.protobuf import descriptor  # noqa: F401
+
+                return True
+            except ImportError:
+                return False
+
+        try:
+            return bool(
+                spark.sparkContext.parallelize([0], 1).map(_probe).first()
+            )
+        except Exception:
+            return False
+    return True
 
 
 @query("q_stateful_sessionization_tws", oracle=_CLOSED_SESSION_ORACLE)
@@ -152,7 +167,7 @@ def q_stateful_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame
     docstring) the query falls back to the applyInPandasWithState
     sibling, so its output contract holds on every host.
     """
-    if not tws_available():
+    if not tws_available(spark):
         from geoparquet_python_spark.streaming.sessions import (
             q_stateful_sessionization,
         )

@@ -458,6 +458,51 @@ def test_simhash_wide_blocked_equals_brute(spark, sf_dir, sf_dir_small):
         )
 
 
+def test_simhash_w240_blocked_equals_brute(spark, sf_dir, sf_dir_small):
+    """240-bit twin of the guard above (VERDICT r5 #1): the 13-chunk
+    (15-20-bit blocks) pair set must equal the brute-force Hamming<=12
+    set over the same 240-bit signatures, at two scales — certifying
+    that the wider chunks changed only candidate volume, never the
+    output."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.operators.dedup import (
+        _HAMMING_T,
+        _W240_COLS,
+        _simhash_w240_signatures,
+    )
+
+    for d in (sf_dir_small, sf_dir):
+        sig = _simhash_w240_signatures(spark, d).cache()
+        a = sig.alias("a")
+        b = sig.alias("b")
+        hamming = None
+        for c in _W240_COLS:
+            term = F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+            hamming = term if hamming is None else hamming + term
+        brute = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.alias("hamming"),
+            )
+            .where(F.col("hamming") <= _HAMMING_T)
+            .collect()
+        }
+        blocked = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in registry.QUERIES["q_simhash_wide240_blocked_pairs"](
+                spark, d
+            ).collect()
+        }
+        sig.unpersist()
+        assert blocked == brute, (
+            f"{d}: blocked {len(blocked)} pairs != brute {len(brute)}"
+        )
+
+
 def test_prefix_filter_jaccard_equals_inverted_index(spark, sf_dir):
     """Prefix filtering is LOSSLESS: the AllPairs-style operator must
     produce exactly the brute inverted-index pair set with identical

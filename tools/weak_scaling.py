@@ -32,9 +32,15 @@ DEFAULT_QUERIES = [
     "q_length_bucketed_batches",
     "q_minhash_lsh_neardup",
     "q_simhash_wide_blocked_pairs",
+    "q_simhash_wide240_blocked_pairs",
     "q_leakage_safe_split",
     "q_pmi_collocations",
     "q_cdc_merge_upsert",
+    # Vector family (replicated embeddings with per-copy rotation):
+    "q_ann_topk_blocked",
+    "q_ann_topk_ivf",
+    "q_hyperplane_lsh_neardup",
+    "q_semdedup_dropped",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
@@ -80,8 +86,39 @@ def build_corpus(spark, out_dir: str) -> None:
         ebig = ebig.unionByName(p)
     ebig.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
+    # Embeddings: fresh vec_ids per copy plus a per-copy deterministic
+    # ROTATION (circular shift of the dimension axis by i). A shared
+    # permutation of dimensions preserves norms and every in-copy dot
+    # product exactly — copy-local neighbor structure is untouched —
+    # while cross-copy dots decay to the vectors' autocorrelation at
+    # lag i (noise for these embeddings), so copies don't collapse
+    # into cross-copy near-dup clusters (which would grow SemDeDup
+    # cells and ANN candidate sets superlinearly and fake a scaling
+    # failure the real corpus wouldn't have).
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vparts = []
+    for i in range(COPIES):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, "
+                    f"size(embedding) - {i}), slice(embedding, 1, {i}))"
+                ),
+            )
+        vparts.append(c)
+    vbig = vparts[0]
+    for p in vparts[1:]:
+        vbig = vbig.unionByName(p)
+    vbig.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
     for name in os.listdir(SF_DIR):
-        if name not in ("documents.parquet", "events.parquet"):
+        if name not in (
+            "documents.parquet",
+            "events.parquet",
+            "embeddings.parquet",
+        ):
             os.symlink(f"{SF_DIR}/{name}", f"{out_dir}/{name}")
 
 
