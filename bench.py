@@ -45,6 +45,9 @@ HEADLINE = [
     # The all-pairs query stays registered as a small-n cross-check
     # baseline only (like q_cosine_topk_brute).
     "q_simhash_wide_blocked_pairs",
+    # Round-6: the 240-bit scale variant (15-20-bit blocks) that removes
+    # the 120-bit form's block-saturation ceiling (SCALE.md).
+    "q_simhash_wide240_blocked_pairs",
     "q_ann_topk_blocked",
     "q_hyperplane_lsh_neardup",
     "q_corpus_clean_pipeline",

@@ -143,7 +143,8 @@ def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct through the round trip. Splittable-format caveat
     noted: unlike JSONL, quoted multi-line CSV is NOT safely
     splittable — keep records single-line (ours are) or pay
-    single-task reads per file."""
+    single-task reads per file; q_csv_splittable_roundtrip_stats
+    below is the parallel-read scale path (base64-armored text)."""
     return _roundtrip_stats(
         spark,
         sf_dir,
@@ -152,6 +153,77 @@ def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         quoteAll="true",
         escape='"',
         nullValue="\\N",
+    )
+
+
+@query("q_csv_splittable_roundtrip_stats", oracle=_FMT_ORACLE)
+def q_csv_splittable_roundtrip_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE path for CSV: q_csv_roundtrip_stats documents that
+    quoted multi-line CSV is not safely splittable (a newline inside
+    quotes forces multiLine=true → one task per file). This variant
+    keeps every record one-per-line by construction — text is
+    base64-armored before the write (the base64 alphabet contains no
+    newline, quote, or delimiter), so the read side uses the DEFAULT
+    line-splittable reader: any byte offset is a safe split point and
+    a 100 TB CSV lake reads with full input-split parallelism, at the
+    cost of +33% bytes on the armored column. unbase64 restores the
+    exact original text; checksum equality against the parquet
+    original certifies the whole encode→write→split-read→decode chain
+    byte-faithful. The `nullValue` sentinel is still required: even
+    armored, an empty string field would otherwise read back NULL."""
+    # translate strips the CRLFs Spark's base64 inserts every 76 chars
+    # (MIME chunking — verified live on this build); without it the
+    # armored column itself would smuggle newlines back into the CSV.
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.translate(
+            F.base64(F.col("text").cast("binary")), "\r\n", ""
+        ).alias("text_b64"),
+        "n_chars",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_csvsplit_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    (
+        d.write.mode("overwrite")
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    back_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text_b64", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = (
+        spark.read.schema(back_schema)
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .csv(path)
+        .select(
+            "doc_id",
+            "lang",
+            F.unbase64(F.coalesce("text_b64", F.lit("")))
+            .cast("string")
+            .alias("text"),
+            "n_chars",
+        )
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(md5_long(F.col("text")) % _CKSUM_MOD).alias("text_cksum"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -76,19 +76,46 @@ def _fixed_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assign_expr(cents: list[list[int]]) -> F.Column:
-    """Map-only nearest-centroid id from a centroid literal matrix."""
-    lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cents])
-    dists = F.transform(
-        lit,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("xfix"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    # array_position returns the FIRST index of the min (1-based):
-    # ties break to the lowest cid, like the SQL (dist, cid) order.
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint")
+    """Map-only nearest-centroid id over the `xfix` column, vectorized
+    (Arrow batch → one int64 matmul per batch).
+
+    Exact-algebra equivalence with the SQL mirror: argmin over
+    distance |x - c_k|^2 equals argmin over (|c_k|^2 - 2 x·c_k) — the
+    |x|^2 term is constant per row — and every quantity is an int64 of
+    magnitude < 2^47, so the numpy integer matmul is bit-exact, not
+    approximately equal. np.argmin returns the FIRST minimum index:
+    ties break to the lowest cid, like array_position / the SQL
+    (dist, cid) order.
+
+    This replaced the interpreted HOF form (transform + aggregate over
+    a K×dim literal): at K ∝ corpus (the SemDeDup contract) the
+    assignment is O(K·n·d) and the interpreted evaluator made it the
+    dominant wall of every consumer (measured: the whole-pipeline
+    SemDeDup 8× ratio stayed ~6× even after its pair stage was fixed,
+    entirely assignment-bound). A vectorized batch matmul is the same
+    flop count at ~100× the throughput, and is exactly what a 100 TB
+    deployment does with its centroid matrix (a few MB broadcast into
+    each Arrow worker)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(cents, dtype=np.int64)  # K×d
+    c2 = (c * c).sum(axis=1)  # |c_k|^2, int64
+
+    # No type annotations on the UDF: the module's `from __future__
+    # import annotations` stringifies them and pandas_udf can't
+    # resolve 'pd.Series' against this closure — the return-type
+    # argument carries the typing instead.
+    @pandas_udf("bigint")
+    def assign(xf):
+        if len(xf) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.vstack(xf.to_numpy()).astype(np.int64, copy=False)  # B×d
+        scores = c2[None, :] - 2 * (x @ c.T)  # B×K, exact int64
+        return pd.Series(np.argmin(scores, axis=1).astype("int64"))
+
+    return assign(F.col("xfix"))
 
 
 _CENT_CACHE: dict[str, list[list[int]]] = {}

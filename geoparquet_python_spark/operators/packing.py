@@ -464,10 +464,24 @@ def _batch_group(pdf: pd.DataFrame) -> pd.DataFrame:
     single doc still gets a batch to itself (same oversize rule as
     next-fit packing)."""
     pdf = pdf.sort_values(["n_tokens", "doc_id"]).reset_index(drop=True)
-    batches, rows_after, padded = [], [], []
+    batches, rows_after, padded = _greedy_batches(pdf["n_tokens"])
+    pdf["batch"] = pd.Series(batches, dtype="int64")
+    pdf["rows_after"] = pd.Series(rows_after, dtype="int64")
+    pdf["padded_after"] = pd.Series(padded, dtype="int64")
+    return pdf[
+        ["doc_id", "shard", "n_tokens", "batch", "rows_after", "padded_after"]
+    ]
+
+
+def _greedy_batches(n_tokens) -> tuple[list[int], list[int], list[int]]:
+    """The greedy batch recurrence over a length-ordered token-count
+    sequence. Returns (batch, rows-after, padded-after) per doc."""
+    batches: list[int] = []
+    rows_after: list[int] = []
+    padded: list[int] = []
     b, r = 0, 0
     first = True
-    for n in pdf["n_tokens"]:
+    for n in n_tokens:
         n = int(n)
         fits = (
             r + 1 <= _BATCH_MAX_ROWS
@@ -482,12 +496,33 @@ def _batch_group(pdf: pd.DataFrame) -> pd.DataFrame:
         batches.append(b)
         rows_after.append(r)
         padded.append(r * n)
-    pdf["batch"] = pd.Series(batches, dtype="int64")
-    pdf["rows_after"] = pd.Series(rows_after, dtype="int64")
-    pdf["padded_after"] = pd.Series(padded, dtype="int64")
-    return pdf[
-        ["doc_id", "shard", "n_tokens", "batch", "rows_after", "padded_after"]
-    ]
+    return batches, rows_after, padded
+
+
+def _batch_group_arrow(tbl):
+    """Arrow form of _batch_group for the production applyInArrow path
+    (same rationale as _pack_group_arrow: ~64-row groups, framework
+    overhead dominates — numpy sort + the SAME _greedy_batches
+    recurrence the unit/hypothesis tests pin, no pandas round-trip)."""
+    import numpy as np
+    import pyarrow as pa
+
+    doc_id = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    shard = tbl.column("shard").to_numpy(zero_copy_only=False)
+    n_tokens = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc_id, n_tokens))  # by (n_tokens, doc_id)
+    doc_id, shard, n_tokens = doc_id[order], shard[order], n_tokens[order]
+    batches, rows_after, padded = _greedy_batches(n_tokens)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "batch": pa.array(batches, pa.int64()),
+            "rows_after": pa.array(rows_after, pa.int64()),
+            "padded_after": pa.array(padded, pa.int64()),
+        }
+    )
 
 
 @query(
@@ -551,6 +586,6 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.groupBy("shard")
-        .applyInPandas(_batch_group, _BATCH_SCHEMA)
+        .applyInArrow(_batch_group_arrow, _BATCH_SCHEMA)
         .orderBy("doc_id")
     )
