@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
-from geoparquet_python_spark.functions.text import tokens
+from geoparquet_python_spark.functions.text import (
+    shingles,
+    sql_shingles_cte,
+    tokens,
+)
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -41,10 +45,10 @@ _QUERY_PRED = "doc_id % 101 = 7"  # deterministic held-out query docs
 _QTERMS = 4  # first-N tokens of a query doc form its query
 
 
-@query(
-    "q_bm25_topk",
-    oracle=f"""
-    WITH d AS (
+# The BM25 CTE chain up to the full ranking — shared by q_bm25_topk
+# and the RRF hybrid fusion below (which consumes `ranked` at a
+# deeper list depth).
+_SQL_BM25_CORE = f"""d AS (
       SELECT doc_id, str_split(text, ' ') AS sp FROM documents
     ),
     tok AS (
@@ -92,7 +96,13 @@ _QTERMS = 4  # first-N tokens of a query doc form its query
                PARTITION BY query_id ORDER BY score_fp DESC, doc_id
              ) AS rank
       FROM scored
-    )
+    )"""
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH {_SQL_BM25_CORE}
     SELECT query_id, rank, doc_id, score_fp,
            score_fp / 1000000.0 AS score
     FROM ranked WHERE rank <= {_TOPK}
@@ -114,6 +124,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (order-independent, oracle bit-exact); ranking orders on the
     int64 score.
     """
+    return (
+        _bm25_ranked(spark, sf_dir)
+        .where(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score_fp",
+            (F.col("score_fp") / F.lit(1e6)).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 ranking frame (query_id, doc_id, score_fp, rank) —
+    the plan described in q_bm25_topk's docstring, unfiltered so the
+    RRF fusion can consume a deeper list."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("toks")
     )
@@ -190,18 +218,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_fp").desc(), F.col("doc_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _TOPK)
-        .select(
-            "query_id",
-            "rank",
-            "doc_id",
-            "score_fp",
-            (F.col("score_fp") / F.lit(1e6)).alias("score"),
-        )
-        .orderBy("query_id", "rank")
-    )
+    return scored.withColumn("rank", F.row_number().over(w))
 
 
 _CHUNK_W = 32  # tokens per chunk
@@ -471,4 +488,175 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
         .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of two rankers
+# --------------------------------------------------------------------------
+
+# RRF (Cormack/Clarke/Buettcher 2009): fused(d) = sum over rankers of
+# 1/(k + rank_r(d)), k = 60 — the standard way production search fuses
+# a lexical ranker with a second signal without score calibration,
+# because it consumes only RANKS. Contributions are fixed-point
+# (round(1e6/(60+rank)) as int64) so the fusion sum is
+# order-independent and bit-exact cross-engine.
+_RRF_K = 60
+_RRF_DEPTH = 10  # per-ranker list depth consumed by the fusion
+_RRF_TOPK = 5
+
+
+def _jaccard_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker B: 3-shingle Jaccard similarity of each query doc
+    (doc_id % 101 = 7, the same held-out set as BM25) against every
+    corpus doc sharing >= 1 shingle — the fuzzy-overlap signal that
+    catches near-verbatim matches BM25's bag-of-terms dilutes.
+
+    Decontamination shape: the query-side shingle table is
+    query-set-sized by contract and broadcasts; the corpus's exploded
+    shingles join it map-side, so the only corpus-wide aggregate runs
+    on shingle-matching (query, doc) rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    sh = materialize(
+        d.select("doc_id", F.explode(shingles("toks", 3)).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    qsh = sh.where(F.expr(_QUERY_PRED)).select(
+        F.col("doc_id").alias("query_id"), "s"
+    )
+    inter = (
+        sh.join(broadcast_narrow(qsh), "s")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jacc = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("query_id"), F.col("nsh").alias("q_nsh")
+            ),
+            "query_id",
+        )
+        .join(sizes, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.lit(1e6)
+                * F.col("inter")
+                / (F.col("q_nsh") + F.col("nsh") - F.col("inter"))
+            )
+            .cast("bigint")
+            .alias("jacc_fp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jacc_fp").desc(), F.col("doc_id")
+    )
+    return jacc.withColumn("rank", F.row_number().over(w))
+
+
+_SQL_JACC_RANKED = f"""
+    qsh AS (
+      SELECT doc_id AS query_id, s FROM sh WHERE {_QUERY_PRED}
+    ),
+    ssz AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    jinter AS (
+      SELECT q.query_id, c.doc_id, COUNT(*) AS inter
+      FROM qsh q JOIN sh c ON c.s = q.s AND c.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    jacc AS (
+      SELECT i.query_id, i.doc_id,
+             CAST(round(1000000.0 * i.inter
+                        / (sq.nsh + sd.nsh - i.inter)) AS BIGINT) AS jacc_fp
+      FROM jinter i
+      JOIN ssz sq ON sq.doc_id = i.query_id
+      JOIN ssz sd ON sd.doc_id = i.doc_id
+    ),
+    jranked AS (
+      SELECT query_id, doc_id, jacc_fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY jacc_fp DESC, doc_id
+             ) AS rank
+      FROM jacc
+    )"""
+
+
+@query(
+    "q_hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_SQL_BM25_CORE},
+    {sql_shingles_cte(k=3)},
+    {_SQL_JACC_RANKED},
+    entries AS (
+      SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {_RRF_DEPTH}
+      UNION ALL
+      SELECT query_id, doc_id, rank FROM jranked WHERE rank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(round(1000000.0 / ({_RRF_K} + rank)) AS BIGINT))
+                  AS BIGINT) AS rrf_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM entries GROUP BY 1, 2
+    )
+    SELECT query_id, rank, doc_id, rrf_fp, n_lists FROM (
+      SELECT query_id, doc_id, rrf_fp, n_lists,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id
+             ) AS rank
+      FROM fused
+    ) WHERE rank <= {_RRF_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 ranking with the shingle-Jaccard
+    ranking by reciprocal-rank fusion and report each query's top-5,
+    with the per-doc fused score and how many of the two lists it
+    appeared in. The standard production pattern for combining a
+    lexical ranker with a second signal (here fuzzy n-gram overlap;
+    the same operator fuses an ANN list unchanged — RRF only consumes
+    ranks, so rankers are pluggable).
+
+    Plan: both rankers are the already-certified scale shapes (BM25's
+    query-vocab-restricted postings; decontamination-style broadcast
+    query shingles), each truncated to its top-{_RRF_DEPTH} per query
+    BEFORE the fusion, so the fused frame is (queries x 2 x depth)
+    rows — query-set-sized, never corpus-sized. The fusion itself is
+    one groupBy over that tiny frame plus a per-query top-k window.
+    """
+    a = (
+        _bm25_ranked(spark, sf_dir)
+        .where(F.col("rank") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "rank")
+    )
+    b = (
+        _jaccard_ranked(spark, sf_dir)
+        .where(F.col("rank") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "rank")
+    )
+    contrib = F.round(F.lit(1e6) / (F.lit(_RRF_K) + F.col("rank"))).cast(
+        "bigint"
+    )
+    fused = (
+        a.unionByName(b)
+        .select("query_id", "doc_id", contrib.alias("c_fp"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("c_fp").cast("bigint").alias("rrf_fp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_fp").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _RRF_TOPK)
+        .select("query_id", "rank", "doc_id", "rrf_fp", "n_lists")
+        .orderBy("query_id", "rank")
     )
