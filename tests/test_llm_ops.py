@@ -781,6 +781,68 @@ def test_edge_docs_oracle_parity(spark, tmp_path):
     shutil.rmtree(tmp_path, ignore_errors=True)
 
 
+def test_asof_nearest_equal_ts_tiebreak(spark, tmp_path):
+    """ADVICE r5: when a user has several clicks at the identical
+    nearest timestamp, the NEAREST as-of join must pick the LOWEST
+    click event_id — the oracle's ORDER BY abs(..), tsu, event_id rule
+    — on both engines. The standard fixtures carry no equal-ts ties,
+    so this builds an events table where every tie pattern appears:
+    two clicks at exactly the purchase ts, two clicks equidistant
+    before, and a backward/forward distance tie (backward must win)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from geoparquet_python_spark.io import TABLES
+    from geoparquet_python_spark.testing import duckdb_connect, run_compare
+
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: two clicks AT the purchase ts (ids 11, 12) -> 11 wins
+        (11, t0, 1, "click", 1.0, "{}"),
+        (12, t0, 1, "click", 1.0, "{}"),
+        (13, t0, 1, "purchase", 5.0, "{}"),
+        # user 2: clicks 10s before (ids 22, 21 at same ts) and 20s
+        # after -> backward pair nearest, lowest id 21 wins
+        (21, t0 - 10 * s, 2, "click", 1.0, "{}"),
+        (22, t0 - 10 * s, 2, "click", 1.0, "{}"),
+        (23, t0 + 20 * s, 2, "click", 1.0, "{}"),
+        (24, t0, 2, "purchase", 5.0, "{}"),
+        # user 3: backward at -7s and forward at +7s -> backward wins
+        # the distance tie (delta_us = -7e6)
+        (31, t0 - 7 * s, 3, "click", 1.0, "{}"),
+        (32, t0 + 7 * s, 3, "click", 1.0, "{}"),
+        (33, t0, 3, "purchase", 5.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    duck = duckdb_connect(str(tmp_path))
+    name = "q_asof_purchase_click_nearest"
+    run_compare(
+        spark,
+        duck,
+        name,
+        registry.QUERIES[name],
+        registry.ORACLES[name],
+        str(tmp_path),
+    )
+    got = {
+        r.purchase_event_id: (r.click_event_id, r.delta_us)
+        for r in registry.QUERIES[name](spark, str(tmp_path)).collect()
+    }
+    assert got[13] == (11, 0)
+    assert got[24] == (21, -10_000_000)
+    assert got[33] == (31, -7_000_000)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
 def test_pagerank_matches_pure_python_fold(spark, sf_dir_small):
     """Independent replication: recompute the 3-iteration fixed-point
     PageRank recurrence in pure Python from the edge list and demand
