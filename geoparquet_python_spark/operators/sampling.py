@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -299,4 +300,213 @@ def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "lang", "n_chars", "priority_micro")
         .orderBy(F.col("priority_micro").desc(), "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# F6b: temperature-scaled language-mixture weights (UniMax/mT5 style)
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000_000  # token budget the weights allocate
+
+
+@query(
+    "q_mixture_temperature_weights",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_lang),
+    s AS (
+      SELECT p.lang, p.n_tokens, t.total,
+             CAST(round(sqrt(p.n_tokens * 1.0 / t.total) * 1000000)
+                  AS BIGINT) AS s_fp
+      FROM per_lang p CROSS JOIN tot t
+    ),
+    den AS (SELECT CAST(SUM(s_fp) AS BIGINT) AS denom FROM s)
+    SELECT s.lang AS lang,
+           s.n_tokens AS n_tokens,
+           (s.n_tokens * 1000000) // s.total AS natural_ppm,
+           (s.s_fp * 1000000) // d.denom AS weight_ppm,
+           (s.s_fp * {_MIX_BUDGET}) // d.denom AS alloc_tokens
+    FROM s CROSS JOIN den d
+    ORDER BY lang
+    """,
+)
+def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture weights (the mT5/UniMax
+    rebalancing: sample language l proportional to p_l^(1/T)): per-lang
+    token counts give natural proportions p_l; at T = 2 the sampling
+    weight is sqrt(p_l) normalized — low-resource languages are
+    up-sampled, head languages down-sampled — and the query also
+    allocates a 1e9-token training budget under those weights. The
+    companion to q_domain_mixture_resample (which APPLIES rates
+    content-addressed); this computes the principled rates.
+
+    T = 2 is deliberate: sqrt is IEEE-correctly-rounded in both
+    engines, so sqrt(p_l) is bit-exact cross-engine with no
+    transcendental drift (a general p^1/T would ride the exp/ln
+    rounding convention instead). Normalization avoids double-sum
+    order-dependence entirely: sqrt values round to 1e-6 fixed point
+    FIRST, the denominator is an exact int64 sum, and weights/
+    allocations are integer divisions (DIV == DuckDB //).
+
+    Scale shape: one lang-keyed aggregate with full map-side combine
+    (the only corpus pass), then two one-row broadcasts (total,
+    denominator) over the |langs|-row frame — nothing driver-sized,
+    no window, no shuffle beyond the |langs|-key aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    s = per_lang.crossJoin(broadcast_narrow(tot)).select(
+        "lang",
+        "n_tokens",
+        "total",
+        F.round(
+            F.sqrt(F.col("n_tokens") * F.lit(1.0) / F.col("total")) * 1e6
+        )
+        .cast("bigint")
+        .alias("s_fp"),
+    )
+    den = s.agg(F.sum("s_fp").cast("bigint").alias("denom"))
+    return (
+        s.crossJoin(broadcast_narrow(den))
+        .select(
+            "lang",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV total").alias("natural_ppm"),
+            F.expr("s_fp * 1000000 DIV denom").alias("weight_ppm"),
+            F.expr(f"s_fp * {_MIX_BUDGET} DIV denom").alias("alloc_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# F6c: quality-ranked token-budget selection (two-phase cutoff)
+# --------------------------------------------------------------------------
+
+_QB_WIDTH = 10_000  # quality_fp micro-units per coarse bucket (<=101 buckets)
+
+
+@query(
+    "q_token_budget_selection",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(str_split(text, ' '))) * 1000000
+                  // len(str_split(text, ' ')) AS BIGINT) AS quality_fp
+      FROM documents
+    ),
+    b AS (SELECT CAST(SUM(n_tokens) * 2 // 5 AS BIGINT) AS budget FROM t),
+    sel AS (
+      SELECT t.*,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY quality_fp DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, lang, quality_fp, n_tokens
+    FROM sel CROSS JOIN b
+    WHERE cum_before < b.budget
+    ORDER BY doc_id
+    """,
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: order docs
+    by (type-token-ratio quality DESC, doc_id), keep each doc while
+    the tokens BEFORE it total less than the budget (40% of corpus
+    tokens — data-derived so the query is scale-invariant). The "fill
+    the training budget with the best data first" curation op.
+
+    The oracle is the obvious global cumulative-sum window — which is
+    exactly the plan you must NOT run at 100 TB (one unpartitioned
+    corpus-wide sort+window task). The engine runs the distributed
+    TWO-PHASE CUTOFF instead:
+
+    1. map-only scoring, then a <=101-key coarse-bucket aggregate
+       (quality_fp DIV {_QB_WIDTH}) with full map-side combine;
+    2. a cumulative window over the <=101 BUCKET rows (post-agg frame
+       — the plan-guarded exception) classifies each bucket as fully
+       in (cum_before + btok <= budget), fully out (cum_before >=
+       budget), or THE boundary bucket (at most one, by
+       monotonicity);
+    3. only the boundary bucket's docs get a per-doc running-sum
+       window (partitioned on the bucket key), offset by the bucket's
+       cum_before.
+
+    The corpus-wide work is one aggregate and one semi-join; the only
+    per-doc window runs over a single bucket's docs. Caveat at scale:
+    a degenerate score distribution can make the boundary bucket
+    corpus-sized — production refines with a second bucket digit
+    (same two-phase step recursively) before falling back to a sort;
+    the coarse width here already bounds the boundary at ~1% of the
+    score range."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = materialize(
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            (F.size(F.array_distinct(toks)) * F.lit(1_000_000))
+            .cast("bigint")
+            .alias("nd_scaled"),
+        ).select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("nd_scaled DIV n_tokens").alias("quality_fp"),
+        )
+    )
+    budget = t.agg(
+        F.expr("CAST(SUM(n_tokens) * 2 DIV 5 AS BIGINT)").alias("budget")
+    )
+    t2 = t.withColumn("qb", F.expr(f"quality_fp DIV {_QB_WIDTH}"))
+    buckets = t2.groupBy("qb").agg(F.sum("n_tokens").alias("btok"))
+    wb = (
+        Window.orderBy(F.col("qb").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # <=101 post-aggregation rows: the plan-guarded global-window
+    # exception (same class as q_cumulative_daily_revenue).
+    bcum = buckets.withColumn(
+        "cum_before_bucket",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0).cast("bigint")),
+    ).crossJoin(broadcast_narrow(budget))
+    full = bcum.where(
+        F.col("cum_before_bucket") + F.col("btok") <= F.col("budget")
+    ).select("qb")
+    boundary = bcum.where(
+        (F.col("cum_before_bucket") < F.col("budget"))
+        & (F.col("cum_before_bucket") + F.col("btok") > F.col("budget"))
+    ).select("qb", "cum_before_bucket", "budget")
+    kept_full = t2.join(broadcast_narrow(full), "qb")
+    wdoc = (
+        Window.partitionBy("qb")
+        .orderBy(F.col("quality_fp").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_boundary = (
+        t2.join(broadcast_narrow(boundary), "qb")
+        .withColumn(
+            "cum_in_bucket",
+            F.coalesce(F.sum("n_tokens").over(wdoc), F.lit(0).cast("bigint")),
+        )
+        .where(
+            F.col("cum_before_bucket") + F.col("cum_in_bucket")
+            < F.col("budget")
+        )
+        .select("qb", "doc_id", "lang", "n_tokens", "quality_fp")
+    )
+    return (
+        kept_full.select("qb", "doc_id", "lang", "n_tokens", "quality_fp")
+        .unionByName(kept_boundary)
+        .select("doc_id", "lang", "quality_fp", "n_tokens")
+        .orderBy("doc_id")
     )

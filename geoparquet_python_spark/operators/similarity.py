@@ -608,3 +608,83 @@ def q_hyperplane_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lsh_pairs") * F.lit(1.0) / F.col("n_true_pairs"),
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# F3e: hard-negative mining for contrastive training
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hard_negative_mining",
+    oracle=f"""
+    WITH lbl AS (SELECT vec_id, label FROM embeddings),
+    {_SQL_COSINE_PAIRS.format(pair_cond="AND fa.vec_id < 50 AND fb.vec_id <> fa.vec_id")}
+    SELECT qid, rank, cid AS neg_id, cosine,
+           CAST(neg_label AS BIGINT) AS neg_label
+    FROM (
+      SELECT c.qid, c.cid, c.cosine, lb.label AS neg_label,
+             row_number() OVER (
+               PARTITION BY c.qid ORDER BY c.cosine DESC, c.cid
+             ) AS rank
+      FROM cos c
+      JOIN lbl la ON la.vec_id = c.qid
+      JOIN lbl lb ON lb.vec_id = c.cid AND lb.label <> la.label
+    )
+    WHERE rank <= 3
+    ORDER BY qid, rank
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    (vec_id < 50 — the same query set as q_ann_topk_blocked, whose
+    in-cell results are the POSITIVE candidates), the 3 most
+    cosine-similar vectors whose label DIFFERS from the query's — the
+    highest-loss negatives a contrastive objective (InfoNCE/triplet)
+    wants in the batch, which random negatives almost never supply.
+
+    Test-scale plan: bounded query broadcast against the corpus with a
+    label-mismatch residual, exact fixed-point cosine, per-query top-3
+    window — the q_cosine_topk_brute shape plus the label filter. The
+    100 TB path mines negatives from the ANN index instead (IVF probe
+    + label-mismatch residual, the q_ann_topk_ivf plan with the filter
+    pushed into the candidate join); the brute form here is the
+    recall-1.0 baseline the index-mined variant would be audited
+    against, exactly like the ANN/LSH pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", "label", "embedding", norm2_scaled("embedding").alias("n2")
+    )
+    q = base.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    pairs = broadcast_bounded(q, max_rows=64).join(
+        c, F.col("q_label") != F.col("neg_label")
+    )
+    cos = cosine_from_scaled(
+        dot_scaled("q_emb", "c_emb"), F.col("q_n2"), F.col("c_n2")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        pairs.select(
+            "qid",
+            "neg_id",
+            cos.alias("cosine"),
+            F.col("neg_label").cast("bigint").alias("neg_label"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("qid", "rank", "neg_id", "cosine", "neg_label")
+        .orderBy("qid", "rank")
+    )
