@@ -146,14 +146,30 @@ def test_loose_simhash_no_nested_loop(spark, sf_dir):
 
 
 def test_lsh_refines_broadcast_only_id_pairs(spark, sf_dir):
-    """Round-1 hazard: the LSH refines must never hint-broadcast a
+    """Round-1 hazard: the MinHash refine must never hint-broadcast a
     relation that carries shingle arrays or embeddings. The structural
     guard is broadcast_narrow (unit-tested in test_llm_ops); here we
-    assert the physical plans still broadcast SOMETHING (the id pairs)
+    assert the physical plan still broadcasts SOMETHING (the id pairs)
     so the corpus side of the first refine join stays shuffle-free."""
-    for name in ("q_minhash_lsh_neardup", "q_hyperplane_lsh_neardup"):
-        plan = plan_of(spark, sf_dir, name)
-        assert "BroadcastHashJoin" in plan, f"{name}: id-pair broadcast lost"
+    plan = plan_of(spark, sf_dir, "q_minhash_lsh_neardup")
+    assert "BroadcastHashJoin" in plan, "id-pair broadcast lost"
+
+
+def test_hyperplane_pair_stream_never_joined(spark, sf_dir):
+    """Round-6 rewrite guard: hyperplane LSH carries the embedding
+    payload through the band-bucket shuffle and expands pairs
+    MAP-SIDE — the corpus-quadratic candidate-pair stream must never
+    feed a join or broadcast again (the pre-rewrite form broadcast it:
+    a driver OOM at scale). The only join allowed is the vec_id
+    payload attach BEFORE bucketing; after the Generate (pair
+    explode), the plan must be join-free."""
+    plan = plan_of(spark, sf_dir, "q_hyperplane_lsh_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # toString prints parents first: everything BEFORE the Generate is
+    # downstream of the pair expansion and must contain no join.
+    gi = plan.index("Generate")
+    assert "Join" not in plan[:gi], "pair stream feeds a join"
 
 
 def test_unpartitioned_window_only_post_aggregation(spark, sf_dir):
@@ -245,6 +261,33 @@ def test_packing_construction_launches_no_jobs(spark, sf_dir, name):
     # spark.read.parquet itself spends one schema-inference job; the
     # old shard_count(df.count()) added a second (the full-table scan).
     assert len(jobs) <= 1, f"{name} construction launched extra jobs: {jobs}"
+
+
+NEVER_CARTESIAN_R6 = [
+    "q_simhash_wide240_blocked_pairs",
+    "q_hybrid_rrf_topk",
+    "q_token_budget_selection",
+    "q_mixture_temperature_weights",
+    "q_semdedup_dropped",
+]
+
+
+@pytest.mark.parametrize("name", NEVER_CARTESIAN_R6)
+def test_no_cartesian_round6(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_budget_selection_global_window_post_agg(spark, sf_dir):
+    """q_token_budget_selection's unpartitioned cumulative window is
+    legal ONLY over the <=101-row coarse-bucket aggregate (two-phase
+    cutoff); assert it sits above a HashAggregate, like the
+    q_cumulative_daily_revenue guard."""
+    plan = plan_of(spark, sf_dir, "q_token_budget_selection")
+    wi = plan.index("Window")
+    assert "HashAggregate" in plan[wi:], (
+        "global window is not running over a post-aggregation relation"
+    )
 
 
 def test_parquet_row_count_matches_spark_count(spark, sf_dir):
