@@ -194,3 +194,143 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("table_name", "check_name")
+
+
+# --------------------------------------------------------------------------
+# Population-stability-index (PSI) drift report
+# --------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_WIDTH = 50.0  # value units per bucket (events.value spans ~0-490)
+
+
+@query(
+    "q_psi_value_drift",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(LEAST(CAST(floor(value / {_PSI_WIDTH}) AS BIGINT),
+                        {_PSI_BUCKETS - 1}) AS BIGINT) AS b,
+             CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    grid AS (
+      SELECT DISTINCT event_type FROM base
+    ),
+    cells AS (
+      SELECT g.event_type, r.range AS b
+      FROM grid g CROSS JOIN range({_PSI_BUCKETS}) r
+    ),
+    counts AS (
+      SELECT c.event_type, c.b,
+             CAST(COALESCE(SUM(CASE WHEN base.is_ref = 1 THEN 1 END), 0)
+                  AS BIGINT) AS n_ref,
+             CAST(COALESCE(SUM(CASE WHEN base.is_ref = 0 THEN 1 END), 0)
+                  AS BIGINT) AS n_live
+      FROM cells c
+      LEFT JOIN base ON base.event_type = c.event_type AND base.b = c.b
+      GROUP BY 1, 2
+    ),
+    tots AS (
+      SELECT event_type,
+             CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+             CAST(SUM(n_live) AS BIGINT) AS tot_live
+      FROM counts GROUP BY 1
+    ),
+    contribs AS (
+      SELECT c.event_type,
+             CAST(round(((c.n_ref + 1.0) / (t.tot_ref + {_PSI_BUCKETS})
+                         - (c.n_live + 1.0) / (t.tot_live + {_PSI_BUCKETS}))
+                        * 1000000) AS BIGINT)
+             * CAST(round(ln(((c.n_ref + 1.0) * (t.tot_live + {_PSI_BUCKETS}))
+                            / ((c.n_live + 1.0) * (t.tot_ref + {_PSI_BUCKETS})))
+                          * 1000000) AS BIGINT) AS c_pico,
+             c.n_ref, c.n_live
+      FROM counts c JOIN tots t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(SUM(c_pico) AS BIGINT) AS psi_pico,
+           CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+           CAST(SUM(n_live) AS BIGINT) AS n_live
+    FROM contribs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type: bucketize `value`
+    into {_PSI_BUCKETS} fixed-width bins, compare the first half of the
+    month (reference) against the second (live), and report
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with add-one smoothing — the
+    standard model-ops drift gate (PSI < 0.1 stable, > 0.25 shifted).
+
+    Determinism: the two factors are fixed-pointed SEPARATELY before
+    multiplying — (p−q) rounds to 1e-6, and ln takes an exactly-
+    representable integer-product ratio then rounds to 1e-6 (the
+    repo's transcendental convention) — so each bucket contribution is
+    an exact int64 in 1e-12 units and the sum is order-independent.
+
+    Scale shape: one conditional-aggregate corpus pass to the
+    (type × bucket) grid — a few dozen keys, full map-side combine;
+    the dense grid (so empty buckets still contribute their smoothed
+    mass) comes from a types × {_PSI_BUCKETS} literal frame joined to
+    the counts, and totals are a per-type one-row rollup — nothing
+    beyond the tiny grid shuffles after the scan."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _PSI_WIDTH).cast("bigint"),
+            F.lit(_PSI_BUCKETS - 1).cast("bigint"),
+        ).alias("b"),
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("is_ref"),
+    )
+    counts_sparse = base.groupBy("event_type", "b").agg(
+        F.sum(F.when(F.col("is_ref") == 1, 1)).alias("n_ref_s"),
+        F.sum(F.when(F.col("is_ref") == 0, 1)).alias("n_live_s"),
+    )
+    types = base.select("event_type").distinct()
+    buckets = F.explode(
+        F.array(*[F.lit(i).cast("bigint") for i in range(_PSI_BUCKETS)])
+    )
+    cells = types.select("event_type", buckets.alias("b"))
+    counts = (
+        cells.join(counts_sparse, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            "b",
+            F.coalesce("n_ref_s", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_live_s", F.lit(0)).cast("bigint").alias("n_live"),
+        )
+    )
+    tots = counts.groupBy("event_type").agg(
+        F.sum("n_ref").cast("bigint").alias("tot_ref"),
+        F.sum("n_live").cast("bigint").alias("tot_live"),
+    )
+    j = counts.join(tots, "event_type")
+    dp = F.round(
+        (
+            (F.col("n_ref") + 1.0) / (F.col("tot_ref") + _PSI_BUCKETS)
+            - (F.col("n_live") + 1.0) / (F.col("tot_live") + _PSI_BUCKETS)
+        )
+        * 1e6
+    ).cast("bigint")
+    lnr = F.round(
+        F.log(
+            ((F.col("n_ref") + 1.0) * (F.col("tot_live") + _PSI_BUCKETS))
+            / ((F.col("n_live") + 1.0) * (F.col("tot_ref") + _PSI_BUCKETS))
+        )
+        * 1e6
+    ).cast("bigint")
+    return (
+        j.select(
+            "event_type", (dp * lnr).alias("c_pico"), "n_ref", "n_live"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("c_pico").cast("bigint").alias("psi_pico"),
+            F.sum("n_ref").cast("bigint").alias("n_ref"),
+            F.sum("n_live").cast("bigint").alias("n_live"),
+        )
+        .orderBy("event_type")
+    )

@@ -750,3 +750,89 @@ def q_geo_multipart_territories(spark: SparkSession, sf_dir: str) -> DataFrame:
         env["ymax"].alias("ymax"),
         F.round(st_length("routes"), 6).alias("route_len"),
     ).orderBy("n_nationkey")
+
+
+@pandas_udf(BinaryType())
+def _landmark_wkb(keys: pd.Series) -> pd.Series:
+    """GeometryCollection per nation: capital Point at (10k, 5k), one
+    territory square (side s, center (10k+7, 5k-4)), one 3-4-5 route
+    segment from (10k+14, 5k-8) — the heterogeneous-geometry case the
+    Multi* types can't represent."""
+
+    def one(v):
+        k = int(v)
+        _, s = _territory_params(k)
+        h = s / 2.0
+        cx, cy = 10.0 * k + 7.0, 5.0 * k - 4.0
+        lx, ly = 10.0 * k + 14.0, 5.0 * k - 8.0
+        ring = [
+            [cx - h, cy - h],
+            [cx + h, cy - h],
+            [cx + h, cy + h],
+            [cx - h, cy + h],
+            [cx - h, cy - h],
+        ]
+        return wkb.encode(
+            (
+                "GeometryCollection",
+                [
+                    ("Point", (10.0 * k, 5.0 * k)),
+                    ("Polygon", [ring]),
+                    ("LineString", [[lx, ly], [lx + 3.0, ly + 4.0]]),
+                ],
+            )
+        )
+
+    return pd.Series([one(v) for v in keys])
+
+
+@query(
+    "q_geo_collection_measures",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey, (n_nationkey % 4) + 1 AS s FROM nation
+    )
+    SELECT n_nationkey,
+           CAST(3 AS INTEGER) AS n_parts,
+           ROUND(CAST(s * s AS DOUBLE), 6) AS area,
+           ROUND(CAST(4.0 * s + 5.0 AS DOUBLE), 6) AS length,
+           ROUND((30.0 * n_nationkey + 22.5) / 3, 6) AS cx,
+           ROUND((15.0 * n_nationkey - 10.0) / 3, 6) AS cy,
+           10.0 * n_nationkey AS xmin,
+           5.0 * n_nationkey - 8.0 AS ymin,
+           10.0 * n_nationkey + 17.0 AS xmax,
+           5.0 * n_nationkey AS ymax
+    FROM g
+    ORDER BY n_nationkey
+    """,
+)
+def q_geo_collection_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeometryCollection measures — the 7th and last WKB type at
+    query scale (completing q_geo_multipart_territories's coverage of
+    the Multi* forms): per-nation collection of a Point + Polygon +
+    LineString, measured by the dimensionality rules geo/wkb.py
+    implements — area counts polygons only (s²), length counts ring
+    perimeters + paths (4s + 5: the route is a 3-4-5 hypotenuse),
+    collection centroid is the MEAN of member centroids (point itself,
+    square center, segment midpoint — the /3 lands on thirds, absorbed
+    by the shared ROUND(..., 6) convention), envelope spans every
+    member coordinate (all dyadic → bit-exact). Same closed-form
+    oracle pattern and 25-row nation dim as the multipart query."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    g = n.select(
+        "n_nationkey", _landmark_wkb(F.col("n_nationkey")).alias("geom")
+    )
+    env = st_envelope(F.col("geom"))
+    cen = st_centroid(F.col("geom"))
+    return g.select(
+        "n_nationkey",
+        st_num_geometries("geom").alias("n_parts"),
+        F.round(st_area("geom"), 6).alias("area"),
+        F.round(st_length("geom"), 6).alias("length"),
+        F.round(st_x(cen), 6).alias("cx"),
+        F.round(st_y(cen), 6).alias("cy"),
+        env["xmin"].alias("xmin"),
+        env["ymin"].alias("ymin"),
+        env["xmax"].alias("xmax"),
+        env["ymax"].alias("ymax"),
+    ).orderBy("n_nationkey")
