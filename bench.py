@@ -69,6 +69,9 @@ HEADLINE = [
     "q_events_ohlc_hourly",
     # Round-5 (late): CDC changelog compaction + MERGE INTO.
     "q_cdc_merge_upsert",
+    # Round-6: hybrid retrieval fusion + two-phase budget selection.
+    "q_hybrid_rrf_topk",
+    "q_token_budget_selection",
 ]
 
 

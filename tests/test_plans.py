@@ -51,6 +51,13 @@ ONE_ROW_BNLJ_BUDGET = {
     "q_tfidf_top_terms": 1,
     # corpus stats (N, Σdl) for BM25 — one-row aggregate crossJoin
     "q_bm25_topk": 1,
+    # RRF inherits BM25's one-row stats crossJoin
+    "q_hybrid_rrf_topk": 1,
+    # the one-row token-budget aggregate crossJoin, replayed once per
+    # branch (full buckets / boundary bucket) of the two-phase cutoff —
+    # both instances build from the same one-row aggregate over the
+    # checkpointed scored frame
+    "q_token_budget_selection": 2,
 }
 
 

@@ -41,6 +41,12 @@ DEFAULT_QUERIES = [
     "q_ann_topk_ivf",
     "q_hyperplane_lsh_neardup",
     "q_semdedup_dropped",
+    # Round-6 additions:
+    "q_hybrid_rrf_topk",
+    "q_token_budget_selection",
+    "q_psi_value_drift",
+    "q_hard_negative_mining",
+    "q_mixture_temperature_weights",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
