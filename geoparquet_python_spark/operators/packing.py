@@ -21,8 +21,6 @@ No reference equivalent (SURVEY.md §0) — BASELINE.json north-star scope.
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,42 +28,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from geoparquet_python_spark.io import load_table, parquet_row_count
+# Shard-domain sizing (shard_count/_SQL_N_SHARDS and their constants)
+# lives beside the hash helpers in sampling.py — one home for "how the
+# corpus is deterministically sharded", shared by packing, batching
+# and the global-index operator without an import cycle.
 from geoparquet_python_spark.operators.sampling import (
+    _DOCS_PER_SHARD,
+    _MIN_SHARDS,
+    _SQL_N_SHARDS,
     hash_bucket_wide,
+    shard_count,
     sql_hash_bucket_wide,
 )
 from geoparquet_python_spark.registry import query
 
 _CAPACITY = 512  # tokens per packed context window
-
-# Shard count scales with corpus size: ceil(n_docs / _DOCS_PER_SHARD),
-# floored at _MIN_SHARDS. A fixed shard count would pin applyInPandas
-# parallelism (8 tasks doing ALL the packing at 100 TB); this formula
-# keeps each packing group ~_DOCS_PER_SHARD docs no matter the scale,
-# so parallelism grows linearly with input. The doc count feeding it
-# comes from Parquet footer metadata on the driver (io.parquet_row_count
-# — zero Spark jobs; a count()-before-plan at 100 TB is an extra table
-# pass), and the shard bucket uses the 60-bit hash (hash_bucket_wide —
-# a 16-bit hash would cap effective parallelism at 65536 shards). The
-# SAME formula is embedded in each oracle as a scalar subquery over
-# `documents`, so Spark and DuckDB always agree on the shard domain at
-# any sf.
-_DOCS_PER_SHARD = 64
-_MIN_SHARDS = 4
-
-
-def shard_count(n_docs: int) -> int:
-    """max(_MIN_SHARDS, ceil(n_docs / _DOCS_PER_SHARD))."""
-    return max(_MIN_SHARDS, math.ceil(n_docs / _DOCS_PER_SHARD))
-
-
-# SQL mirror of shard_count(): a scalar subquery usable as the modulus
-# of sql_hash_bucket. Kept out of window PARTITION BY clauses (computed
-# once in a CTE column instead).
-_SQL_N_SHARDS = (
-    f"(SELECT GREATEST({_MIN_SHARDS}, "
-    f"CAST(CEIL(COUNT(*) * 1.0 / {_DOCS_PER_SHARD}) AS INT)) FROM documents)"
-)
 
 _PACK_SCHEMA = T.StructType(
     [

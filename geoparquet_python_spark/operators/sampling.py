@@ -69,6 +69,39 @@ def sql_hash_bucket_wide(expr: str, buckets) -> str:
     )
 
 
+# Shard count scales with corpus size: ceil(n_docs / _DOCS_PER_SHARD),
+# floored at _MIN_SHARDS. A fixed shard count would pin per-shard
+# parallelism (8 tasks doing ALL the packing at 100 TB); this formula
+# keeps each group ~_DOCS_PER_SHARD docs no matter the scale, so
+# parallelism grows linearly with input. The doc count feeding it
+# comes from Parquet footer metadata on the driver (io.parquet_row_count
+# — zero Spark jobs; a count()-before-plan at 100 TB is an extra table
+# pass), and the shard bucket uses the 60-bit hash (hash_bucket_wide —
+# a 16-bit hash would cap effective parallelism at 65536 shards). The
+# SAME formula is embedded in each oracle as a scalar subquery over
+# `documents`, so Spark and DuckDB always agree on the shard domain at
+# any sf. Consumers: packing.py (next-fit / curriculum / batching) and
+# q_global_sample_index below.
+_DOCS_PER_SHARD = 64
+_MIN_SHARDS = 4
+
+
+def shard_count(n_docs: int) -> int:
+    """max(_MIN_SHARDS, ceil(n_docs / _DOCS_PER_SHARD))."""
+    import math
+
+    return max(_MIN_SHARDS, math.ceil(n_docs / _DOCS_PER_SHARD))
+
+
+# SQL mirror of shard_count(): a scalar subquery usable as the modulus
+# of sql_hash_bucket. Kept out of window PARTITION BY clauses (computed
+# once in a CTE column instead).
+_SQL_N_SHARDS = (
+    f"(SELECT GREATEST({_MIN_SHARDS}, "
+    f"CAST(CEIL(COUNT(*) * 1.0 / {_DOCS_PER_SHARD}) AS INT)) FROM documents)"
+)
+
+
 _B = sql_hash_bucket("doc_id")
 
 
@@ -508,5 +541,73 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept_full.select("qb", "doc_id", "lang", "n_tokens", "quality_fp")
         .unionByName(kept_boundary)
         .select("doc_id", "lang", "quality_fp", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# F6d: global contiguous sample indices (two-phase offsets, no global sort)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_global_sample_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({sql_hash_bucket_wide("doc_id", _SQL_N_SHARDS)} AS BIGINT)
+               AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (ORDER BY shard, doc_id) - 1 AS BIGINT)
+             AS global_idx
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q_global_sample_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CONTIGUOUS global sample indices 0..n-1 in
+    (shard, doc_id) order — what a training job needs to address
+    examples stably across epochs, resumable checkpoints, and
+    re-shards (zipWithIndex's job, but content-addressed and
+    partitioning-invariant: the index depends only on the data).
+
+    The oracle is the global row_number window — the plan you must
+    NOT run at 100 TB (one corpus-wide sort task). The engine uses
+    the same TWO-PHASE shape as q_token_budget_selection: per-shard
+    counts (map-side combined, shard domain = ceil(n/64) keys),
+    exclusive-prefix offsets via a window over the SHARD-COUNT-sized
+    aggregate only, then a per-shard (partitioned) row_number joined
+    to its shard's offset. No corpus-wide sort or unpartitioned
+    window anywhere; the shard count grows with the corpus so the
+    per-shard window stays ~64 rows."""
+    from geoparquet_python_spark.io import parquet_row_count
+
+    n_shards = shard_count(parquet_row_count(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        hash_bucket_wide(F.col("doc_id"), n_shards)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    sizes = d.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    woff = (
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "shard",
+        F.coalesce(F.sum("n").over(woff), F.lit(0).cast("bigint")).alias(
+            "offset"
+        ),
+    )
+    win = Window.partitionBy("shard").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(win).cast("bigint"))
+        .join(broadcast_narrow(offsets), "shard")
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("offset") + F.col("rn") - 1).alias("global_idx"),
+        )
         .orderBy("doc_id")
     )
