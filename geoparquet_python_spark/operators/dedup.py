@@ -113,6 +113,89 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(spark, sf_dir)
 
 
+_CONTAIN_T_MICRO = 800_000  # containment >= 0.8
+
+
+@query(
+    "q_shingle_containment_pairs",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT i.doc_a, i.doc_b, sa.sz AS sza, sb.sz AS szb,
+             (i.i * 1000000) // LEAST(sa.sz, sb.sz) AS c_micro
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT CASE WHEN sza <= szb THEN doc_a ELSE doc_b END AS contained_doc,
+           CASE WHEN sza <= szb THEN doc_b ELSE doc_a END AS container_doc,
+           CAST(c_micro AS BIGINT) AS containment_micro
+    FROM scored
+    WHERE c_micro >= {_CONTAIN_T_MICRO}
+    ORDER BY contained_doc, container_doc
+    """,
+)
+def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplication: shingle CONTAINMENT
+    C(small→big) = |A∩B| / min(|A|,|B|) ≥ 0.8 — the partial-dup
+    detector symmetric Jaccard structurally misses. A short doc
+    quoted whole inside a much longer one scores Jaccard
+    ≈ |A|/|B| → 0 but containment ≈ 1; dedup pipelines run BOTH
+    measures (Broder's resemblance vs containment distinction).
+
+    Same inverted-index plan as q_ngram_jaccard_pairs — one extra
+    projection, no new shuffle: the intersection counts and size
+    table are shared shapes, the score divides by the SMALLER set
+    (integer DIV on micro-units — exact on both engines), and the
+    direction normalizes to (contained=smaller, ties→lower doc_id).
+    Scale path identical to Jaccard's (stop-shingle cap + AQE skew
+    split); the sketch screen for containment at 100 TB is
+    asymmetric MinHash over the smaller set's signature."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = spread(
+        d.select("doc_id", tokens("text").alias("toks"))
+    ).select("doc_id", F.explode(shingles("toks", k=3)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("c_micro", F.expr("i * 1000000 DIV least(sza, szb)"))
+        .where(F.col("c_micro") >= _CONTAIN_T_MICRO)
+    )
+    small_first = F.col("sza") <= F.col("szb")
+    return scored.select(
+        F.when(small_first, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("contained_doc"),
+        F.when(small_first, F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("container_doc"),
+        F.col("c_micro").cast("bigint").alias("containment_micro"),
+    ).orderBy("contained_doc", "container_doc")
+
+
 def _exact_jaccard_pairs(
     spark: SparkSession, sf_dir: str, stop_shingle_df: int | None = None
 ) -> DataFrame:
