@@ -47,7 +47,7 @@ from geoparquet_python_spark.functions.vector import (
     norm2_scaled,
     sql_pair_dot_scaled,
 )
-from geoparquet_python_spark.functions.exact import broadcast_bounded, materialize
+from geoparquet_python_spark.functions.exact import broadcast_bounded
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -130,16 +130,19 @@ def _train(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     init = x.where(F.col("vec_id") < _K).orderBy("vec_id").collect()
     cents = [list(r["xfix"]) for r in init]
     for _ in range(_T):
-        # Materialize the assignment BEFORE the posexplode: the argmin
-        # expression otherwise lands in the projection above Generate
-        # and is re-evaluated once per exploded dimension — a silent
-        # 64x on the interpreted-HOF distance transform (measured
-        # ~8 s/iteration -> ~1 s at sf0.1). The checkpointed frame is
-        # |corpus| narrow rows, the same signature-table idiom as
-        # functions/exact.materialize's self-join barrier.
-        assigned = materialize(
-            x.select(_assign_expr(cents).alias("cid"), "xfix")
-        )
+        # No materialize() barrier needed here anymore: the old
+        # interpreted-HOF argmin was a plain Catalyst expression, and
+        # projection collapse inlined it ABOVE the posexplode — silently
+        # re-evaluating it once per exploded dimension (64x; hence the
+        # round-5 localCheckpoint). The vectorized assignment is an
+        # ArrowEvalPython node, which Catalyst cannot fold into a
+        # generator projection — the UDF runs once per row by
+        # construction, so the per-iteration checkpoint job is pure
+        # overhead now. Removing it is wall-neutral at bench scale
+        # (train ≈4 s either way at 8x/K=64) but drops one job and one
+        # executor-memory copy per iteration; equality is pinned by the
+        # unrolled-CTE oracles of every consumer.
+        assigned = x.select(_assign_expr(cents).alias("cid"), "xfix")
         stats = (
             assigned.select("cid", F.posexplode("xfix").alias("d", "v"))
             .groupBy("cid", "d")

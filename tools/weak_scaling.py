@@ -41,12 +41,16 @@ DEFAULT_QUERIES = [
     "q_ann_topk_ivf",
     "q_hyperplane_lsh_neardup",
     "q_semdedup_dropped",
-    # Round-6 additions:
+    # Round-6 additions (batch only: streaming queries are excluded —
+    # re-running one in-session reuses its named memory sink, so the
+    # second timing measures a stale materialized read, not a drain):
     "q_hybrid_rrf_topk",
     "q_token_budget_selection",
     "q_psi_value_drift",
     "q_hard_negative_mining",
     "q_mixture_temperature_weights",
+    "q_shingle_containment_pairs",
+    "q_global_sample_index",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
