@@ -1,0 +1,304 @@
+"""IVFADC: coarse k-means cells + product-quantized RESIDUALS +
+asymmetric-distance search + exact re-rank — the composed ANN layout
+of Jégou et al.'s "Product Quantization for Nearest Neighbor Search"
+(public), and the shape every billion-vector store (FAISS IVF-PQ)
+deploys. (SURVEY.md §2.F3 [N]-scope; the reference has no vector
+surface.)
+
+Composition of two already-certified trainers, nothing new invented:
+- coarse quantizer: operators/kmeans.py's deterministic fixed-point
+  Lloyd cells (K=8, T=3) — unchanged, shared cache;
+- fine quantizer: operators/pq.py's per-subspace codebooks (M=8,
+  K=16, T=2), trained here on the coarse RESIDUALS x − c(cell)
+  rather than raw vectors (the residual trick: PQ spends its 32 bits
+  on the within-cell remainder, where the variance lives);
+- search: probe NPROBE cells per query, build the per-(query, cell)
+  ADC lookup table against the QUERY residual, score candidates as M
+  integer table lookups, shortlist by estimated distance, then exact
+  fixed-point cosine re-rank of the shortlist only.
+
+Scale design: training collects K*dim + M*K*SUBD int64 literals
+(driver-loop contract, same as kmeans/pq); encoding is one map-only
+corpus pass; the search broadcasts the LUT (NQ × NPROBE × M × K
+rows) so the corpus never shuffles — candidates stream cell-locally,
+the (qid, cvec) rollup is the only exchange and is candidate-sized,
+and the exact re-rank touches SHORTLIST vectors per query instead of
+the whole cell. At 100 TB the corpus side is codes (4 GB/billion
+vectors) + one bigint cell id — the raw floats are read only by the
+re-rank's shortlist fetch, exactly how a production IVFADC store
+lays out hot/cold columns.
+
+Determinism: residuals are int64 differences of already-exact
+fixed-point vectors, so both trainers and every distance below are
+bit-identical in Spark, DuckDB, and the driver loop; ADC shortlist
+ties break to the lowest candidate id, final rank to
+(cosine DESC, cid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.exact import broadcast_bounded
+from geoparquet_python_spark.functions.vector import (
+    SQL_COSINE,
+    SQL_FLAT_EMBEDDINGS,
+    SQL_NORMS,
+    cosine_from_scaled,
+    dot_scaled,
+    norm2_scaled,
+    sql_pair_dot_scaled,
+)
+from geoparquet_python_spark.operators import kmeans as km
+from geoparquet_python_spark.operators import pq
+from geoparquet_python_spark.registry import query
+
+_NQ = 10  # query vectors: vec_id < _NQ
+_NPROBE = 2  # coarse cells probed per query
+_SHORTLIST = 10  # ADC shortlist re-ranked exactly
+_TOPK = 3
+
+
+def _cents_lit(cents: list[list[int]]) -> F.Column:
+    return F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cents])
+
+
+def _residual_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, xfix): per-vector coarse cell + residual, named
+    ``xfix`` so pq's codebook expressions apply unchanged."""
+    cents = km._train(spark, sf_dir)
+    x = km._fixed_points(spark, sf_dir).select(
+        "vec_id", "xfix", km._assign_expr(cents).alias("cell")
+    )
+    res = F.expr("zip_with(xfix, __cents[cell], (a, b) -> a - b)")
+    return x.withColumn("__cents", _cents_lit(cents)).select(
+        "vec_id", "cell", res.alias("xfix")
+    )
+
+
+def _train_residual_pq(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+    return pq._train_pq_frame(
+        _residual_frame(spark, sf_dir).select("vec_id", "xfix"),
+        f"ivfpq-residual|{sf_dir}|{pq._M}|{pq._K}|{pq._T}",
+    )
+
+
+def _sql_ivfpq_ctes() -> str:
+    """k-means CTEs (xf, c{T}, a{T}) + residual frame rf + pq CTEs on
+    rf under the ``p_`` prefix, ending in p_c{T} / p_a{T}."""
+    return f"""{km._sql_kmeans_ctes()},
+    rf AS (
+      SELECT a.vec_id,
+             list_transform(list_zip(a.xfix, c.cfix),
+                            p -> p[1] - p[2]) AS xfix
+      FROM a{km._T} a JOIN c{km._T} c ON c.cid = a.cid
+    ),
+    {pq._sql_pq_ctes(src_xf="rf", prefix="p_")}"""
+
+
+@query(
+    "q_ann_topk_ivfpq",
+    oracle=f"""
+    WITH {_sql_ivfpq_ctes()},
+    probe AS (
+      SELECT vec_id AS qid, cid AS cell FROM (
+        SELECT x.vec_id, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(x.xfix, c.cfix),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        FROM xf x CROSS JOIN c{km._T} c WHERE x.vec_id < {_NQ}
+      ) WHERE rn <= {_NPROBE}
+    ),
+    qres AS (
+      SELECT p.qid, p.cell,
+             list_transform(list_zip(x.xfix, c.cfix),
+                            r -> r[1] - r[2]) AS rfix
+      FROM probe p
+      JOIN xf x ON x.vec_id = p.qid
+      JOIN c{km._T} c ON c.cid = p.cell
+    ),
+    qsub AS (
+      SELECT qid, cell, m,
+             rfix[m * {pq._SUBD} + 1 : m * {pq._SUBD} + {pq._SUBD}] AS sv
+      FROM qres, (SELECT unnest(range({pq._M})) AS m)
+    ),
+    lut AS (
+      SELECT q.qid, q.cell, c.m, c.cid,
+             list_sum(list_transform(list_zip(q.sv, c.cfix),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS pd
+      FROM qsub q JOIN p_c{pq._T} c ON c.m = q.m
+    ),
+    cellof AS (SELECT vec_id, cid AS cell FROM a{km._T}),
+    est AS (
+      SELECT l.qid, co.vec_id AS cvec, CAST(SUM(l.pd) AS BIGINT) AS dist_est
+      FROM p_a{pq._T} co
+      JOIN cellof ce ON ce.vec_id = co.vec_id
+      JOIN lut l ON l.cell = ce.cell AND l.m = co.m AND l.cid = co.cid
+      WHERE co.vec_id <> l.qid
+      GROUP BY l.qid, co.vec_id
+    ),
+    short AS (
+      SELECT qid, cvec FROM (
+        SELECT qid, cvec,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist_est, cvec) AS rn
+        FROM est
+      ) WHERE rn <= {_SHORTLIST}
+    ),
+    flat AS ({SQL_FLAT_EMBEDDINGS}),
+    norms AS ({SQL_NORMS}),
+    dots AS (
+      SELECT s.qid, s.cvec, {sql_pair_dot_scaled("fa", "fb")} AS d
+      FROM short s
+      JOIN flat fa ON fa.vec_id = s.qid
+      JOIN flat fb ON fb.vec_id = s.cvec AND fb.i = fa.i
+      GROUP BY s.qid, s.cvec
+    ),
+    cos AS (
+      SELECT qid, cvec AS cid,
+             {SQL_COSINE.format(dot="d", na="na.n2", nb="nb.n2")} AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = qid
+      JOIN norms nb ON nb.vec_id = cvec
+    )
+    SELECT qid, cid, cosine, rank FROM (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rank
+      FROM cos
+    )
+    WHERE rank <= {_TOPK}
+    ORDER BY qid, rank
+    """,
+)
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k: probe → residual ADC shortlist → exact re-rank.
+    The full billion-scale ANN pipeline as one declarative plan."""
+    cents = km._train(spark, sf_dir)
+    pq_cents = _train_residual_pq(spark, sf_dir)
+
+    # Corpus side: cell id + PQ code rows over residuals (map-only).
+    res = _residual_frame(spark, sf_dir)
+    codes, cb = pq._codes_expr(pq_cents)
+    code_rows = (
+        res.withColumn("__cb", cb)
+        .select("vec_id", "cell", codes.alias("codes"))
+        .select(
+            F.col("vec_id").alias("cvec"),
+            F.col("cell").alias("c_cell"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {pq._M - 1}), "
+                    f"m -> struct(m AS m, codes[m] AS cid))"
+                )
+            ).alias("c"),
+        )
+        .select("cvec", "c_cell", F.col("c.m").alias("m"), F.col("c.cid").alias("cid"))
+    )
+
+    # Query side: probe cells, query residual per probed cell, LUT.
+    base = km._fixed_points(spark, sf_dir).where(F.col("vec_id") < _NQ)
+    lit = _cents_lit(cents)
+    dists = F.expr(
+        "transform(__cents, c -> aggregate("
+        "zip_with(xfix, c, (a, b) -> (a - b) * (a - b)),"
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+    )
+    probe_cells = F.expr(
+        f"slice(transform(array_sort(zip_with(__dists, "
+        f"sequence(0, {km._K - 1}), (d, i) -> struct(d AS d, CAST(i AS BIGINT) AS i))), "
+        f"s -> s.i), 1, {_NPROBE})"
+    )
+    qres = (
+        base.withColumn("__cents", lit)
+        .withColumn("__dists", dists)
+        .select(
+            F.col("vec_id").alias("qid"),
+            "xfix",
+            F.explode(probe_cells).alias("q_cell"),
+            F.col("__cents"),
+        )
+        .select(
+            "qid",
+            "q_cell",
+            F.expr("zip_with(xfix, __cents[q_cell], (a, b) -> a - b)").alias(
+                "rfix"
+            ),
+        )
+    )
+    lut = (
+        qres.withColumn("__cb", pq._cb_lit(pq_cents))
+        .select(
+            "qid",
+            "q_cell",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {pq._M - 1}), m -> "
+                    f"transform(sequence(0, {pq._K - 1}), k -> struct("
+                    f"m AS m, k AS cid, aggregate("
+                    f"  zip_with(slice(rfix, m * {pq._SUBD} + 1, {pq._SUBD}),"
+                    f"           __cb[m][k],"
+                    f"           (a, b) -> (a - b) * (a - b)),"
+                    f"  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS pd))))"
+                )
+            ).alias("l"),
+        )
+        .select(
+            "qid",
+            "q_cell",
+            F.col("l.m").alias("m"),
+            F.col("l.cid").alias("cid"),
+            F.col("l.pd").alias("pd"),
+        )
+    )
+
+    # ADC: M lookups per candidate, summed; candidates stream
+    # cell-locally against the broadcast LUT — no corpus shuffle.
+    est = (
+        code_rows.join(
+            broadcast_bounded(lut, max_rows=_NQ * _NPROBE * pq._M * pq._K),
+            (F.col("c_cell") == F.col("q_cell"))
+            & (code_rows["m"] == lut["m"])
+            & (code_rows["cid"] == lut["cid"]),
+        )
+        .where(F.col("cvec") != F.col("qid"))
+        .groupBy("qid", "cvec")
+        .agg(F.sum("pd").alias("dist_est"))
+    )
+    ws = Window.partitionBy("qid").orderBy("dist_est", "cvec")
+    short = (
+        est.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= _SHORTLIST)
+        .select("qid", "cvec")
+    )
+
+    # Exact re-rank of the shortlist only.
+    emb = km._fixed_points(spark, sf_dir).select(
+        "vec_id", "embedding", norm2_scaled("embedding").alias("n2")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("cvec"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    pairs = (
+        broadcast_bounded(short, max_rows=_NQ * _SHORTLIST)
+        .join(qe, "qid")
+        .join(ce, "cvec")
+    )
+    cos = cosine_from_scaled(
+        dot_scaled("q_emb", "c_emb"), F.col("q_n2"), F.col("c_n2")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        pairs.select("qid", F.col("cvec").alias("cid"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _TOPK)
+        .orderBy("qid", "rank")
+    )

@@ -86,10 +86,15 @@ _PQ_CACHE: dict[str, list[list[list[int]]]] = {}
 
 
 def _train_pq(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
-    key = f"{sf_dir}|{_M}|{_K}|{_T}"
+    return _train_pq_frame(_fixed(spark, sf_dir), f"{sf_dir}|{_M}|{_K}|{_T}")
+
+
+def _train_pq_frame(x: DataFrame, key: str) -> list[list[list[int]]]:
+    """Train the PQ codebook over any (vec_id, xfix) frame — the raw
+    fixed-point embeddings (q_pq_codes/q_pq_adc_topk) or the coarse
+    residuals (ivfpq.py). Same deterministic contract either way."""
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
-    x = _fixed(spark, sf_dir)
     init = x.where(F.col("vec_id") < _K).orderBy("vec_id").collect()
     cents = [
         [list(r["xfix"][m * _SUBD : (m + 1) * _SUBD]) for r in init]
@@ -122,9 +127,18 @@ def _train_pq(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
     return cents
 
 
-def _sql_pq_ctes() -> str:
+def _sql_pq_ctes(src_xf: str | None = None, prefix: str = "") -> str:
     """xs (per-subspace fixed subvectors), c0, T unrolled rounds
-    ending in c{T} (codebook) and a{T} (final codes)."""
+    ending in c{T} (codebook) and a{T} (final codes).
+
+    ``src_xf``: name of an existing (vec_id, xfix) CTE to quantize
+    (ivfpq.py passes its coarse-residual frame); default builds ``xf``
+    from the embeddings table. ``prefix`` renames every generated CTE
+    so the block composes with the k-means CTEs (which also emit
+    c0/a0/s0) inside one WITH clause."""
+
+    def n(name: str) -> str:
+        return f"{prefix}{name}"
 
     def assign(src: str, out: str) -> str:
         return f"""{out} AS (
@@ -133,44 +147,48 @@ def _sql_pq_ctes() -> str:
                row_number() OVER (PARTITION BY x.vec_id, x.m ORDER BY
                  list_sum(list_transform(list_zip(x.sv, c.cfix),
                           p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
-        FROM xs x JOIN {src} c ON c.m = x.m
+        FROM {n("xs")} x JOIN {src} c ON c.m = x.m
       ) WHERE rn = 1
     )"""
 
-    parts = [
-        f"""xf AS (
+    parts = []
+    if src_xf is None:
+        src_xf = n("xf")
+        parts.append(f"""{src_xf} AS (
       SELECT vec_id,
              list_transform(embedding, x ->
                CAST(floor(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)) AS xfix
       FROM embeddings
-    )""",
-        f"""xs AS (
+    )""")
+    parts.append(f"""{n("xs")} AS (
       SELECT vec_id, m,
              xfix[m * {_SUBD} + 1 : m * {_SUBD} + {_SUBD}] AS sv
-      FROM xf, (SELECT unnest(range({_M})) AS m)
-    )""",
-        f"c0 AS (SELECT m, vec_id AS cid, sv AS cfix FROM xs WHERE vec_id < {_K})",
-    ]
+      FROM {src_xf}, (SELECT unnest(range({_M})) AS m)
+    )""")
+    parts.append(
+        f"{n('c0')} AS (SELECT m, vec_id AS cid, sv AS cfix "
+        f"FROM {n('xs')} WHERE vec_id < {_K})"
+    )
     for t in range(_T):
-        parts.append(assign(f"c{t}", f"a{t}"))
-        parts.append(f"""s{t} AS (
+        parts.append(assign(n(f"c{t}"), n(f"a{t}")))
+        parts.append(f"""{n(f"s{t}")} AS (
       SELECT m, cid, d, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n
       FROM (SELECT m, cid, unnest(sv) AS v,
                    generate_subscripts(sv, 1) AS d
-            FROM a{t})
+            FROM {n(f"a{t}")})
       GROUP BY m, cid, d
     )""")
-        parts.append(f"""c{t + 1} AS (
+        parts.append(f"""{n(f"c{t + 1}")} AS (
       SELECT p.m, p.cid,
              list(CASE WHEN s.n IS NULL THEN p.v ELSE s.sv // s.n END
                   ORDER BY p.d) AS cfix
       FROM (SELECT m, cid, unnest(cfix) AS v,
                    generate_subscripts(cfix, 1) AS d
-            FROM c{t}) p
-      LEFT JOIN s{t} s ON s.m = p.m AND s.cid = p.cid AND s.d = p.d
+            FROM {n(f"c{t}")}) p
+      LEFT JOIN {n(f"s{t}")} s ON s.m = p.m AND s.cid = p.cid AND s.d = p.d
       GROUP BY p.m, p.cid
     )""")
-    parts.append(assign(f"c{_T}", f"a{_T}"))
+    parts.append(assign(n(f"c{_T}"), n(f"a{_T}")))
     return ",\n    ".join(parts)
 
 

@@ -611,3 +611,50 @@ def q_global_sample_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_QUOTA_N = 8  # docs kept per (lang, source) stratum — below the
+# largest sf0.01 stratum (16 docs), so the cutoff is exercised at the
+# driver gate scale, not just at sf0.1
+
+
+@query(
+    "q_stratified_quota_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY {SQL_MD5_LONG.format(expr="CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_QUOTA_N}
+    ORDER BY lang, source, rn
+    """,
+)
+def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact N-per-stratum quota sample: the first {N} documents of
+    every (lang, source) stratum under a content-addressed order
+    (md5 of the doc id) — deterministic under retries and
+    repartitioning, and rate-free: every stratum contributes the SAME
+    count regardless of its population (the balanced-eval-set /
+    per-domain-cap move, where rate-based sampling over- or
+    under-fills small strata).
+
+    Scale: declaratively this is row_number() <= N, and Spark inserts
+    a WindowGroupLimit below the exchange — each map task keeps only
+    its local top-N per stratum BEFORE the shuffle, so a stratum with
+    a billion rows ships ~N rows per task, not a billion, and no
+    stratum can skew the window stage (plan-asserted in
+    tests/test_plans.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= _QUOTA_N)
+        .orderBy("lang", "source", "rn")
+    )

@@ -375,6 +375,74 @@ def q_range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SCD2 = """
+    e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT *,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version_no
+      FROM e
+    ),
+    runs AS (
+      SELECT user_id, version_no,
+             MIN(event_type) AS state,
+             MIN(ts) AS valid_from,
+             COUNT(*) AS n_events
+      FROM v
+      GROUP BY user_id, version_no
+    ),
+    vers AS (
+      SELECT user_id, CAST(version_no AS BIGINT) AS version_no, state,
+             valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY version_no) AS valid_to,
+             n_events
+      FROM runs
+    )"""
+
+
+def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned user-state history (the vers CTE): one row per
+    (user, state run) with [valid_from, valid_to) effective dating."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0)
+    )
+    v = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("version_no"),
+    )
+    runs = v.groupBy("user_id", "version_no").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version_no")
+    return runs.select(
+        "user_id",
+        F.col("version_no").cast("bigint").alias("version_no"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    )
+
+
 @query(
     "q_scd2_user_state",
     oracle="""
@@ -424,33 +492,43 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties in ts break on event_id in both engines, keeping the change
     flags — and therefore every version boundary — deterministic.
     """
-    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = (
-        F.when(
-            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
-        ).otherwise(0)
+    return _scd2_versions(spark, sf_dir).orderBy("user_id", "version_no")
+
+
+_SNAPSHOT_TS = "2024-01-15 00:00:00"
+
+
+@query(
+    "q_scd2_asof_snapshot",
+    oracle=f"""
+    WITH {_SQL_SCD2}
+    SELECT user_id, version_no, state, valid_from, n_events
+    FROM vers
+    WHERE valid_from <= TIMESTAMP '{_SNAPSHOT_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SNAPSHOT_TS}')
+    ORDER BY user_id
+    """,
+)
+def q_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over the SCD2 history: the state of every
+    tracked user AS OF one instant — the version row whose
+    [valid_from, valid_to) interval covers the snapshot timestamp.
+    The warehouse "what did the dimension look like on the 15th"
+    query; exactly one row per user active by then, by construction
+    of the non-overlapping version intervals.
+
+    Scale: at 100 TB the history table is valid_from-sorted per user;
+    the snapshot predicate prunes to one version per user without a
+    window re-scan (the filter sits above the version build here
+    because the history is derived inline; a materialized SCD2 table
+    makes this a pure scan + filter)."""
+    v = _scd2_versions(spark, sf_dir)
+    ts = F.lit(_SNAPSHOT_TS).cast("timestamp")
+    return (
+        v.where(
+            (F.col("valid_from") <= ts)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+        )
+        .select("user_id", "version_no", "state", "valid_from", "n_events")
+        .orderBy("user_id")
     )
-    v = e.select(
-        "user_id",
-        "event_type",
-        "ts",
-        "event_id",
-        F.sum(chg).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("version_no"),
-    )
-    runs = v.groupBy("user_id", "version_no").agg(
-        F.min("event_type").alias("state"),
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    wv = Window.partitionBy("user_id").orderBy("version_no")
-    return runs.select(
-        "user_id",
-        F.col("version_no").cast("bigint").alias("version_no"),
-        "state",
-        "valid_from",
-        F.lead("valid_from").over(wv).alias("valid_to"),
-        "n_events",
-    ).orderBy("user_id", "version_no")

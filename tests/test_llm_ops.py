@@ -769,6 +769,13 @@ def test_edge_docs_oracle_parity(spark, tmp_path):
         "q_quality_ensemble_gate",
         "q_csv_roundtrip_stats",
         "q_weighted_priority_sample",
+        # r6: empty/short docs yield zero positional shingles and
+        # zero adjacent pairs — both engines must agree on the
+        # degenerate frames, not error or diverge.
+        "q_duplicate_ngram_spans",
+        "q_duplicate_span_doc_stats",
+        "q_bpe_merge_rounds",
+        "q_stratified_quota_sample",
     ):
         run_compare(
             spark,
@@ -947,3 +954,65 @@ def test_semdedup_matches_pure_numpy_fold(spark, sf_dir_small):
         ).collect()
     }
     assert got == expected
+
+
+def test_duplicate_spans_exact_boundaries(spark, tmp_path):
+    """Planted-corpus guarantee of the span detector's core claim: a
+    cross-document verbatim run of L >= k tokens is recovered as ONE
+    maximal span with exact [start, end] boundaries; two runs in one
+    doc separated by more than k unique tokens stay separate spans;
+    a run repeated only WITHIN one document is not marked."""
+    from geoparquet_python_spark.operators.spans import _K, _spans
+
+    shared = " ".join(f"dup{i}" for i in range(12))  # 12-token block
+    shared2 = " ".join(f"other{i}" for i in range(_K))  # exactly k tokens
+    intra = " ".join(f"self{i}" for i in range(_K))
+    texts = [
+        # doc 0: shared at positions 3..14, shared2 at 20..24
+        f"a0 b0 {shared} c0 d0 e0 f0 g0 {shared2} h0",
+        # doc 1: shared at positions 1..12
+        f"{shared} tail1a tail1b",
+        # doc 2: shared2 at positions 2..6
+        f"x2 {shared2} y2 z2",
+        # doc 3: intra-doc repeat only -- must NOT be marked
+        f"{intra} gap3a gap3b gap3c gap3d gap3e gap3f {intra}",
+    ]
+    sf = _write_planted_docs(tmp_path, texts)
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in _spans(spark, sf).collect()
+    }
+    assert spans == {
+        (0, 3, 14, 12),
+        (0, 20, 20 + _K - 1, _K),
+        (1, 1, 12, 12),
+        (2, 2, 2 + _K - 1, _K),
+    }
+
+
+def test_bpe_merge_overlap_rule(spark, tmp_path):
+    """Planted corpus pinning the BPE recurrence: round 0 must pick
+    the most frequent pair with lexicographic tie-break, a doubled
+    pair inside a run merges greedily left-to-right (run-parity), and
+    round 1 counts pairs over the RE-SEQUENCED symbols (merged symbol
+    participates as one token)."""
+    from geoparquet_python_spark.operators.bpe import (
+        _merge_round,
+        q_bpe_merge_rounds,
+    )
+
+    texts = [
+        "a a a a a b c",  # run of 5 'a': 4 (a,a) pairs, 2 merges
+        "a a b c x y",  # 1 (a,a) pair, 1 merge
+        "b c x y z w",
+    ]
+    sf = _write_planted_docs(tmp_path, texts)
+    rows = {r.round: r for r in q_bpe_merge_rounds(spark, sf).collect()}
+    # round 0: (a,a) has 5 adjacency counts (4+1); (b,c) only 3.
+    assert (rows[0].merged_l, rows[0].merged_r) == ("a", "a")
+    assert rows[0].n_pair == 5
+    # run of 5 -> 2 merges (positions 1,3), run of 2 -> 1 merge.
+    assert rows[0].n_merged == 3
+    # after round 0 doc0 is "(a a) (a a) a b c": (b,c) now wins at 3.
+    assert (rows[1].merged_l, rows[1].merged_r) == ("b", "c")
+    assert rows[1].n_pair == 3 and rows[1].n_merged == 3

@@ -304,3 +304,35 @@ def test_parquet_row_count_matches_spark_count(spark, sf_dir):
         assert parquet_row_count(spark, sf_dir, t) == load_table(
             spark, sf_dir, t
         ).count()
+
+
+def test_quota_sample_window_group_limit(spark, sf_dir):
+    """The quota sample's scale contract: row_number() <= N compiles
+    to a Partial WindowGroupLimit BELOW the exchange (map-side top-N
+    per stratum) plus a Final one above — a giant stratum ships ~N
+    rows per task into the shuffle, not its population."""
+    plan = plan_of(spark, sf_dir, "q_stratified_quota_sample")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_ivfpq_broadcasts_lut_and_shortlist(spark, sf_dir):
+    """IVFADC search contract: the per-(query, cell) ADC lookup table
+    and the re-rank shortlist are the ONLY build sides — both bounded
+    broadcasts — and no stage plans a cartesian/nested-loop over the
+    corpus."""
+    plan = plan_of(spark, sf_dir, "q_ann_topk_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_duplicate_spans_no_pair_join(spark, sf_dir):
+    """Span detection must stay linear: shingle-keyed aggregation +
+    semi join + doc-keyed window — never a doc-pair join (no
+    cartesian, no nested loop; the semi join realizes as a hash
+    join)."""
+    plan = plan_of(spark, sf_dir, "q_duplicate_ngram_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
