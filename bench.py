@@ -72,6 +72,9 @@ HEADLINE = [
     # Round-6: hybrid retrieval fusion + two-phase budget selection.
     "q_hybrid_rrf_topk",
     "q_token_budget_selection",
+    # Round-6 (late): duplicated-span dedup + composed IVFADC search.
+    "q_duplicate_ngram_spans",
+    "q_ann_topk_ivfpq",
 ]
 
 

@@ -1623,3 +1623,112 @@ def q_jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("jaccard") >= _JACCARD_T)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q_containment_prefix_filter_pairs",
+    # Lossless pruning — the oracle is the exact inverted-index
+    # containment SQL, verbatim (same output as
+    # q_shingle_containment_pairs; set-equality pytest in
+    # tests/test_llm_ops.py).
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT i.doc_a, i.doc_b, sa.sz AS sza, sb.sz AS szb,
+             (i.i * 1000000) // LEAST(sa.sz, sb.sz) AS c_micro
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT CASE WHEN sza <= szb THEN doc_a ELSE doc_b END AS contained_doc,
+           CASE WHEN sza <= szb THEN doc_b ELSE doc_a END AS container_doc,
+           CAST(c_micro AS BIGINT) AS containment_micro
+    FROM scored
+    WHERE c_micro >= {_CONTAIN_T_MICRO}
+    ORDER BY contained_doc, container_doc
+    """,
+)
+def q_containment_prefix_filter_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment ≥ 0.8 pairs via ASYMMETRIC prefix filtering — the
+    scale lever SCALE.md names for the containment measure, shipped
+    as a LOSSLESS plan (oracle identical to the exact inverted-index
+    form).
+
+    Asymmetry: C(A→B) = |A∩B|/|A| with A the smaller set, so only
+    the PROBE side (every doc in its role as the contained/smaller
+    member) needs a prefix — by pigeonhole, C ≥ t forces
+    |A∩B| ≥ ⌈t·|A|⌉, so at least one of A's first
+    |A| − ⌈t·|A|⌉ + 1 rarest shingles lands in B. The index side
+    keeps FULL postings (unlike symmetric PPJoin there is no valid
+    index-side prefix without knowing |A|), but candidate volume per
+    shingle is prefix_df(s) × full_df(s): a boilerplate shingle has
+    huge full_df and ~zero prefix_df (high global df ranks it into
+    every suffix), so the df² hot buckets that dominate the exact
+    join are pruned without losing a single qualifying pair. At
+    t = 0.8 the probe side shrinks to the rarest ~20%+1 of each doc.
+
+    ⌈0.8·n⌉ = floor((8n+9)/10) in exact integer math (double 0.8·n
+    mis-rounds); direction normalizes to (contained = smaller,
+    ties → lower doc_id), matching the exact query."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = spread(
+        d.select("doc_id", tokens("text").alias("toks"))
+    ).select("doc_id", shingles("toks", k=3).alias("shset"))
+    docs = materialize(docs)
+    sh = docs.select("doc_id", F.explode("shset").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "rn", F.row_number().over(wdoc.orderBy(F.col("df"), F.col("s")))
+        )
+    )
+    plen = F.col("sz") - F.floor((8 * F.col("sz") + 9) / 10) + 1
+    prefix = ranked.where(F.col("rn") <= plen).select("doc_id", "s", "sz")
+    full = ranked.select("doc_id", "s", "sz")
+
+    a, b = prefix.alias("a"), full.alias("b")
+    smaller = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & smaller)
+        .select(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+        )
+        .distinct()
+    )
+    sets_a = docs.select(
+        F.col("doc_id").alias("contained_doc"), F.col("shset").alias("sh_a")
+    )
+    sets_b = docs.select(
+        F.col("doc_id").alias("container_doc"), F.col("shset").alias("sh_b")
+    )
+    c_micro = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) * 1000000 DIV size(sh_a)"
+        " AS BIGINT)"
+    )
+    return (
+        cand.join(sets_a, "contained_doc")
+        .join(sets_b, "container_doc")
+        .select(
+            "contained_doc",
+            "container_doc",
+            c_micro.alias("containment_micro"),
+        )
+        .where(F.col("containment_micro") >= _CONTAIN_T_MICRO)
+        .orderBy("contained_doc", "container_doc")
+    )

@@ -688,3 +688,82 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "neg_id", "cosine", "neg_label")
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "q_ann_topk_filtered",
+    oracle=f"""
+    WITH lbl AS (SELECT vec_id, label FROM embeddings),
+    ok AS (
+      SELECT e.vec_id FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang <> 'en'
+    ),
+    {_SQL_COSINE_PAIRS.format(pair_cond="AND fa.vec_id < 10 AND fb.vec_id <> fa.vec_id")}
+    SELECT qid, cid, cosine, rank
+    FROM (
+      SELECT c.qid, c.cid, c.cosine,
+             row_number() OVER (PARTITION BY c.qid ORDER BY c.cosine DESC, c.cid) AS rank
+      FROM cos c
+      JOIN lbl la ON la.vec_id = c.qid
+      JOIN lbl lb ON lb.vec_id = c.cid AND lb.label = la.label
+      JOIN ok ON ok.vec_id = c.cid
+    )
+    WHERE rank <= 3
+    ORDER BY qid, rank
+    """,
+)
+def q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-3 within the query's coarse cell
+    AMONG candidates passing a metadata predicate (here: the paired
+    document's lang <> 'en' — "find similar non-English docs").
+
+    The semantics every production filtered-ANN call needs and
+    post-filtering gets wrong: filtering a top-k AFTER ranking
+    returns < k (or zero) rows when the neighborhood is dominated by
+    filtered-out candidates; the correct result ranks INSIDE the
+    eligible set. Plan: eligibility is a vec_id-keyed semi join
+    applied to the candidate side BEFORE the cell-blocked cosine —
+    at 100 TB metadata lives columnar beside the codes, so the
+    predicate prunes at the scan and the ANN plan is unchanged
+    (the IVF/IVFADC variants compose the same way: filter the
+    cell-local candidate stream before scoring)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = (
+        e.join(
+            docs.where(F.col("lang") != "en").select(
+                F.col("doc_id").alias("vec_id")
+            ),
+            "vec_id",
+            "left_semi",
+        )
+    )
+    base_cols = lambda df: df.select(  # noqa: E731
+        "vec_id", "label", "embedding", norm2_scaled("embedding").alias("n2")
+    )
+    q = base_cols(e).where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    c = base_cols(eligible).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    pairs = broadcast_bounded(q, max_rows=64).join(
+        c, (F.col("q_label") == F.col("c_label")) & (F.col("qid") != F.col("cid"))
+    )
+    cos = cosine_from_scaled(
+        dot_scaled("q_emb", "c_emb"), F.col("q_n2"), F.col("c_n2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        pairs.select("qid", "cid", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .orderBy("qid", "rank")
+    )

@@ -1016,3 +1016,23 @@ def test_bpe_merge_overlap_rule(spark, tmp_path):
     # after round 0 doc0 is "(a a) (a a) a b c": (b,c) now wins at 3.
     assert (rows[1].merged_l, rows[1].merged_r) == ("b", "c")
     assert rows[1].n_pair == 3 and rows[1].n_merged == 3
+
+
+def test_containment_prefix_filter_equals_inverted_index(spark, sf_dir):
+    """The asymmetric prefix filter must be LOSSLESS: identical pair
+    set and identical exact scores as the plain inverted-index
+    containment query (same guarantee the Jaccard prefix filter
+    carries), while probing only the rarest ~20%+1 of each doc."""
+    exact = {
+        (r.contained_doc, r.container_doc): r.containment_micro
+        for r in registry.QUERIES["q_shingle_containment_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    pref = {
+        (r.contained_doc, r.container_doc): r.containment_micro
+        for r in registry.QUERIES["q_containment_prefix_filter_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert pref == exact and len(exact) > 0

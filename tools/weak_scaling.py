@@ -51,6 +51,12 @@ DEFAULT_QUERIES = [
     "q_mixture_temperature_weights",
     "q_shingle_containment_pairs",
     "q_global_sample_index",
+    # Round-6 (late): span dedup, BPE induction, IVFADC, quota sample.
+    "q_duplicate_ngram_spans",
+    "q_duplicate_span_doc_stats",
+    "q_bpe_merge_rounds",
+    "q_ann_topk_ivfpq",
+    "q_stratified_quota_sample",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
