@@ -72,9 +72,11 @@ HEADLINE = [
     # Round-6: hybrid retrieval fusion + two-phase budget selection.
     "q_hybrid_rrf_topk",
     "q_token_budget_selection",
-    # Round-6 (late): duplicated-span dedup + composed IVFADC search.
+    # Round-6 (late): duplicated-span dedup + composed IVFADC search
+    # + the span-aware curation funnel.
     "q_duplicate_ngram_spans",
     "q_ann_topk_ivfpq",
+    "q_curation_pipeline_v3",
 ]
 
 

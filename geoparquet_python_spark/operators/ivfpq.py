@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import broadcast_bounded
+from geoparquet_python_spark.functions.exact import broadcast_bounded, materialize
 from geoparquet_python_spark.functions.vector import (
     SQL_COSINE,
     SQL_FLAT_EMBEDDINGS,
@@ -277,7 +277,10 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pd").alias("dist_est"))
     )
     ws = Window.partitionBy("qid").orderBy("dist_est", "cvec")
-    short = (
+    # materialize: broadcast_bounded's row-count guard would otherwise
+    # re-execute the whole ADC rollup a second time (count + join are
+    # two actions over the same expensive lineage).
+    short = materialize(
         est.withColumn("rn", F.row_number().over(ws))
         .where(F.col("rn") <= _SHORTLIST)
         .select("qid", "cvec")
@@ -379,4 +382,175 @@ def q_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(n_hits * 1000000 DIV {_NQ * _TOPK} AS BIGINT)").alias(
             "recall_micro"
         ),
+    )
+
+
+@query(
+    "q_ivfpq_cell_store_search",
+    # Same semantics as q_ann_topk_ivfpq — the store round-trip must
+    # not change a single row — so the oracle is the same search SQL.
+    oracle=f"""
+    WITH {_SQL_SEARCH}
+    SELECT qid, cid, cosine, rank FROM ranked
+    WHERE rank <= {_TOPK}
+    ORDER BY qid, rank
+    """,
+)
+def q_ivfpq_cell_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC over a PERSISTED index: encode the corpus, write the
+    (cell, codes) table as parquet PARTITIONED BY cell, then search by
+    reading back ONLY the probed cells — the partition-pruned scan IS
+    the inverted file. This is the storage half the in-memory query
+    elides: at a billion vectors the index is a parquet/Iceberg table
+    laid out by cell, a query touches nprobe/K of its files, and the
+    pruning shows up in the plan as PartitionFilters (asserted in
+    tests/test_plans.py) rather than in custom index code. Results are
+    row-identical to q_ann_topk_ivfpq (same oracle).
+
+    Raw embeddings stay in the base table (hot/cold split); the exact
+    re-rank fetches the shortlist from there, not from the store.
+    """
+    import os
+    import tempfile
+
+    cents = km._train(spark, sf_dir)
+    pq_cents = _train_residual_pq(spark, sf_dir)
+
+    # Build + persist the index: one map-only encode pass, cell-partitioned.
+    res = _residual_frame(spark, sf_dir)
+    codes, cb = pq._codes_expr(pq_cents)
+    enc = res.withColumn("__cb", cb).select(
+        F.col("vec_id").alias("cvec"),
+        "cell",
+        codes.alias("codes"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    # Query side (identical to q_ann_topk_ivfpq): probes + LUT.
+    base = km._fixed_points(spark, sf_dir).where(F.col("vec_id") < _NQ)
+    lit = _cents_lit(cents)
+    dists = F.expr(
+        "transform(__cents, c -> aggregate("
+        "zip_with(xfix, c, (a, b) -> (a - b) * (a - b)),"
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+    )
+    probe_cells = F.expr(
+        f"slice(transform(array_sort(zip_with(__dists, "
+        f"sequence(0, {km._K - 1}), (d, i) -> struct(d AS d, CAST(i AS BIGINT) AS i))), "
+        f"s -> s.i), 1, {_NPROBE})"
+    )
+    qres = (
+        base.withColumn("__cents", lit)
+        .withColumn("__dists", dists)
+        .select(
+            F.col("vec_id").alias("qid"),
+            "xfix",
+            F.explode(probe_cells).alias("q_cell"),
+            F.col("__cents"),
+        )
+        .select(
+            "qid",
+            "q_cell",
+            F.expr("zip_with(xfix, __cents[q_cell], (a, b) -> a - b)").alias(
+                "rfix"
+            ),
+        )
+    )
+    lut = (
+        qres.withColumn("__cb", pq._cb_lit(pq_cents))
+        .select(
+            "qid",
+            "q_cell",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {pq._M - 1}), m -> "
+                    f"transform(sequence(0, {pq._K - 1}), k -> struct("
+                    f"m AS m, k AS cid, aggregate("
+                    f"  zip_with(slice(rfix, m * {pq._SUBD} + 1, {pq._SUBD}),"
+                    f"           __cb[m][k],"
+                    f"           (a, b) -> (a - b) * (a - b)),"
+                    f"  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS pd))))"
+                )
+            ).alias("l"),
+        )
+        .select(
+            "qid",
+            "q_cell",
+            F.col("l.m").alias("m"),
+            F.col("l.cid").alias("cid"),
+            F.col("l.pd").alias("pd"),
+        )
+    )
+
+    # Scan the STORE with the probed-cell predicate: only nprobe/K of
+    # the partitions are read (PartitionFilters on cell). The collect
+    # is bounded by contract to <= NQ x NPROBE cell ids (a literal is
+    # the only way to hand Spark a partition-pruning predicate) — the
+    # same bounded-driver-literal class as the k-means/PQ trainers.
+    probed = sorted(
+        {int(r["q_cell"]) for r in qres.select("q_cell").distinct().collect()}
+    )
+    store = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    code_rows = store.select(
+        "cvec",
+        F.col("cell").alias("c_cell"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {pq._M - 1}), "
+                f"m -> struct(m AS m, codes[m] AS cid))"
+            )
+        ).alias("c"),
+    ).select("cvec", "c_cell", F.col("c.m").alias("m"), F.col("c.cid").alias("cid"))
+
+    est = (
+        code_rows.join(
+            broadcast_bounded(lut, max_rows=_NQ * _NPROBE * pq._M * pq._K),
+            (F.col("c_cell") == F.col("q_cell"))
+            & (code_rows["m"] == lut["m"])
+            & (code_rows["cid"] == lut["cid"]),
+        )
+        .where(F.col("cvec") != F.col("qid"))
+        .groupBy("qid", "cvec")
+        .agg(F.sum("pd").alias("dist_est"))
+    )
+    ws = Window.partitionBy("qid").orderBy("dist_est", "cvec")
+    # materialize: broadcast_bounded's row-count guard would otherwise
+    # re-execute the whole ADC rollup a second time (count + join are
+    # two actions over the same expensive lineage).
+    short = materialize(
+        est.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= _SHORTLIST)
+        .select("qid", "cvec")
+    )
+    emb = km._fixed_points(spark, sf_dir).select(
+        "vec_id", "embedding", norm2_scaled("embedding").alias("n2")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("cvec"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    pairs = (
+        broadcast_bounded(short, max_rows=_NQ * _SHORTLIST)
+        .join(qe, "qid")
+        .join(ce, "cvec")
+    )
+    cos = cosine_from_scaled(
+        dot_scaled("q_emb", "c_emb"), F.col("q_n2"), F.col("c_n2")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        pairs.select("qid", F.col("cvec").alias("cid"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _TOPK)
+        .orderBy("qid", "rank")
     )

@@ -347,3 +347,161 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_SPAN_HEAVY_MICRO = 600_000  # drop docs >60% duplicated tokens
+_LANG_QUOTA = 60  # kept docs per language after the gates
+
+
+from geoparquet_python_spark.functions.text import SQL_MD5_LONG
+from geoparquet_python_spark.operators.spans import _sql_span_ctes
+
+_V3_ORACLE_TEMPLATE = """
+    WITH {span_ctes},
+    burden AS (
+      SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id, lang,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(array_to_string(str_split(text, ' ')[1:16], ' ')) AS h,
+             {md5key} AS okey
+      FROM documents
+    ),
+    staged AS (
+      SELECT t.doc_id, t.lang, t.n_tokens, t.okey,
+             CASE WHEN t.doc_id <> MIN(t.doc_id) OVER (PARTITION BY t.h)
+                  THEN 'dupe'
+                  WHEN COALESCE(b.dup_tokens, 0) * 1000000
+                       >= 600000 * t.n_tokens
+                  THEN 'spanheavy'
+                  ELSE 'pool' END AS stage
+      FROM toks t LEFT JOIN burden b ON b.doc_id = t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             CASE WHEN stage <> 'pool' THEN stage
+                  WHEN row_number() OVER (
+                         PARTITION BY lang,
+                                      CASE WHEN stage = 'pool'
+                                           THEN 0 ELSE 1 END
+                         ORDER BY CASE WHEN stage = 'pool'
+                                       THEN okey END,
+                                  doc_id) <= 60
+                       AND stage = 'pool'
+                  THEN 'kept' ELSE 'overflow' END AS verdict
+      FROM staged
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN verdict = 'dupe' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_drop_dupe,
+           CAST(SUM(CASE WHEN verdict = 'spanheavy' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_drop_spanheavy,
+           CAST(SUM(CASE WHEN verdict = 'overflow' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_drop_overflow,
+           CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN verdict = 'kept' THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@query(
+    "q_curation_pipeline_v3",
+    oracle=_V3_ORACLE_TEMPLATE.format(
+        span_ctes=_sql_span_ctes(),
+        md5key=SQL_MD5_LONG.format(expr="CAST(doc_id AS VARCHAR)"),
+    ),
+)
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 composition: the SPAN-AWARE curation funnel. Stages,
+    precedence dupe > spanheavy > quota:
+
+    1. lead dedup — only the lowest doc_id per md5(first 16 tokens)
+       proceeds: the mirror/template-page rule (identical openings,
+       divergent tails) that exact full-text hashing misses;
+    2. span-burden gate — docs whose cross-document duplicated spans
+       (operators/spans.py) cover >= 60% of their tokens drop as
+       'spanheavy' (the boilerplate-page rule the per-pair measures
+       can't express: burden accumulates over MANY partial overlaps);
+    3. per-language quota — the surviving pool keeps its first
+       {_LANG_QUOTA} docs per lang in content-addressed order
+       (q_stratified_quota_sample's rule), the rest drop as
+       'overflow';
+    and per-lang funnel accounting (docs per verdict + kept tokens).
+
+    Composition cost on top of the span stage: one md5 window, one
+    quota window (WindowGroupLimit-eligible), one conditional-agg
+    rollup — every stage keyed on doc/lang/hash, nothing quadratic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from geoparquet_python_spark.functions.text import md5_long
+    from geoparquet_python_spark.operators.spans import _spans
+    from pyspark.sql import Window
+
+    burden = (
+        _spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").cast("bigint").alias("dup_tokens"))
+    )
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens("text"), 1, 16))
+        ).alias("h"),
+        md5_long(F.col("doc_id").cast("string")).alias("okey"),
+    )
+    wh = Window.partitionBy("h")
+    staged = (
+        toks.join(burden, "doc_id", "left")
+        .withColumn(
+            "stage",
+            F.when(F.col("doc_id") != F.min("doc_id").over(wh), "dupe")
+            .when(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) * 1000000
+                >= _SPAN_HEAVY_MICRO * F.col("n_tokens"),
+                "spanheavy",
+            )
+            .otherwise("pool"),
+        )
+    )
+    wq = Window.partitionBy(
+        "lang", F.when(F.col("stage") == "pool", 0).otherwise(1)
+    ).orderBy(F.when(F.col("stage") == "pool", F.col("okey")), "doc_id")
+    ranked = staged.withColumn(
+        "verdict",
+        F.when(F.col("stage") != "pool", F.col("stage")).otherwise(
+            F.when(
+                F.row_number().over(wq) <= _LANG_QUOTA, "kept"
+            ).otherwise("overflow")
+        ),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("verdict") == "dupe").cast("bigint")).alias(
+                "n_drop_dupe"
+            ),
+            F.sum((F.col("verdict") == "spanheavy").cast("bigint")).alias(
+                "n_drop_spanheavy"
+            ),
+            F.sum((F.col("verdict") == "overflow").cast("bigint")).alias(
+                "n_drop_overflow"
+            ),
+            F.sum((F.col("verdict") == "kept").cast("bigint")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("verdict") == "kept", F.col("n_tokens")).otherwise(
+                    0
+                )
+            ).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -65,21 +65,38 @@ def _cb_lit(cents: list[list[list[int]]]) -> F.Column:
 
 
 def _codes_expr(cents: list[list[list[int]]]) -> F.Column:
-    """Per-row array of _M centroid ids (map-only, ties -> lowest)."""
-    cb = _cb_lit(cents)
-    return F.expr(
-        f"transform(sequence(0, {_M - 1}), m -> ("
-        f"  array_position("
-        f"    transform(__cb[m], c -> aggregate("
-        f"      zip_with(slice(xfix, m * {_SUBD} + 1, {_SUBD}), c,"
-        f"               (a, b) -> (a - b) * (a - b)),"
-        f"      CAST(0 AS BIGINT), (acc, x) -> acc + x)),"
-        f"    array_min(transform(__cb[m], c -> aggregate("
-        f"      zip_with(slice(xfix, m * {_SUBD} + 1, {_SUBD}), c,"
-        f"               (a, b) -> (a - b) * (a - b)),"
-        f"      CAST(0 AS BIGINT), (acc, x) -> acc + x)))"
-        f"  ) - 1))"
-    ), cb
+    """Per-row array of _M centroid ids (map-only, ties -> lowest).
+
+    Arrow-vectorized (one int64 matmul per subspace per batch) — the
+    same exact-algebra swap as kmeans._assign_expr: argmin over
+    |x − c|² equals argmin over (|c|² − 2·x·c), every quantity is an
+    int64 far below overflow, and np.argmin returns the FIRST minimum
+    (ties to the lowest cid), so the codes are bit-identical to the
+    interpreted-HOF form this replaced — which evaluated M×K
+    transform/aggregate lambdas per row and dominated both PQ
+    training and the encode pass (measured ~2× on the IVFADC wall).
+    Returns (codes_column, codebook_literal); the literal is still
+    what reconstruction-error expressions index into."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(cents, dtype=np.int64)  # M×K×SUBD
+    c2 = (c * c).sum(axis=2)  # M×K
+
+    @pandas_udf("array<bigint>")
+    def codes(xf):
+        if len(xf) == 0:
+            return pd.Series([], dtype="object")
+        x = np.vstack(xf.to_numpy()).astype(np.int64, copy=False)  # B×dim
+        out = np.empty((len(x), _M), dtype=np.int64)
+        for m in range(_M):
+            sub = x[:, m * _SUBD : (m + 1) * _SUBD]  # B×SUBD
+            scores = c2[m][None, :] - 2 * (sub @ c[m].T)  # B×K, exact
+            out[:, m] = np.argmin(scores, axis=1)
+        return pd.Series(list(out))
+
+    return codes(F.col("xfix")), _cb_lit(cents)
 
 
 _PQ_CACHE: dict[str, list[list[list[int]]]] = {}

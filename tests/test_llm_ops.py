@@ -1036,3 +1036,60 @@ def test_containment_prefix_filter_equals_inverted_index(spark, sf_dir):
         ).collect()
     }
     assert pref == exact and len(exact) > 0
+
+
+def _ref_bpe_rounds(texts, rounds=3):
+    """Pure-python greedy BPE reference: count adjacent pairs, merge
+    the (count DESC, lexicographic) winner LEFT-TO-RIGHT, repeat."""
+    from collections import Counter
+
+    seqs = [t.split(" ") for t in texts]
+    stats = []
+    for rnd in range(rounds):
+        cnt = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += 1
+        (m1, m2), n = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = 0
+        new_seqs = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == m1 and s[i + 1] == m2:
+                    out.append(s[i] + " " + s[i + 1])
+                    merged += 1
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_seqs.append(out)
+        seqs = new_seqs
+        stats.append((rnd, m1, m2, n, merged))
+    return stats
+
+
+def test_bpe_rounds_match_greedy_reference(spark, tmp_path):
+    """Randomized corpora (tiny alphabet => dense ties, doubled pairs,
+    long runs) pin the dataflow BPE to the sequential greedy
+    left-to-right reference — the declarative run-parity rule must
+    reproduce the imperative merge loop exactly, round after round."""
+    import random
+
+    from geoparquet_python_spark.operators.bpe import q_bpe_merge_rounds
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        words = ["a", "b", "c", "aa"]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(5, 30)))
+            for _ in range(6)
+        ]
+        d = tmp_path / f"bpe{seed}"
+        d.mkdir()
+        sf = _write_planted_docs(d, texts)
+        got = [
+            (r.round, r.merged_l, r.merged_r, r.n_pair, r.n_merged)
+            for r in q_bpe_merge_rounds(spark, sf).collect()
+        ]
+        assert got == _ref_bpe_rounds(texts), f"seed {seed}"

@@ -336,3 +336,14 @@ def test_duplicate_spans_no_pair_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_ivfpq_store_scan_is_partition_pruned(spark, sf_dir):
+    """The persisted IVFADC index must behave as an inverted file: the
+    store scan carries a PartitionFilters predicate on cell, so only
+    the probed nprobe/K directories are read."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_ivfpq_cell_store_search")
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m, "store scan lost its cell partition filter"

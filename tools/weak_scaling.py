@@ -57,6 +57,10 @@ DEFAULT_QUERIES = [
     "q_bpe_merge_rounds",
     "q_ann_topk_ivfpq",
     "q_stratified_quota_sample",
+    "q_containment_prefix_filter_pairs",
+    "q_ann_topk_filtered",
+    "q_ivfpq_cell_store_search",
+    "q_curation_pipeline_v3",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
