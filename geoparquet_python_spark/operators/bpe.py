@@ -220,3 +220,70 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for st in stats[1:]:
         out = out.unionAll(st)
     return out.orderBy("round")
+
+
+@query(
+    "q_bpe_compression_stats",
+    oracle=f"""
+    WITH {_SQL_BPE},
+    before AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n0 FROM seq0 GROUP BY doc_id
+    ),
+    after AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n{_ROUNDS}
+      FROM seq{_ROUNDS} GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(SUM(b.n0) AS BIGINT) AS tokens_before,
+           CAST(SUM(a.n{_ROUNDS}) AS BIGINT) AS tokens_after,
+           CAST((SUM(b.n0) - SUM(a.n{_ROUNDS})) * 1000000 // SUM(b.n0)
+                AS BIGINT) AS saved_micro
+    FROM documents d
+    JOIN before b ON b.doc_id = d.doc_id
+    JOIN after a ON a.doc_id = d.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def q_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the learned merges BUY: per-language corpus token counts
+    before and after applying the {_ROUNDS} merges, with the saving in
+    exact micro-units — the sequence-length-reduction metric that
+    justifies a tokenizer (shorter sequences = fewer training FLOPs
+    at identical content). Reuses the full merge chain; the only
+    additions are two doc-keyed counts and a lang rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    seq = (
+        spread(d.select("doc_id", tokens("text").alias("toks")))
+        .select("doc_id", F.posexplode("toks").alias("i", "w"))
+        .select("doc_id", (F.col("i") + 1).cast("bigint").alias("p"), "w")
+    )
+    before = seq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0")
+    )
+    for t in range(_ROUNDS):
+        seq, _ = _merge_round(seq, t)
+        seq = materialize(seq)
+    after = seq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nN")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(before, "doc_id")
+        .join(after, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n0").cast("bigint").alias("tokens_before"),
+            F.sum("nN").cast("bigint").alias("tokens_after"),
+        )
+        .select(
+            "lang",
+            "tokens_before",
+            "tokens_after",
+            F.expr(
+                "CAST((tokens_before - tokens_after) * 1000000"
+                " DIV tokens_before AS BIGINT)"
+            ).alias("saved_micro"),
+        )
+        .orderBy("lang")
+    )

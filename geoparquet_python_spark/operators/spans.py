@@ -46,11 +46,13 @@ from geoparquet_python_spark.registry import query
 _K = 5  # span-detection shingle width (tokens)
 
 
-def _positional_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, p, s): every k-token shingle with its 1-based start
-    position. Built in one projection (transform-with-index) and
-    exploded; no joins, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+def positional_shingles_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, p, s) from a (doc_id, text) frame: every k-token
+    shingle with its 1-based start position. Built in one projection
+    (transform-with-index) and exploded; no joins, no shuffle — pure
+    stateless transforms, so the same function serves batch AND
+    structured streams (streaming/spans.py screens an ingest stream
+    with it)."""
     parts = ", ".join(f"toks[i + {j}]" for j in range(_K))
     sh = F.expr(
         f"filter(transform(toks, (x, i) -> "
@@ -59,9 +61,15 @@ def _positional_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"END), t -> t IS NOT NULL)"
     )
     return (
-        spread(d.select("doc_id", tokens("text").alias("toks")))
+        d.select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", F.explode(sh).alias("t"))
         .select("doc_id", F.col("t.p").alias("p"), F.col("t.s").alias("s"))
+    )
+
+
+def _positional_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return positional_shingles_frame(
+        spread(load_table(spark, sf_dir, "documents"))
     )
 
 

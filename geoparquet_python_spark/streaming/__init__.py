@@ -5,4 +5,5 @@ import geoparquet_python_spark.streaming.neardup  # noqa: F401
 import geoparquet_python_spark.streaming.serving  # noqa: F401
 import geoparquet_python_spark.streaming.sessions  # noqa: F401
 import geoparquet_python_spark.streaming.sessions_tws  # noqa: F401
+import geoparquet_python_spark.streaming.spans  # noqa: F401
 import geoparquet_python_spark.streaming.windows  # noqa: F401

@@ -42,8 +42,10 @@ DEFAULT_QUERIES = [
     "q_hyperplane_lsh_neardup",
     "q_semdedup_dropped",
     # Round-6 additions (batch only: streaming queries are excluded —
-    # re-running one in-session reuses its named memory sink, so the
-    # second timing measures a stale materialized read, not a drain):
+    # the replica corpus writes documents.parquet as a DIRECTORY, so a
+    # readStream with pathGlobFilter="documents.parquet" matches no
+    # files there and the 8x leg would time an empty stream; their
+    # batch-side machinery is measured via the batch twins):
     "q_hybrid_rrf_topk",
     "q_token_budget_selection",
     "q_psi_value_drift",
