@@ -289,3 +289,127 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", F.lower(F.hex("resized")).alias("resized_hex")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# F5: audio-shaped op — PCM frame energy over a binary waveform payload
+# --------------------------------------------------------------------------
+
+_AUD_FRAME = 8  # samples per frame
+_AUD_SALTS = ("", "a1", "a2", "a3")  # 4 md5 blocks -> 64 bytes -> 32 samples
+
+
+def _audio_energy_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Waveform feature extractor: parse the payload as big-endian
+    signed PCM16 (a REAL numpy frombuffer parse, like the PPM decoder)
+    and roll per-frame energies. Real audio swaps this for a
+    soundfile/ffmpeg decode; schema, batching, and partitioning are
+    unchanged."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = np.frombuffer(payload, dtype=">i2").astype(np.int64)
+            n_frames = len(s) // _AUD_FRAME
+            e = (
+                (s[: n_frames * _AUD_FRAME] ** 2)
+                .reshape(n_frames, _AUD_FRAME)
+                .sum(axis=1)
+            )
+            peak = int(np.argmax(e))  # first max -> lowest frame index
+            rows.append(
+                (
+                    doc_id,
+                    len(s),
+                    n_frames,
+                    peak,
+                    int(e[peak]),
+                    int(e.sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_samples",
+                "n_frames",
+                "peak_frame",
+                "peak_energy",
+                "total_energy",
+            ],
+        )
+
+
+_AUD_SCHEMA = (
+    "doc_id bigint, n_samples int, n_frames int, "
+    "peak_frame int, peak_energy bigint, total_energy bigint"
+)
+_AUD_HEX_SQL = " || ".join(
+    f"md5(d.text{'' if s == '' else f' || {s!r}'})" for s in _AUD_SALTS
+)
+
+
+@query(
+    "q_multimodal_audio_energy",
+    oracle=f"""
+    WITH smp AS (
+      SELECT d.doc_id, CAST(t.i AS INT) AS i,
+             CAST(t.i AS INT) // {_AUD_FRAME} AS frame,
+             CAST(('0x' || substr({_AUD_HEX_SQL},
+                                  CAST(t.i AS INT) * 4 + 1, 4)) AS INT) AS v
+      FROM documents d CROSS JOIN range({len(_AUD_SALTS) * 8}) t(i)
+    ),
+    sgn AS (
+      SELECT doc_id, frame,
+             CAST(v - CASE WHEN v >= 32768 THEN 65536 ELSE 0 END
+                  AS BIGINT) AS s
+      FROM smp
+    ),
+    fe AS (
+      SELECT doc_id, frame, CAST(SUM(s * s) AS BIGINT) AS energy
+      FROM sgn GROUP BY doc_id, frame
+    ),
+    pk AS (
+      SELECT doc_id, frame AS peak_frame, energy AS peak_energy FROM (
+        SELECT doc_id, frame, energy,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY energy DESC, frame) AS rn
+        FROM fe
+      ) WHERE rn = 1
+    )
+    SELECT f.doc_id,
+           CAST({len(_AUD_SALTS) * 8} AS INT) AS n_samples,
+           CAST({len(_AUD_SALTS) * 8 // _AUD_FRAME} AS INT) AS n_frames,
+           CAST(p.peak_frame AS INT) AS peak_frame,
+           p.peak_energy,
+           CAST(SUM(f.energy) AS BIGINT) AS total_energy
+    FROM fe f JOIN pk p ON p.doc_id = f.doc_id
+    GROUP BY f.doc_id, p.peak_frame, p.peak_energy
+    ORDER BY f.doc_id
+    """,
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped F5 op: per-document PCM16 frame energies — sample
+    count, frame count, the loudest frame (ties → earliest) and its
+    energy, and total energy. The silence-trim / voice-activity gate
+    of an audio curation pipeline, as one Arrow-batched mapInPandas
+    pass over opaque binary payloads (synthesized here as 4 md5
+    blocks = 32 big-endian int16 samples, so the oracle recomputes
+    every sample; a real corpus swaps the synthesis for the lake's
+    bytes and numpy's frombuffer for a codec).
+
+    All energies are int64 sums of int16 squares — exact on both
+    engines; no float appears anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    hexes = F.concat(
+        *[
+            F.md5(F.col("text") if s == "" else F.concat(F.col("text"), F.lit(s)))
+            for s in _AUD_SALTS
+        ]
+    )
+    with_payload = d.select("doc_id", F.unhex(hexes).alias("payload"))
+    return (
+        with_payload.mapInPandas(_audio_energy_batches, _AUD_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -567,3 +567,78 @@ def q_quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("quality_z", "doc_id")
         .limit(_ENS_K)
     )
+
+
+@query(
+    "q_value_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type, m.n,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 4.4478 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           m.med, a.mad
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad a ON a.event_type = e.event_type
+    GROUP BY e.event_type, m.n, m.med, a.mad
+    ORDER BY e.event_type
+    """,
+)
+def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST anomaly detection per event type: median absolute
+    deviation, |value − median| > 3·1.4826·MAD — the companion to
+    q_value_outliers' 3σ rule that heavy tails and the outliers
+    themselves cannot poison (mean/σ move with every extreme value;
+    median/MAD have 50% breakdown). Pipelines run BOTH: σ for
+    Gaussian-ish value streams, MAD when a bad batch may contain the
+    very outliers being measured.
+
+    Three passes, each one shuffle on event_type: exact median, exact
+    median of absolute deviations (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, rounded at 1e-6 so the interpolation's last ulp
+    cannot flip a threshold comparison), then a broadcast of the
+    type-level {median, MAD} frame back onto the stream for the
+    map-only count. At 100 TB the exact medians swap for
+    `percentile_approx` with a documented rank-error bound — the plan
+    shape is identical."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"),
+    )
+    mad = (
+        e.join(broadcast_narrow(med.select("event_type", "med")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)"), 6
+            ).alias("mad")
+        )
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        e.join(broadcast_narrow(stats), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(4.4478) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select("event_type", "n", "n_outliers", "med", "mad")
+        .orderBy("event_type")
+    )
