@@ -518,10 +518,12 @@ def q_ivfpq_cell_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pd").alias("dist_est"))
     )
     ws = Window.partitionBy("qid").orderBy("dist_est", "cvec")
-    # materialize: broadcast_bounded's row-count guard would otherwise
-    # re-execute the whole ADC rollup a second time (count + join are
-    # two actions over the same expensive lineage).
-    short = materialize(
+    # NO materialize here (unlike q_ann_topk_ivfpq): the guard's extra
+    # execution only re-reads the pruned store partitions (cheap), and
+    # a checkpoint would sever the lineage so the partition-pruned
+    # store scan disappears from the final executed plan — the exact
+    # property tests/test_plans.py asserts.
+    short = (
         est.withColumn("rn", F.row_number().over(ws))
         .where(F.col("rn") <= _SHORTLIST)
         .select("qid", "cvec")

@@ -767,3 +767,77 @@ def q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .orderBy("qid", "rank")
     )
+
+
+_KNN_K = 2
+
+
+@query(
+    "q_vector_knn_graph",
+    oracle=f"""
+    WITH lbl AS (SELECT vec_id, label FROM embeddings),
+    {_SQL_COSINE_PAIRS.format(pair_cond="AND fb.vec_id <> fa.vec_id")}
+    SELECT qid AS vec_id, cid AS nbr, cosine, rank
+    FROM (
+      SELECT c.qid, c.cid, c.cosine,
+             row_number() OVER (PARTITION BY c.qid
+                                ORDER BY c.cosine DESC, c.cid) AS rank
+      FROM cos c
+      JOIN lbl la ON la.vec_id = c.qid
+      JOIN lbl lb ON lb.vec_id = c.cid AND lb.label = la.label
+    )
+    WHERE rank <= {_KNN_K}
+    ORDER BY vec_id, rank
+    """,
+)
+def q_vector_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH construction: EVERY corpus vector's top-{_KNN_K}
+    neighbors within its coarse cell — not a few-query search but the
+    all-corpus build that graph-based curation consumes (label
+    propagation over the graph, kNN-density quality scoring, graph
+    connectivity dedup à la the near-dup pair graph).
+
+    Plan: a cell-keyed self-join (each vector meets only its cell's
+    members — the IVF blocking argument applied corpus-wide), exact
+    fixed-point cosine, and a per-vector top-k window whose
+    rank <= {_KNN_K} filter compiles to Partial/Final WindowGroupLimit
+    (each task ships ~k rows per vector into the window shuffle). At
+    100 TB the cells come from the trained quantizer and multi-probe
+    widens recall — the same composition as q_ann_topk_ivf with the
+    query side replaced by the whole corpus; candidate volume is
+    Σ|cell|², the quantity K is tuned to bound (|cell| ≈ n/K)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", "label", "embedding", norm2_scaled("embedding").alias("n2")
+    )
+    a = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    pairs = a.join(
+        b, (F.col("q_label") == F.col("c_label")) & (F.col("qid") != F.col("cid"))
+    )
+    cos = cosine_from_scaled(
+        dot_scaled("q_emb", "c_emb"), F.col("q_n2"), F.col("c_n2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        pairs.select("qid", "cid", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("cid").alias("nbr"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("vec_id", "rank")
+    )
