@@ -287,3 +287,256 @@ def q_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _sql_batch_round() -> str:
+    """One BATCHED round: top-2 symbol-disjoint pairs from one count,
+    both applied in one pass."""
+    return f"""pr0 AS (
+      SELECT doc_id, p, w,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS wn
+      FROM seq0
+    ),
+    cnt AS (
+      SELECT w AS m1, wn AS m2, COUNT(*) AS n
+      FROM pr0 WHERE wn IS NOT NULL GROUP BY w, wn
+    ),
+    p1 AS (SELECT m1, m2, n FROM cnt ORDER BY n DESC, m1, m2 LIMIT 1),
+    p2 AS (
+      SELECT c.m1, c.m2, c.n
+      FROM cnt c, p1
+      WHERE c.m1 <> p1.m1 AND c.m1 <> p1.m2
+        AND c.m2 <> p1.m1 AND c.m2 <> p1.m2
+      ORDER BY c.n DESC, c.m1, c.m2 LIMIT 1
+    ),
+    sel AS (
+      SELECT 1 AS pick_order, m1, m2, n FROM p1
+      UNION ALL
+      SELECT 2 AS pick_order, m1, m2, n FROM p2
+    ),
+    c0 AS (
+      SELECT s.doc_id, s.p, s.w, s.wn,
+             v.pick_order, v.m1, v.m2, v.n,
+             v.m1 IS NOT NULL AS cand
+      FROM pr0 s LEFT JOIN sel v ON v.m1 = s.w AND v.m2 = s.wn
+    ),
+    d0 AS (
+      SELECT *,
+             p - SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS ik
+      FROM c0
+    ),
+    e0 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY doc_id, cand, ik
+                                ORDER BY p) - 1 AS off
+      FROM d0
+    ),
+    f0 AS (
+      SELECT *, (cand AND off % 2 = 0) AS merge_at
+      FROM e0
+    )"""
+
+
+@query(
+    "q_bpe_batch_merge_round",
+    oracle=f"""
+    WITH seq0 AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(str_split(text, ' '), 1) AS BIGINT)
+               AS p,
+             unnest(str_split(text, ' ')) AS w
+      FROM documents
+    ),
+    {_sql_batch_round()}
+    SELECT CAST(pick_order AS BIGINT) AS pick_order,
+           m1 AS merged_l, m2 AS merged_r,
+           CAST(MIN(n) AS BIGINT) AS n_pair,
+           CAST(SUM(CASE WHEN merge_at THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_merged
+    FROM f0 WHERE pick_order IS NOT NULL
+    GROUP BY pick_order, m1, m2
+    ORDER BY pick_order
+    """,
+)
+def q_bpe_batch_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED form of a BPE round — the amortization production
+    trainers run (q_bpe_merge_rounds' docstring): ONE pair count, the
+    top-2 pairwise SYMBOL-DISJOINT pairs selected greedily, both
+    applied in the same corpus pass. Symbol-disjointness is exactly
+    the condition that makes batching exact: an occurrence of one
+    selected pair can never overlap or be consumed by a merge of the
+    other (overlap would force a shared symbol), so batch-applied
+    counts and merges equal what sequential application of the same
+    picks would produce. At 50k merges this is top-M with M in the
+    hundreds — same plan, a deeper selection unroll or a
+    conflict-graph greedy pass over the M-row count head."""
+    d = load_table(spark, sf_dir, "documents")
+    seq = (
+        spread(d.select("doc_id", tokens("text").alias("toks")))
+        .select("doc_id", F.posexplode("toks").alias("i", "w"))
+        .select("doc_id", (F.col("i") + 1).cast("bigint").alias("p"), "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    pr = seq.withColumn("wn", F.lead("w").over(wdoc))
+    cnt = (
+        pr.where(F.col("wn").isNotNull())
+        .groupBy(F.col("w").alias("m1"), F.col("wn").alias("m2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p1 = cnt.orderBy(F.desc("n"), "m1", "m2").limit(1)
+    p1r = p1.select(
+        F.col("m1").alias("b1"), F.col("m2").alias("b2")
+    )
+    p2 = (
+        cnt.crossJoin(F.broadcast(p1r))
+        .where(
+            (F.col("m1") != F.col("b1"))
+            & (F.col("m1") != F.col("b2"))
+            & (F.col("m2") != F.col("b1"))
+            & (F.col("m2") != F.col("b2"))
+        )
+        .orderBy(F.desc("n"), "m1", "m2")
+        .limit(1)
+        .select("m1", "m2", "n")
+    )
+    sel = p1.select(F.lit(1).alias("pick_order"), "m1", "m2", "n").unionByName(
+        p2.select(F.lit(2).alias("pick_order"), "m1", "m2", "n")
+    )
+    c = pr.join(
+        F.broadcast(sel),
+        (F.col("w") == F.col("m1")) & (F.col("wn") == F.col("m2")),
+        "left",
+    ).withColumn("cand", F.col("m1").isNotNull())
+    run = F.col("p") - F.sum(F.col("cand").cast("int")).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    woff = Window.partitionBy("doc_id", "cand", "ik").orderBy("p")
+    f = (
+        c.withColumn("ik", run)
+        .withColumn("off", F.row_number().over(woff) - 1)
+        .withColumn("merge_at", F.col("cand") & (F.col("off") % 2 == 0))
+    )
+    return (
+        f.where(F.col("pick_order").isNotNull())
+        .groupBy("pick_order", "m1", "m2")
+        .agg(
+            F.min("n").cast("bigint").alias("n_pair"),
+            F.sum(F.col("merge_at").cast("bigint")).alias("n_merged"),
+        )
+        .select(
+            F.col("pick_order").cast("bigint").alias("pick_order"),
+            F.col("m1").alias("merged_l"),
+            F.col("m2").alias("merged_r"),
+            "n_pair",
+            "n_merged",
+        )
+        .orderBy("pick_order")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-vocab coverage / OOV rate (the tokenizer-eval metric)
+# --------------------------------------------------------------------------
+
+_VOCAB_V = 100  # induced-vocab size (top-V adjacent pairs)
+
+
+@query(
+    "q_vocab_oov_rate",
+    oracle=f"""
+    WITH seq AS (
+      SELECT doc_id, lang,
+             CAST(generate_subscripts(str_split(text, ' '), 1) AS BIGINT)
+               AS p,
+             unnest(str_split(text, ' ')) AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      FROM seq
+    ),
+    bgn AS (SELECT * FROM bg WHERE w2 IS NOT NULL),
+    freq AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bgn GROUP BY w1, w2
+    ),
+    voc AS (
+      SELECT w1, w2 FROM freq ORDER BY c DESC, w1, w2 LIMIT {_VOCAB_V}
+    )
+    SELECT b.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN v.w1 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN v.w1 IS NULL THEN 1000000 ELSE 0 END)
+                AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS oov_rate_ppm
+    FROM bgn b
+    LEFT JOIN voc v ON v.w1 = b.w1 AND v.w2 = b.w2
+    GROUP BY b.lang
+    ORDER BY b.lang
+    """,
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab COVERAGE: induce a vocab of the top-{_VOCAB_V}
+    adjacent pairs (the symbols BPE's first merges would mint; ties →
+    lexicographic) and measure, per language, what fraction of the
+    corpus's adjacent pairs it covers — the OOV/fertility gate run
+    before committing to a tokenizer. A language whose pair mass falls
+    outside the induced vocab fragments into more subwords and pays a
+    sequence-length tax (q_bpe_compression_stats measures the same
+    budget from the other side).
+
+    Plan: one positional-bigram projection (lead over doc windows),
+    one vocab²-bounded pair count, TakeOrderedAndProject for the
+    top-V head (never a global sort), the V-row vocab broadcast LEFT
+    join back onto the bigram stream, one per-lang conditional
+    aggregate. Exact ppm via integer div (== DuckDB //). At 100 TB:
+    corpus-sized stages are the bigram count and the coverage scan —
+    both single-shuffle with full map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    seq = (
+        spread(d.select("doc_id", "lang", tokens("text").alias("toks")))
+        .select("doc_id", "lang", F.posexplode("toks").alias("i", "w"))
+        .select(
+            "doc_id", "lang", (F.col("i") + 1).cast("bigint").alias("p"), "w"
+        )
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    bgn = (
+        seq.select(
+            "doc_id",
+            "lang",
+            F.col("w").alias("w1"),
+            F.lead("w").over(wdoc).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    bgn = materialize(bgn)
+    voc = (
+        bgn.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(_VOCAB_V)
+        .select(F.col("w1").alias("v1"), F.col("w2").alias("v2"))
+    )
+    cov = bgn.join(
+        F.broadcast(voc),
+        (F.col("w1") == F.col("v1")) & (F.col("w2") == F.col("v2")),
+        "left",
+    )
+    in_voc = F.col("v1").isNotNull()
+    return (
+        cov.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(in_voc, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.expr(
+                "CAST(sum(CASE WHEN v1 IS NULL THEN 1000000 ELSE 0 END)"
+                " AS BIGINT) div count(*)"
+            ).alias("oov_rate_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -1093,3 +1093,24 @@ def test_bpe_rounds_match_greedy_reference(spark, tmp_path):
             for r in q_bpe_merge_rounds(spark, sf).collect()
         ]
         assert got == _ref_bpe_rounds(texts), f"seed {seed}"
+
+
+def test_bpe_batch_round_skips_conflicting_pair(spark, tmp_path):
+    """Batched-round selection: pick 2 must be the best pair sharing
+    NO symbol with pick 1 — (b,c) is skipped because it shares 'b'
+    with the winner (a,b), and (c,d) is selected even though it also
+    touches 'c' (conflict is only against SELECTED picks)."""
+    from geoparquet_python_spark.operators.bpe import (
+        q_bpe_batch_merge_round,
+    )
+
+    texts = [
+        "a b x a b y a b z a b q a b",  # (a,b) x5
+        "b c x b c y b c z b c",  # (b,c) x4 — conflicts with (a,b)
+        "c d x c d y c d",  # (c,d) x3 — disjoint from (a,b)
+    ]
+    sf = _write_planted_docs(tmp_path, texts)
+    rows = {r.pick_order: r for r in q_bpe_batch_merge_round(spark, sf).collect()}
+    assert (rows[1].merged_l, rows[1].merged_r) == ("a", "b")
+    assert (rows[2].merged_l, rows[2].merged_r) == ("c", "d")
+    assert rows[1].n_merged == 5 and rows[2].n_merged == 3
