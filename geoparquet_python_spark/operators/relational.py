@@ -555,3 +555,46 @@ def q_user_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B+: correlated subqueries (scalar + EXISTS) — Catalyst decorrelation
+# --------------------------------------------------------------------------
+
+_SQL_CORR_SUBQ = """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM {sup} s
+    WHERE CAST(s_acctbal AS DECIMAL(38,6))
+          * (SELECT COUNT(*) FROM {sup} s2
+             WHERE s2.s_nationkey = s.s_nationkey)
+          > (SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(38,6)))
+                         AS DECIMAL(38,6))
+             FROM {sup} s2 WHERE s2.s_nationkey = s.s_nationkey)
+      AND EXISTS (SELECT 1 FROM {cust} c
+                  WHERE c.c_nationkey = s.s_nationkey
+                    AND c.c_acctbal < 0)
+    ORDER BY s_suppkey
+"""
+
+
+@query(
+    "q_correlated_subquery_balance",
+    oracle=_SQL_CORR_SUBQ.format(sup="supplier", cust="customer"),
+)
+def q_correlated_subquery_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery surface: suppliers whose balance is above
+    their NATION's average (correlated scalar subqueries) in nations
+    that have at least one overdrawn customer (correlated EXISTS) —
+    the query shape ORM/BI layers emit constantly.
+
+    Declared as literal ANSI SQL and handed to Catalyst, whose
+    decorrelation rewrites both subqueries into aggregate + join
+    (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery →
+    left-semi) — never a per-row re-execution, which is what a naive
+    engine does and what kills this shape at scale. The above-average
+    compare is exact: balance·count > sum in DECIMAL(38,6) on both
+    engines (a double AVG would be summation-order-dependent at the
+    boundary). Same SQL text runs on DuckDB as the oracle."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("csq_supplier")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("csq_customer")
+    return spark.sql(_SQL_CORR_SUBQ.format(sup="csq_supplier", cust="csq_customer"))

@@ -841,3 +841,227 @@ def q_vector_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "rank")
     )
+
+
+_LP_K = 4  # neighbors consulted per vector for label propagation
+
+
+def _sql_cell_knn_ctes(k: int) -> str:
+    """Oracle CTE chain ending in knn(qid, cid): top-k cosine
+    neighbors within each vector's TRAINED k-means cell. Shared by
+    the label-propagation and 2-hop-homophily oracles so the graph
+    definition can never de-synchronize between them."""
+    from geoparquet_python_spark.operators import kmeans as km
+
+    return f"""{km._sql_kmeans_ctes()},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cellof AS (SELECT vec_id, cid AS cell FROM a{km._T}),
+    {_SQL_COSINE_PAIRS.format(pair_cond="AND fb.vec_id <> fa.vec_id")}
+    , knn AS (
+      SELECT qid, cid FROM (
+        SELECT c.qid, c.cid,
+               row_number() OVER (PARTITION BY c.qid
+                                  ORDER BY c.cosine DESC, c.cid) AS rank
+        FROM cos c
+        JOIN cellof ca ON ca.vec_id = c.qid
+        JOIN cellof cb ON cb.vec_id = c.cid AND cb.cell = ca.cell
+      ) WHERE rank <= {k}
+    )"""
+
+
+def _cell_knn_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Spark twin of _sql_cell_knn_ctes: the (qid, cid) edge frame of
+    each vector's top-k cosine neighbors within its trained cell.
+    Trained-cell self-join + WindowGroupLimit top-k — the
+    q_vector_knn_graph plan with quantizer blocking."""
+    from geoparquet_python_spark.operators import kmeans as km
+
+    cents = km._train(spark, sf_dir)
+    base = km._fixed_points(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        norm2_scaled("embedding").alias("n2"),
+        km._assign_expr(cents).alias("cell"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("cell").alias("q_cell"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("cell").alias("c_cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    pairs = a.join(
+        b, (F.col("q_cell") == F.col("c_cell")) & (F.col("qid") != F.col("cid"))
+    )
+    cos = cosine_from_scaled(
+        dot_scaled("q_emb", "c_emb"), F.col("q_n2"), F.col("c_n2")
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        pairs.select("qid", "cid", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid")
+    )
+
+
+def _sql_lp_oracle() -> str:
+    return f"""
+    WITH {_sql_cell_knn_ctes(_LP_K)},
+    votes AS (
+      SELECT k.qid, nl.label AS nbr_label, COUNT(*) AS n_votes
+      FROM knn k JOIN lbl nl ON nl.vec_id = k.cid
+      GROUP BY k.qid, nl.label
+    ),
+    prop AS (
+      SELECT qid, nbr_label AS propagated FROM (
+        SELECT qid, nbr_label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY n_votes DESC, nbr_label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT l.vec_id, CAST(l.label AS INT) AS label,
+           CAST(p.propagated AS INT) AS propagated,
+           l.label = p.propagated AS agree
+    FROM lbl l JOIN prop p ON p.qid = l.vec_id
+    ORDER BY l.vec_id
+    """
+
+
+@query("q_knn_label_propagation", oracle=_sql_lp_oracle())
+def q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One label-propagation round over the kNN graph: each vector's
+    PROPAGATED label is the majority label among its {_LP_K} nearest
+    neighbors within its TRAINED k-means cell (ties → lowest label),
+    compared against the stored label. Disagreements are label-ERROR
+    candidates — the Confident-Learning-style audit a labeled set runs
+    before the labels are trusted. Blocking MUST come from the
+    quantizer, not from the audited label (label-blocked neighbors
+    make the vote circular and the audit vacuous).
+
+    Plan: trained-cell self-join (the kNN-graph build) + WindowGroupLimit
+    top-k, one (vector, neighbor-label) vote aggregate, one argmax
+    window over ≤|labels| rows per vector, one map-side compare."""
+    e = load_table(spark, sf_dir, "embeddings")
+    knn = _cell_knn_edges(spark, sf_dir, _LP_K)
+    nbr_lbl = e.select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("nbr_label")
+    )
+    votes = (
+        knn.join(nbr_lbl, "cid")
+        .groupBy("qid", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label")
+    )
+    prop = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("nbr_label").alias("propagated"))
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(prop, F.col("vec_id") == F.col("qid"))
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.col("propagated").cast("int").alias("propagated"),
+            (F.col("label") == F.col("propagated")).alias("agree"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_HOP_K = 2  # out-degree of the kNN graph for the 2-hop expansion
+
+
+def _sql_hop2_oracle() -> str:
+    return f"""
+    WITH {_sql_cell_knn_ctes(_HOP_K)},
+    nb2 AS (
+      SELECT a.qid, b.cid
+      FROM knn a JOIN knn b ON b.qid = a.cid
+      WHERE b.cid <> a.qid
+    ),
+    nbhd AS (
+      SELECT DISTINCT qid, cid FROM (
+        SELECT qid, cid FROM knn
+        UNION ALL
+        SELECT qid, cid FROM nb2
+      )
+    )
+    SELECT l.vec_id, CAST(l.label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+           CAST(SUM(CASE WHEN nl.label = l.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same,
+           CAST(SUM(CASE WHEN nl.label = l.label THEN 1000000 ELSE 0 END)
+                AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS homophily_ppm
+    FROM nbhd h
+    JOIN lbl l ON l.vec_id = h.qid
+    JOIN lbl nl ON nl.vec_id = h.cid
+    GROUP BY l.vec_id, l.label
+    ORDER BY l.vec_id
+    """
+
+
+@query("q_knn_two_hop_homophily", oracle=_sql_hop2_oracle())
+def q_knn_two_hop_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-HOP neighborhood aggregation over the kNN
+    graph: expand each vector's distinct ≤2-hop neighborhood (out-
+    degree {_HOP_K}, self excluded) and measure label HOMOPHILY — the
+    fraction of neighborhood members sharing the vector's stored
+    label. High homophily certifies the embedding/label pair for
+    graph-based curation (label propagation converges, kNN-density
+    scoring is meaningful); low homophily flags embedding-label
+    disagreement before anything trains on it.
+
+    Plan: one kNN edge build (trained-cell self-join + WindowGroupLimit,
+    shared with q_knn_label_propagation via _cell_knn_edges), one
+    edge⋈edge self-join for hop 2 (output ≤ k² rows per vector — the
+    bounded fan-out every GNN sampler relies on), a distinct union,
+    one label join each side, one per-vector conditional aggregate.
+    The edge frame is materialized once so the self-join reuses one
+    computation (and avoids shared expr-ids). At 100 TB: every stage
+    keys on vec_id or the edge — uniform k-bounded shuffles; nothing
+    corpus-quadratic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    knn = materialize(_cell_knn_edges(spark, sf_dir, _HOP_K))
+    e1 = knn.select(F.col("qid"), F.col("cid").alias("mid"))
+    e2 = knn.select(F.col("qid").alias("mid"), F.col("cid").alias("cid2"))
+    nb2 = (
+        e1.join(e2, "mid")
+        .where(F.col("cid2") != F.col("qid"))
+        .select("qid", F.col("cid2").alias("cid"))
+    )
+    nbhd = knn.select("qid", "cid").unionByName(nb2).distinct()
+    own = e.select(F.col("vec_id").alias("qid"), F.col("label").alias("l_own"))
+    nbr = e.select(F.col("vec_id").alias("cid"), F.col("label").alias("l_nbr"))
+    same = F.col("l_nbr") == F.col("l_own")
+    return (
+        nbhd.join(own, "qid")
+        .join(nbr, "cid")
+        .groupBy("qid", "l_own")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nbrs"),
+            F.sum(F.when(same, 1).otherwise(0)).cast("bigint").alias("n_same"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_nbr = l_own THEN 1000000 ELSE 0 END)"
+                " AS BIGINT) div count(*)"
+            ).alias("homophily_ppm"),
+        )
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("l_own").cast("int").alias("label"),
+            "n_nbrs",
+            "n_same",
+            "homophily_ppm",
+        )
+        .orderBy("vec_id")
+    )

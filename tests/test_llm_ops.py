@@ -1114,3 +1114,86 @@ def test_bpe_batch_round_skips_conflicting_pair(spark, tmp_path):
     assert (rows[1].merged_l, rows[1].merged_r) == ("a", "b")
     assert (rows[2].merged_l, rows[2].merged_r) == ("c", "d")
     assert rows[1].n_merged == 5 and rows[2].n_merged == 3
+
+
+def test_dsir_prefers_target_like_docs(spark, tmp_path):
+    """Planted DSIR check: with a target corpus of 'alpha beta' text,
+    a pool doc written in target vocabulary must outrank a pool doc
+    of vocabulary the target never uses, and the selection keeps the
+    pool only (target docs never score)."""
+    import pandas as pd
+
+    from geoparquet_python_spark.operators.dsir import (
+        q_dsir_importance_selection,
+    )
+
+    rows = [
+        (0, "alpha beta alpha beta alpha beta", "src0"),
+        (1, "beta alpha beta alpha", "src1"),
+        (2, "alpha beta alpha beta", "srcX"),  # target-like pool doc
+        (3, "junk noise junk noise", "srcX"),  # off-target pool doc
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": [r[2] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+    got = q_dsir_importance_selection(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in got] == [2, 3]  # pool only, best first
+    assert got[0].avg_llr > 0 > got[1].avg_llr
+
+
+def test_two_hop_homophily_matches_numpy_fold(spark, sf_dir_small):
+    """Independent numpy replication of the 2-hop homophily verdict:
+    same trained cells, fixed-point cosine top-2 edges, 2-hop distinct
+    expansion excluding self, per-vector same-label counts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geoparquet_python_spark.operators.kmeans import _train
+    from geoparquet_python_spark.operators.similarity import _HOP_K
+
+    tbl = pq.read_table(f"{sf_dir_small}/embeddings.parquet")
+    vec_ids = tbl.column("vec_id").to_pylist()
+    labels = dict(zip(vec_ids, tbl.column("label").to_pylist()))
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    xfix = np.floor(emb * 1_000_000).astype(np.int64)
+    cents = np.array(_train(spark, sf_dir_small), dtype=np.int64)
+    cell = ((xfix[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    terms = lambda a, b: np.floor(a * b * 1e12).astype(np.int64).sum()  # noqa: E731
+    n2 = [terms(emb[i], emb[i]) for i in range(len(vec_ids))]
+    by_cell: dict[int, list[int]] = {}
+    for i, c in enumerate(cell):
+        by_cell.setdefault(int(c), []).append(i)
+    edges: dict[int, list[int]] = {}
+    for c, idxs in by_cell.items():
+        for qi in idxs:
+            cands = []
+            for ci in idxs:
+                if ci == qi:
+                    continue
+                cos = (terms(emb[qi], emb[ci]) / 1e12) / (
+                    (n2[qi] / 1e12) ** 0.5 * (n2[ci] / 1e12) ** 0.5
+                )
+                cands.append((-cos, vec_ids[ci]))
+            cands.sort()
+            edges[vec_ids[qi]] = [cid for _, cid in cands[:_HOP_K]]
+    expected = {}
+    for q, nb1 in edges.items():
+        nbhd = set(nb1)
+        for m in nb1:
+            nbhd.update(c for c in edges.get(m, []) if c != q)
+        same = sum(1 for c in nbhd if labels[c] == labels[q])
+        expected[q] = (len(nbhd), same, same * 1_000_000 // len(nbhd))
+    got = {
+        r.vec_id: (r.n_nbrs, r.n_same, r.homophily_ppm)
+        for r in registry.QUERIES["q_knn_two_hop_homophily"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert got == expected
