@@ -413,3 +413,117 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_payload.mapInPandas(_audio_energy_batches, _AUD_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# F5: image average-hash (aHash) dedup report
+# --------------------------------------------------------------------------
+
+_AHASH_SCHEMA = "doc_id bigint, width int, height int, ahash bigint"
+
+
+def _ahash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Real aHash over Arrow batches: decode the P6 payload, collapse
+    RGB to per-pixel luma (integer channel sum), set bit p when pixel
+    p's luma is strictly above the image mean — compared integer-side
+    as luma*n > total so no division ever happens (ties → 0 on every
+    engine). Bits pack row-major, bit p = pixel p."""
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "ahash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = _decode_ppm(bytes(payload))
+            luma = px.astype(np.int64).sum(axis=2).reshape(-1)
+            n = luma.size
+            tot = int(luma.sum())
+            bits = (luma * n) > tot
+            ahash = int((bits.astype(np.int64) << np.arange(n)).sum())
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["ahash"].append(ahash)
+        pdf_out = pd.DataFrame(out)
+        pdf_out["width"] = pdf_out["width"].astype("int32")
+        pdf_out["height"] = pdf_out["height"].astype("int32")
+        pdf_out["ahash"] = pdf_out["ahash"].astype("int64")
+        yield pdf_out
+
+
+@query(
+    "q_image_ahash_dedup",
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id,
+             CAST(d.doc_id % 3 + 2 AS INT) AS width,
+             CAST(d.doc_id % 2 + 1 AS INT) AS height,
+             CAST(t.i AS INT) AS i,
+             CAST(('0x' || substr(md5(d.text) || md5(d.text || 'x'),
+                                  CAST(t.i AS INT) * 2 + 1, 2)) AS INT) AS byte
+      FROM documents d
+      CROSS JOIN range(24) t(i)
+      WHERE t.i < {_N_BYTES_SQL}
+    ),
+    lum AS (
+      SELECT doc_id, width, height, i // 3 AS p,
+             CAST(SUM(byte) AS BIGINT) AS l
+      FROM px GROUP BY doc_id, width, height, i // 3
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(l) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lum GROUP BY doc_id
+    ),
+    hsh AS (
+      SELECT l.doc_id, l.width, l.height,
+             CAST(SUM(CASE WHEN l.l * o.n > o.t
+                           THEN CAST(1 AS BIGINT) << CAST(l.p AS INT)
+                           ELSE 0 END) AS BIGINT) AS ahash
+      FROM lum l JOIN tot o ON o.doc_id = l.doc_id
+      GROUP BY l.doc_id, l.width, l.height
+    )
+    SELECT width, height, ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM hsh
+    GROUP BY width, height, ahash
+    HAVING COUNT(*) >= 2
+    ORDER BY width, height, ahash
+    """,
+)
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE dedup by perceptual average-hash: decode every payload
+    with the real PPM parser, compute the aHash (bit per pixel:
+    luma strictly above the image mean, integer-compared — no
+    division), and report duplicate fingerprint groups keyed by
+    (width, height, ahash) with their canonical (lowest) doc_id.
+
+    This is the linear exact-dedup-by-fingerprint shape — ONE
+    groupBy on the hash, never a pair join (the md5-derived pixels
+    make same-hash groups the candidate dup sets; a production corpus
+    runs the same plan with a 64-bit aHash over 8×8 downsampled
+    grays, where fingerprint collisions are vanishingly rare and a
+    within-group byte-compare refines). At 100 TB: decode is
+    Arrow-batched mapInPandas sized by payload bytes; the report is
+    one uniform shuffle on the fingerprint.
+
+    Oracle: DuckDB recomputes every pixel byte from the md5
+    synthesis, folds the identical integer luma/threshold/bit-pack,
+    and aggregates the same groups — all int64, no floats anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    header = F.expr(
+        "cast(concat('P6\\n', cast(doc_id % 3 + 2 as string), ' ', "
+        "cast(doc_id % 2 + 1 as string), '\\n255\\n') as binary)"
+    )
+    body = F.expr(f"substring({_PIXELS_SQL}, 1, {_N_BYTES_SQL})")
+    with_payload = d.select("doc_id", F.concat(header, body).alias("payload"))
+    return (
+        with_payload.mapInPandas(_ahash_batches, _AHASH_SCHEMA)
+        .groupBy("width", "height", "ahash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        )
+        .where(F.col("n_images") >= 2)
+        .orderBy("width", "height", "ahash")
+    )

@@ -744,3 +744,130 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# F4+: pairwise source-divergence matrix (mixture-design tool)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_source_divergence_matrix",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(str_split(text, ' ')) AS term FROM documents
+    ),
+    voc AS (SELECT DISTINCT term FROM tok),
+    vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM voc),
+    srcs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY source
+    ),
+    cnt AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, term
+    ),
+    grid AS (
+      SELECT s.source, s.n, t.term, COALESCE(c.c, 0) AS c,
+             CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (s.n + vs.v))
+                        * 1000000) AS BIGINT) AS lp
+      FROM srcs s CROSS JOIN voc t CROSS JOIN vs
+      LEFT JOIN cnt c ON c.source = s.source AND c.term = t.term
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.n AS n_a, b.n AS n_b,
+             CAST(SUM((a.c + 1) * (a.lp - b.lp)) AS BIGINT) AS kl_ab_num,
+             CAST(SUM((b.c + 1) * (b.lp - a.lp)) AS BIGINT) AS kl_ba_num
+      FROM grid a
+      JOIN grid b ON b.term = a.term AND a.source < b.source
+      GROUP BY a.source, b.source, a.n, b.n
+    )
+    SELECT p.src_a, p.src_b,
+           p.kl_ab_num * 1.0 / (p.n_a + vs.v) / 1000000.0
+             + p.kl_ba_num * 1.0 / (p.n_b + vs.v) / 1000000.0 AS j_div
+    FROM pairs p CROSS JOIN vs
+    ORDER BY src_a, src_b
+    """,
+)
+def q_source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-divergence matrix: symmetrized KL
+    (J-divergence) between every two sources' add-one-smoothed
+    unigram LMs — the mixture-design tool that says which corpus
+    components are distributionally interchangeable (low J) and which
+    add diversity (high J), before temperature weights are chosen.
+
+    Exactness: KL's p·ln(p/q) terms are kept RATIONAL — the numerator
+    Σ(c+1)·(lp_a − lp_b) accumulates in int64 (each ln fixed-pointed
+    to 1e-6 separately, the PSI convention) and the two denominators
+    (N+V) divide once at the end — two IEEE divisions per pair, no
+    order-dependent float sums.
+
+    Plan: one exploded-token pass → per-(source,term) counts; the
+    smoothed grid densifies sources × vocab (|S|·|V| rows — the
+    explicit cost of add-one smoothing); the pair join keys on term
+    so divergence accumulation shuffles |S|²-bounded per term. At
+    100 TB |V| caps via a frequency floor and |S| is the handful of
+    mixture components — the matrix is |S|² rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("term"))
+    tok = materialize(tok)
+    voc = tok.select("term").distinct()
+    vs = voc.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    srcs = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cnt = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lp = F.round(
+        F.log(
+            (F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")).cast("double")
+        )
+        * 1e6
+    ).cast("bigint")
+    grid = (
+        srcs.crossJoin(broadcast_narrow(voc))
+        .crossJoin(broadcast_narrow(vs))
+        .join(cnt, ["source", "term"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .select("source", "n", "term", "c", lp.alias("lp"))
+    )
+    grid = materialize(grid)
+    a = grid.select(
+        F.col("source").alias("src_a"),
+        F.col("n").alias("n_a"),
+        "term",
+        F.col("c").alias("c_a"),
+        F.col("lp").alias("lp_a"),
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"),
+        F.col("n").alias("n_b"),
+        F.col("term").alias("term_b"),
+        F.col("c").alias("c_b"),
+        F.col("lp").alias("lp_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("term") == F.col("term_b"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(
+            F.sum((F.col("c_a") + 1) * (F.col("lp_a") - F.col("lp_b")))
+            .cast("bigint")
+            .alias("kl_ab_num"),
+            F.sum((F.col("c_b") + 1) * (F.col("lp_b") - F.col("lp_a")))
+            .cast("bigint")
+            .alias("kl_ba_num"),
+        )
+    )
+    j_div = (
+        F.col("kl_ab_num") * F.lit(1.0) / (F.col("n_a") + F.col("v")) / 1e6
+        + F.col("kl_ba_num") * F.lit(1.0) / (F.col("n_b") + F.col("v")) / 1e6
+    )
+    return (
+        pairs.crossJoin(broadcast_narrow(vs))
+        .select("src_a", "src_b", j_div.alias("j_div"))
+        .orderBy("src_a", "src_b")
+    )

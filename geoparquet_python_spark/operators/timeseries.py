@@ -279,3 +279,108 @@ def q_stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_to_memory_table(agg, output_mode="complete")
     return spark.table(name).orderBy("event_type", "bucket")
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join (bin-bucketed — the distributed overlap strategy)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             MIN(ts) AS amin, MAX(ts) AS amax
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    eh AS (
+      SELECT date_trunc('hour', ts) AS hs, COUNT(*) AS n
+      FROM events WHERE event_type = 'error'
+      GROUP BY date_trunc('hour', ts)
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nh, CAST(SUM(n) AS BIGINT) AS tot
+      FROM eh
+    ),
+    inc AS (
+      SELECT hs FROM eh CROSS JOIN st WHERE n * nh > 2 * tot
+    ),
+    ov AS (
+      SELECT i.user_id,
+             epoch_us(least(i.amax, h.hs + INTERVAL 1 HOUR))
+               - epoch_us(greatest(i.amin, h.hs)) AS o_us
+      FROM iv i
+      JOIN inc h ON i.amin < h.hs + INTERVAL 1 HOUR AND h.hs <= i.amax
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(o_us) AS BIGINT) AS overlap_us
+    FROM ov GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join, bin-bucketed: per-(user, day) activity
+    spans [min ts, max ts] joined against "incident hours" (hours
+    whose error count is strictly above 2× the hourly mean — an
+    integer cross-multiplied compare, no division), reporting per
+    user the overlapping pair count and the exact summed overlap in
+    microseconds.
+
+    The naive overlap join is a theta join (a.start < b.end AND
+    b.start <= a.end) — a BNLJ that dies at scale. The distributed
+    strategy: expand each interval to its covered hour BINS
+    (sequence + explode — output rows ∝ interval length in hours,
+    bounded here by 24/day) and equi-join on the bin. Because each
+    incident window is exactly one hour-aligned bin, every
+    overlapping pair matches on exactly one bin — the binned join is
+    LOSSLESS, and the ORACLE runs the naive theta join so the
+    equality check certifies exactly that. (For non-aligned B-side
+    intervals the same plan adds a distinct on the pair key.) At
+    100 TB: the bin join shuffles uniformly on the hour; incident
+    detection is one conditional aggregate + a one-row stats
+    broadcast; overlap arithmetic is int64 epoch-microseconds."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.min("ts").alias("amin"), F.max("ts").alias("amax"))
+    eh = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hs"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = eh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("n").cast("bigint").alias("tot"),
+    )
+    inc = (
+        eh.crossJoin(F.broadcast(st))
+        .where(F.col("n") * F.col("nh") > 2 * F.col("tot"))
+        .select("hs")
+    )
+    bins = iv.select(
+        "user_id",
+        "amin",
+        "amax",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "amin"),
+                F.date_trunc("hour", "amax"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("bin"),
+    )
+    o_us = F.unix_micros(
+        F.least(F.col("amax"), F.col("bin") + F.expr("interval 1 hour"))
+    ) - F.unix_micros(F.greatest(F.col("amin"), F.col("bin")))
+    return (
+        bins.join(inc, bins.bin == inc.hs)
+        .select("user_id", o_us.alias("o_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.sum("o_us").cast("bigint").alias("overlap_us"),
+        )
+        .orderBy("user_id")
+    )
