@@ -77,6 +77,10 @@ HEADLINE = [
     "q_duplicate_ngram_spans",
     "q_ann_topk_ivfpq",
     "q_curation_pipeline_v3",
+    # Round-6 (final): DSIR data selection + the all-corpus kNN-graph
+    # label audit — the two heaviest new corpus-pass families.
+    "q_dsir_importance_selection",
+    "q_knn_label_propagation",
 ]
 
 

@@ -58,6 +58,9 @@ ONE_ROW_BNLJ_BUDGET = {
     # both instances build from the same one-row aggregate over the
     # checkpointed scored frame
     "q_token_budget_selection": 2,
+    # the one-row LM-totals aggregate (n_t, n_r, V) crossJoined onto
+    # the vocab-sized ratio frame
+    "q_dsir_importance_selection": 1,
 }
 
 
