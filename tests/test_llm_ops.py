@@ -776,6 +776,15 @@ def test_edge_docs_oracle_parity(spark, tmp_path):
         "q_duplicate_span_doc_stats",
         "q_bpe_merge_rounds",
         "q_stratified_quota_sample",
+        # r6 (late): empty/short docs exercise the degenerate LM /
+        # bigram / pixel frames — the empty-string "token", zero
+        # adjacent pairs, and md5("")-derived payloads must fold
+        # identically on both engines.
+        "q_dsir_importance_selection",
+        "q_vocab_oov_rate",
+        "q_source_divergence_matrix",
+        "q_bpe_batch_merge_round",
+        "q_image_ahash_dedup",
     ):
         run_compare(
             spark,
