@@ -335,3 +335,160 @@ def q_hourly_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").alias("n_errors"),
         r.alias("pearson_r"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Clickstream path analysis: session-bounded event-type transitions
+# --------------------------------------------------------------------------
+
+_TRANS_GAP_MIN = 30  # same-session transition window (minutes)
+
+
+@query(
+    "q_event_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tr AS (
+      SELECT event_type AS from_type, next_type AS to_type
+      FROM seq
+      WHERE next_type IS NOT NULL
+        AND epoch_us(next_ts) - epoch_us(ts) <= {_TRANS_GAP_MIN} * 60 * 1000000
+    ),
+    cnt AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tr GROUP BY from_type, to_type
+    ),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+      FROM cnt GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           (c.n * 1000000) // t.row_total AS p_ppm
+    FROM cnt c JOIN tot t ON t.from_type = c.from_type
+    ORDER BY c.from_type, c.to_type
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream PATH analysis: the first-order Markov transition
+    matrix of event types, counting only SAME-SESSION transitions
+    (successor within {_TRANS_GAP_MIN} minutes — the sessionization
+    gap rule applied to the pair, so cross-visit "transitions" don't
+    pollute the model). Row-normalized probabilities in exact ppm
+    (integer div). The funnel/recommendation precursor: where do
+    users actually go next from each state.
+
+    Plan: ONE user-keyed window (lead over (ts, event_id) — the same
+    frame every sessionizer uses), a |types|²-bounded count, a
+    |types|-row total join. The matrix is vocabulary-sized at any
+    corpus scale; only the lead window touches corpus rows."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("gap_us"),
+    )
+    tr = seq.where(
+        F.col("next_type").isNotNull()
+        & (F.col("gap_us") <= _TRANS_GAP_MIN * 60 * 1_000_000)
+    )
+    cnt = tr.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return (
+        cnt.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 div row_total").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Change-point detection: integer-exact CUSUM over daily volumes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_daily_volume_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    run AS (
+      SELECT d, c,
+             CAST(SUM(c) OVER (ORDER BY d) AS BIGINT) AS prefix,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      FROM daily
+    )
+    SELECT r.d AS day, r.c AS n_events,
+           r.prefix * o.n - r.i * o.t AS cusum_num,
+           abs(r.prefix * o.n - r.i * o.t) * 10 > o.n * o.t AS drifted
+    FROM run r CROSS JOIN tot o
+    ORDER BY r.d
+    """,
+)
+def q_daily_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen over daily event volume: the running
+    deviation of observed counts from the uniform-rate expectation,
+    kept INTEGER-EXACT by clearing denominators — cusum_i =
+    Σ_{j<=i} c_j − i·(T/n) is stored as prefix·n − i·T (int64), and
+    the drift flag |cusum| > T/10 compares |num|·10 > n·T. A sustained
+    rate shift accumulates linearly in the CUSUM while noise cancels —
+    the classic ingest-volume monitor (complementing the pointwise
+    MAD/3σ outlier screens, which miss slow drifts).
+
+    Plan: one corpus-scan daily aggregate (map-side combined), then
+    ALL window work runs over the days-sized frame (≤ n_days rows —
+    the post-aggregation global-window pattern the plan guards allow)
+    plus a one-row totals crossJoin."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    tot = daily.agg(
+        F.sum("n_events").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("prefix"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"),
+    )
+    num = F.col("prefix") * F.col("n") - F.col("i") * F.col("t")
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_events",
+            num.alias("cusum_num"),
+            (F.abs(num) * 10 > F.col("n") * F.col("t")).alias("drifted"),
+        )
+        .orderBy("day")
+    )

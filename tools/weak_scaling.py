@@ -63,6 +63,18 @@ DEFAULT_QUERIES = [
     "q_ann_topk_filtered",
     "q_ivfpq_cell_store_search",
     "q_curation_pipeline_v3",
+    # Round-6 (final): data selection, tokenizer eval, modality dedup,
+    # interval join, divergence. The kNN-graph family
+    # (q_knn_label_propagation / q_knn_two_hop_homophily) is measured
+    # under BOTH fixed-K and K-scaled protocols in SCALE.md — the
+    # fixed-K default here shows the documented quadratic; scale K
+    # with the corpus (kmeans._K) for the honest ratio.
+    "q_dsir_importance_selection",
+    "q_vocab_oov_rate",
+    "q_bpe_batch_merge_round",
+    "q_image_ahash_dedup",
+    "q_interval_overlap_join",
+    "q_source_divergence_matrix",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
