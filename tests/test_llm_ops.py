@@ -1206,3 +1206,50 @@ def test_two_hop_homophily_matches_numpy_fold(spark, sf_dir_small):
         ).collect()
     }
     assert got == expected
+
+
+def test_fuzzy_name_pairs_blocking_is_lossless(spark, sf_dir_small):
+    """The first-token block + |Δlen| prefilter must not dismiss any
+    true pair RELATIVE TO ITS BLOCKING CONTRACT, and the Δlen filter
+    alone is provably lossless: brute-force all-pairs Levenshtein ≤ t
+    restricted to same-first-token pairs must equal the query output
+    exactly (pairs AND distances)."""
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.linkage import _MAX_DIST
+
+    names = sorted(
+        {
+            r.p_name
+            for r in load_table(spark, sf_dir_small, "part")
+            .select("p_name")
+            .collect()
+        }
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    brute = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if a.split(" ")[0] != b.split(" ")[0]:
+                continue
+            d = lev(a, b)
+            if d <= _MAX_DIST:
+                brute[(a, b)] = d
+
+    got = {
+        (r.name_a, r.name_b): r.dist
+        for r in registry.QUERIES["q_fuzzy_name_pairs"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert got == brute
