@@ -81,6 +81,11 @@ HEADLINE = [
     # label audit — the two heaviest new corpus-pass families.
     "q_dsir_importance_selection",
     "q_knn_label_propagation",
+    # Round-6 (linkage batch): entity resolution end-to-end (blocked
+    # fuzzy pairs → star-contraction components) + the mutual-kNN
+    # symmetric-evidence gate over the shared cell-kNN build.
+    "q_fuzzy_entity_clusters",
+    "q_mutual_knn_pairs",
 ]
 
 

@@ -24,46 +24,40 @@ from geoparquet_python_spark.registry import query
 
 _MAX_DIST = 3  # match threshold (edit ops)
 
-
-@query(
-    "q_fuzzy_name_pairs",
-    oracle=f"""
-    WITH n AS (
+# The fuzzy-pair CTE chain shared by both oracles: distinct-name
+# entity table (canonical key = lowest part key), first-token block,
+# Δlen prefilter, exact Levenshtein refine.
+_SQL_FUZZY_CTES = f"""
+    n AS (
       SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS canonical_key
       FROM part GROUP BY p_name
+    ),
+    fuzzy AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             a.canonical_key AS key_a, b.canonical_key AS key_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM n a
+      JOIN n b
+        ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+       AND a.p_name < b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= {_MAX_DIST}
+      WHERE levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
     )
-    SELECT a.p_name AS name_a, b.p_name AS name_b,
-           a.canonical_key AS key_a, b.canonical_key AS key_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-    FROM n a
-    JOIN n b
-      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
-     AND a.p_name < b.p_name
-     AND abs(length(a.p_name) - length(b.p_name)) <= {_MAX_DIST}
-    WHERE levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
-    ORDER BY name_a, name_b
-    """,
-)
-def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy match over part names: distinct-name entities
-    (canonical key = lowest part key), blocked on the first name
-    token, length-difference prefiltered (|Δlen| ≤ t is NECESSARY for
-    edit distance ≤ t — zero false dismissals), refined by exact
-    Levenshtein ≤ {_MAX_DIST}.
+"""
 
-    Plan: one distinct-name aggregate (entity table ≪ row table),
-    a block-keyed equi-join (the only shuffle — candidate volume is
-    Σ|block|², governed by the blocking key's selectivity exactly
-    like LSH bands govern MinHash), the Δlen prefilter inside the
-    join condition so it evaluates before any DP, and codegen
-    levenshtein on survivors only. At 100 TB the block key generalizes
-    to phonetic/q-gram band keys with the same plan; a hot block
-    (skewed common first token) is the AQE-skew/salting case the
-    near-dup family already documents."""
-    p = load_table(spark, sf_dir, "part")
-    n = p.groupBy("p_name").agg(
-        F.min("p_partkey").cast("bigint").alias("canonical_key")
+
+def _name_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part names with a stable canonical key (min part key)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").cast("bigint").alias("canonical_key"))
     )
+
+
+def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCK → PREFILTER → REFINE candidate pairs (unsorted)."""
+    n = _name_entities(spark, sf_dir)
     a = n.select(
         F.col("p_name").alias("name_a"),
         F.col("canonical_key").alias("key_a"),
@@ -88,5 +82,112 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= _MAX_DIST)
         .select("name_a", "name_b", "key_a", "key_b", "dist")
-        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "q_fuzzy_name_pairs",
+    oracle=f"""
+    WITH {_SQL_FUZZY_CTES}
+    SELECT name_a, name_b, key_a, key_b, dist
+    FROM fuzzy
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy match over part names: distinct-name entities
+    (canonical key = lowest part key), blocked on the first name
+    token, length-difference prefiltered (|Δlen| ≤ t is NECESSARY for
+    edit distance ≤ t — zero false dismissals), refined by exact
+    Levenshtein ≤ {_MAX_DIST}.
+
+    Plan: one distinct-name aggregate (entity table ≪ row table),
+    a block-keyed equi-join (the only shuffle — candidate volume is
+    Σ|block|², governed by the blocking key's selectivity exactly
+    like LSH bands govern MinHash), the Δlen prefilter inside the
+    join condition so it evaluates before any DP, and codegen
+    levenshtein on survivors only. At 100 TB the block key generalizes
+    to phonetic/q-gram band keys with the same plan; a hot block
+    (skewed common first token) is the AQE-skew/salting case the
+    near-dup family already documents."""
+    return _fuzzy_pairs(spark, sf_dir).orderBy("name_a", "name_b")
+
+
+@query(
+    "q_fuzzy_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_FUZZY_CTES},
+    edges AS (
+      SELECT key_a AS s, key_b AS d FROM fuzzy
+      UNION ALL
+      SELECT key_b AS s, key_a AS d FROM fuzzy
+    ),
+    nodes AS (SELECT DISTINCT s FROM edges),
+    reach(s, d) AS (
+      SELECT s, s FROM nodes
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+    ),
+    comp AS (
+      SELECT s AS member_key, MIN(d) AS entity_key FROM reach GROUP BY s
+    ),
+    sizes AS (
+      SELECT entity_key, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM comp GROUP BY entity_key
+    )
+    SELECT c.member_key, na.p_name AS member_name,
+           c.entity_key, nb.p_name AS entity_name, z.n_members
+    FROM comp c
+    JOIN n na ON na.canonical_key = c.member_key
+    JOIN n nb ON nb.canonical_key = c.entity_key
+    JOIN sizes z ON z.entity_key = c.entity_key
+    ORDER BY member_key
+    """,
+)
+def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the fuzzy pair graph contracted to
+    connected components, each member name mapped to its entity (the
+    component's min canonical key), with the entity's display name and
+    member count — the table a MERGE/golden-record step consumes.
+
+    Reuses `star_contraction_components` (large-star/small-star,
+    O(log n) rounds regardless of chain length — fuzzy-match graphs
+    DO chain: A~B and B~C at distance 3 with A~C at 6). The pair graph
+    is entity-sized (≪ corpus); the name lookups are two equi-joins
+    against the distinct-name table, broadcast or shuffled at AQE's
+    discretion. Oracle: recursive-CTE transitive closure over the same
+    fuzzy CTE chain."""
+    from geoparquet_python_spark.operators.dedup import (
+        star_contraction_components,
+    )
+
+    pairs = _fuzzy_pairs(spark, sf_dir).select("key_a", "key_b")
+    labels = star_contraction_components(pairs)
+    comp = labels.select(
+        F.col("node").alias("member_key"), F.col("label").alias("entity_key")
+    )
+    sizes = comp.groupBy("entity_key").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    n = _name_entities(spark, sf_dir)
+    member_names = n.select(
+        F.col("canonical_key").alias("member_key"),
+        F.col("p_name").alias("member_name"),
+    )
+    entity_names = n.select(
+        F.col("canonical_key").alias("entity_key"),
+        F.col("p_name").alias("entity_name"),
+    )
+    return (
+        comp.join(member_names, "member_key")
+        .join(entity_names, "entity_key")
+        .join(sizes, "entity_key")
+        .select(
+            "member_key",
+            "member_name",
+            "entity_key",
+            "entity_name",
+            "n_members",
+        )
+        .orderBy("member_key")
     )

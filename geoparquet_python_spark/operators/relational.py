@@ -598,3 +598,47 @@ def q_correlated_subquery_balance(spark: SparkSession, sf_dir: str) -> DataFrame
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("csq_supplier")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("csq_customer")
     return spark.sql(_SQL_CORR_SUBQ.format(sup="csq_supplier", cust="csq_customer"))
+
+
+# --------------------------------------------------------------------------
+# B+: LATERAL correlated subquery join (top-k per driving row)
+# --------------------------------------------------------------------------
+
+_SQL_LATERAL_TOPK = """
+    SELECT n.n_name AS nation, t.s_suppkey, t.s_name, t.s_acctbal
+    FROM {nat} n, LATERAL (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal
+      FROM {sup} s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s.s_acctbal DESC, s.s_suppkey
+      LIMIT 2
+    ) t
+    ORDER BY nation, t.s_acctbal DESC, t.s_suppkey
+"""
+
+
+@query(
+    "q_lateral_topk_suppliers",
+    oracle=_SQL_LATERAL_TOPK.format(nat="nation", sup="supplier"),
+)
+def q_lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL-join surface: for every nation, its two richest
+    suppliers — a correlated subquery with ORDER BY ... LIMIT that
+    references the driving row, the "top-k related rows per entity"
+    idiom (latest orders per customer, best chunks per query, ...).
+
+    The IDENTICAL SQL text runs on both engines (comma-LATERAL form;
+    Spark 4 and DuckDB both parse it). Catalyst decorrelates the
+    lateral into a per-group limit over an equi-join — a broadcast
+    hash join plus rank-limit, never a per-driving-row re-execution
+    of the inner query (the nested-loop interpretation a naive engine
+    executes, O(|nation|) scans of supplier). Ties are broken by
+    s_suppkey so the k-th row is deterministic cross-engine; decimal
+    s_acctbal ordering is exact."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "lat_supplier"
+    )
+    return spark.sql(
+        _SQL_LATERAL_TOPK.format(nat="lat_nation", sup="lat_supplier")
+    )

@@ -658,3 +658,69 @@ def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _QUOTA_N)
         .orderBy("lang", "source", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# F6c: per-stratum weighted sample (A-ES keys under a group limit)
+# --------------------------------------------------------------------------
+
+_WSS_K = 10  # docs kept per language
+
+
+@query(
+    "q_weighted_stratified_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(round((ln((({SQL_MD5_LONG_DOC} ) + 1.0)
+                            / {float((1 << 60) + 1)})
+                         / greatest(n_chars, 1)) * 1000000) AS BIGINT)
+               AS priority_micro
+      FROM documents
+    )
+    SELECT lang, CAST(rank AS BIGINT) AS rank,
+           doc_id, n_chars, priority_micro
+    FROM (
+      SELECT lang, doc_id, n_chars, priority_micro,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY priority_micro DESC, doc_id) AS rank
+      FROM pri
+    )
+    WHERE rank <= {_WSS_K}
+    ORDER BY lang, rank
+    """,
+)
+def q_weighted_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement PER STRATUM: the A-ES
+    priority keys of q_weighted_priority_sample (content-addressed
+    u^(1/w), w = n_chars, ranked as ln(u)/w in 1e-6 fixed point) under
+    a per-language row_number() <= {_WSS_K} — the balanced variant
+    where every language contributes exactly k length-weighted docs,
+    however skewed the corpus (the global top-k would be dominated by
+    the majority language's long documents).
+
+    Scale: the same two-part shape as the quota sample — a map-only
+    priority projection, then a lang-keyed window whose rank filter
+    compiles to Partial/Final WindowGroupLimit: each map task keeps
+    its local top-k per language BEFORE the exchange, so the shuffle
+    carries ~k rows per (task, lang) regardless of corpus size, and
+    membership is retry/repartition-stable because the priorities are
+    content-addressed, never rand()."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (md5_long(F.col("doc_id").cast("string")) + F.lit(1.0)) / F.lit(
+        float((1 << 60) + 1)
+    )
+    pri = F.round(
+        (F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))) * 1e6
+    ).cast("bigint")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("priority_micro").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", pri.alias("priority_micro"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _WSS_K)
+        .select("lang", "rank", "doc_id", "n_chars", "priority_micro")
+        .orderBy("lang", "rank")
+    )

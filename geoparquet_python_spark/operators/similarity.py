@@ -1065,3 +1065,71 @@ def q_knn_two_hop_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_MNN_K = 4  # out-degree of the kNN graph for the mutual filter
+
+
+def _sql_mnn_oracle() -> str:
+    return f"""
+    WITH {_sql_cell_knn_ctes(_MNN_K)},
+    mutual AS (
+      SELECT k1.qid AS vec_a, k1.cid AS vec_b
+      FROM knn k1 JOIN knn k2 ON k2.qid = k1.cid AND k2.cid = k1.qid
+      WHERE k1.qid < k1.cid
+    )
+    SELECT m.vec_a, m.vec_b,
+           CAST(la.label AS INT) AS label_a,
+           CAST(lb.label AS INT) AS label_b,
+           la.label = lb.label AS same_label
+    FROM mutual m
+    JOIN lbl la ON la.vec_id = m.vec_a
+    JOIN lbl lb ON lb.vec_id = m.vec_b
+    ORDER BY vec_a, vec_b
+    """
+
+
+@query("q_mutual_knn_pairs", oracle=_sql_mnn_oracle())
+def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL nearest-neighbor pairs: (a, b) kept only when b is in
+    a's top-{_MNN_K} AND a is in b's top-{_MNN_K} — the mutual-kNN
+    filter that turns a directed kNN graph into high-precision
+    candidate pairs (one-sided neighbors are dominated by hubness:
+    a hub vector appears in thousands of top-k lists without any of
+    them being near-duplicates of each other; mutuality is the
+    standard symmetric-evidence gate in dedup and RNN-clustering).
+
+    Plan: the shared trained-cell kNN build (_cell_knn_edges,
+    materialized once so the self-join below reuses one computation),
+    then an edge⋈edge equi-join on the REVERSED key pair — output is
+    a subset of the k·n edge frame, never corpus-quadratic — and two
+    label lookups for the same_label quality signal. At 100 TB every
+    stage keys on vec_id pairs with k-bounded fan-out; the mutual join
+    shuffles at most k rows per vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    knn = materialize(_cell_knn_edges(spark, sf_dir, _MNN_K))
+    rev = knn.select(
+        F.col("qid").alias("r_qid"), F.col("cid").alias("r_cid")
+    )
+    mutual = (
+        knn.join(
+            rev,
+            (F.col("qid") == F.col("r_cid")) & (F.col("cid") == F.col("r_qid")),
+        )
+        .where(F.col("qid") < F.col("cid"))
+        .select(F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"))
+    )
+    la = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"))
+    lb = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"))
+    return (
+        mutual.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("la").cast("int").alias("label_a"),
+            F.col("lb").cast("int").alias("label_b"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

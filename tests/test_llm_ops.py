@@ -1253,3 +1253,44 @@ def test_fuzzy_name_pairs_blocking_is_lossless(spark, sf_dir_small):
         ).collect()
     }
     assert got == brute
+
+
+def test_fuzzy_entity_clusters_match_union_find(spark, sf_dir_small):
+    """The star-contraction entity table must equal a pure-Python
+    union-find over the same fuzzy pairs: entity = min canonical key
+    of the connected component, n_members = component size."""
+    pairs = [
+        (r.key_a, r.key_b)
+        for r in registry.QUERIES["q_fuzzy_name_pairs"](
+            spark, sf_dir_small
+        ).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    comp: dict[int, list[int]] = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    expected = {
+        (m, root, len(members))
+        for root, members in comp.items()
+        for m in members
+    }
+
+    got = {
+        (r.member_key, r.entity_key, r.n_members)
+        for r in registry.QUERIES["q_fuzzy_entity_clusters"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert got == expected

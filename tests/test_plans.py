@@ -319,6 +319,19 @@ def test_quota_sample_window_group_limit(spark, sf_dir):
     assert "Partial" in plan and "Final" in plan
 
 
+def test_weighted_stratified_sample_window_group_limit(spark, sf_dir):
+    """The weighted per-stratum sample shares the quota sample's scale
+    contract: the rank <= k filter over A-ES priorities compiles to
+    Partial/Final WindowGroupLimit, so the shuffle carries ~k rows per
+    (task, lang) and the priority projection stays map-only (no join,
+    no corpus-wide exchange before the window)."""
+    plan = plan_of(spark, sf_dir, "q_weighted_stratified_sample")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+    for joinish in ("SortMergeJoin", "BroadcastHashJoin", "NestedLoop"):
+        assert joinish not in plan
+
+
 def test_ivfpq_broadcasts_lut_and_shortlist(spark, sf_dir):
     """IVFADC search contract: the per-(query, cell) ADC lookup table
     and the re-rank shortlist are the ONLY build sides — both bounded

@@ -75,6 +75,13 @@ DEFAULT_QUERIES = [
     "q_image_ahash_dedup",
     "q_interval_overlap_join",
     "q_source_divergence_matrix",
+    # Round-6 (linkage batch): mutual-kNN shares the cell-kNN build, so
+    # the fixed-K vs K-scaled protocol note above applies to it too;
+    # the weighted stratified sample is documents-only map+window.
+    # The fuzzy-linkage queries run over `part` (not replicated here)
+    # — their scale posture is the blocking argument in SCALE.md.
+    "q_mutual_knn_pairs",
+    "q_weighted_stratified_sample",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
