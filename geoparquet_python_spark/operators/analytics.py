@@ -492,3 +492,179 @@ def q_daily_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-key exact OLS trend (rational slope — integer algebra end to end)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_user_value_trend",
+    oracle="""
+    WITH x AS (
+      SELECT user_id,
+             date_diff('second',
+                       MIN(ts) OVER (PARTITION BY user_id), ts) // 60
+               AS x_min,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_min) AS BIGINT) AS sx,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(x_min * x_min) AS BIGINT) AS sxx,
+             CAST(SUM(x_min * cents) AS BIGINT) AS sxy
+      FROM x GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxy - sx * sy > 0 THEN 'up'
+                WHEN n * sxy - sx * sy < 0 THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0
+    ORDER BY user_id
+    """,
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time, EXACT: the least-
+    squares slope is reported as the RATIONAL (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²) in int64 — x is minutes since the user's first
+    event (keeps every product far inside int64 at any realistic
+    per-key history), y is micro-cent value. No division ever
+    happens, so there is no float summation-order drift and no
+    truncating-div sign hazard for negative slopes — the rational IS
+    the answer, and sign(num) is the trend verdict (den > 0 by
+    construction whenever two distinct x exist; single-instant users
+    are filtered identically on both sides).
+
+    Plan: one per-user window MIN (same user-keyed exchange the
+    aggregate needs — AQE reuses it) and ONE groupBy computing the
+    five sufficient statistics — the classic 'sufficient statistics,
+    not data movement' shape: at 100 TB each user contributes five
+    int64s to the shuffle regardless of history length, and the
+    second-moment products are associative so partial aggregation is
+    map-side. Seconds are compared as floor-to-second diffs
+    (unix_timestamp truncation == DuckDB date_diff boundary count
+    for positive spans), then floor-divided to minutes — identical
+    integer grids on both engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wmin = Window.partitionBy("user_id")
+    # div (not '/'): '/' then cast would round; div truncates, which
+    # equals floor here because the span is non-negative.
+    x_min = F.expr(
+        "CAST((unix_timestamp(ts) - unix_timestamp(min_ts)) div 60"
+        " AS BIGINT)"
+    )
+    base = e.select(
+        "user_id",
+        "ts",
+        F.min("ts").over(wmin).alias("min_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).select("user_id", x_min.alias("x_min"), "cents")
+    s = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_min").cast("bigint").alias("sx"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.col("x_min") * F.col("x_min")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x_min") * F.col("cents")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.where((F.col("n") >= 2) & (den > 0))
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            num.cast("bigint").alias("slope_num"),
+            den.cast("bigint").alias("slope_den"),
+            F.when(num > 0, F.lit("up"))
+            .when(num < 0, F.lit("down"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct active users (WAU) — fan-out, not a window
+# --------------------------------------------------------------------------
+
+_WAU_DAYS = 7
+
+
+@query(
+    "q_rolling_weekly_active_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    mx AS (SELECT MAX(day) AS max_day FROM du),
+    contrib AS (
+      SELECT r.report_day, du.user_id
+      FROM du, mx,
+      LATERAL (
+        SELECT unnest(generate_series(du.day,
+                                      least(du.day + {_WAU_DAYS - 1},
+                                            mx.max_day),
+                                      INTERVAL 1 DAY)) AS report_day
+      ) r
+    )
+    SELECT CAST(report_day AS DATE) AS report_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib
+    GROUP BY report_day
+    ORDER BY report_day
+    """,
+)
+def q_rolling_weekly_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling {_WAU_DAYS}-day distinct active users per day (WAU) —
+    the windowed COUNT(DISTINCT) no SQL engine allows as a window
+    function, restructured as dataflow: each (day, user) activity
+    fact FANS OUT to the ≤{_WAU_DAYS} report days it contributes to
+    (a map-side sequence/explode, bounded by the window length), then
+    ONE distinct aggregate keyed on report day.
+
+    Why not a window: collect_set over an unpartitioned range frame
+    would funnel every (day, user) pair through one task — the
+    unbounded-window scale-killer the plan guards ban. Here the only
+    shuffles are the day-level distinct (corpus → days×users rows)
+    and the report-day aggregate, whose partial (map-side) distinct
+    makes the fan-out factor-{_WAU_DAYS} shuffle shrink before it
+    moves. The trailing edge caps at the corpus's max day (one-row
+    broadcast), matching the oracle's LATERAL grid exactly."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    mx = du.agg(F.max("day").alias("max_day"))
+    contrib = (
+        du.crossJoin(F.broadcast(mx))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(
+                        F.date_add("day", _WAU_DAYS - 1), F.col("max_day")
+                    ),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("report_day"),
+            "user_id",
+        )
+    )
+    return (
+        contrib.groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .orderBy("report_day")
+    )

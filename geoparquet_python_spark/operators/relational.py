@@ -642,3 +642,58 @@ def q_lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SQL_LATERAL_TOPK.format(nat="lat_nation", sup="lat_supplier")
     )
+
+
+@query(
+    "q_nation_customer_surplus_multiset",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def q_nation_customer_surplus_multiset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXCEPT ALL — the MULTISET difference the distinct EXCEPT above
+    cannot express: one output row per SURPLUS customer (a nation with
+    30 customers and 4 suppliers emits 26 rows; bag semantics
+    max(m−n, 0), the ANSI definition). The pair with INTERSECT ALL
+    below completes the set-operator surface. Spark plans exceptAll
+    as a signed-count aggregate + generate (count occurrences on each
+    side, re-emit the difference) — one shuffle on the compared
+    columns, never a row-by-row anti-join cascade; same result from
+    DuckDB's native EXCEPT ALL."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s).orderBy("nationkey")
+
+
+@query(
+    "q_nation_matched_pairs_multiset",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def q_nation_matched_pairs_multiset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERSECT ALL — multiset intersection: per nation, min(#cust,
+    #supp) rows — the 'how many 1:1 pairings exist' cardinality that
+    distinct INTERSECT collapses to membership. Same signed-count
+    aggregate plan class as exceptAll; one shuffle."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s).orderBy("nationkey")

@@ -384,3 +384,134 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact EWMA (halflife = one event) over a bounded ROWS frame
+# --------------------------------------------------------------------------
+
+_EWMA_SPAN = 16  # frame length: weights 2^15 (current) .. 2^0 (oldest)
+
+
+@query(
+    "q_events_ewma_halflife",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id, a.rn,
+           CAST(SUM(b.cents * (1 << ({_EWMA_SPAN - 1} - (a.rn - b.rn))))
+                AS BIGINT) AS ewma_fp
+    FROM e a
+    JOIN e b
+      ON b.user_id = a.user_id
+     AND b.rn BETWEEN a.rn - {_EWMA_SPAN - 1} AND a.rn
+    GROUP BY a.user_id, a.event_id, a.rn
+    ORDER BY a.user_id, a.rn
+    """,
+)
+def q_events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value with halflife = one event, EXACT:
+    the decay factor is 1/2, so EWMA · 2^{_EWMA_SPAN - 1} · 100 is an
+    INTEGER — Σ cents_i · 2^({_EWMA_SPAN - 1} − age) over the last
+    {_EWMA_SPAN} events — and both engines compute it in int64 with
+    zero float drift (the reason most EWMA implementations can't be
+    oracle-certified: arbitrary α makes the recurrence
+    summation-order-dependent in doubles; α = 1/2 with a bounded
+    frame makes it integer algebra; terms older than the frame would
+    contribute < 1 unit and are dropped identically on both sides).
+
+    Plan shape: one per-user ordered window builds the row sequence,
+    a second collects the bounded {_EWMA_SPAN}-row frame as an array
+    (frame-ordered), and the weighted sum is a JVM higher-order
+    zip_with/aggregate over that ≤{_EWMA_SPAN}-element array — per-row
+    constant work, no self-join, no UDF. The ORACLE takes the naive
+    O(n·span) self-join formulation — the value match certifies the
+    window+HOF plan against the textbook definition. At 100 TB both
+    windows key on user_id — one hash exchange, reused; frame memory
+    is span-bounded per row."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("rn", F.row_number().over(wseq).cast("bigint"))
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    frame = F.collect_list("cents").over(wf)
+    ewma = F.expr(
+        f"aggregate(zip_with(frame_cents,"
+        f" sequence(size(frame_cents) - 1, 0, -1),"
+        f" (v, a) -> v * shiftleft(CAST(1 AS BIGINT), {_EWMA_SPAN - 1} - a)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        base.withColumn("frame_cents", frame)
+        .select("user_id", "event_id", "rn", ewma.alias("ewma_fp"))
+        .orderBy("user_id", "rn")
+    )
+
+
+_MED_SPAN = 15  # rolling frame length (odd-ish; lower median used)
+
+
+@query(
+    "q_events_rolling_median",
+    oracle=f"""
+    SELECT user_id, event_id, rn,
+           (list_sort(l))[CAST((len(l) + 1) // 2 AS INT)] AS median_cents
+    FROM (
+      SELECT user_id, event_id,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             list(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_MED_SPAN - 1} PRECEDING AND CURRENT ROW) AS l
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    ORDER BY user_id, rn
+    """,
+)
+def q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median (lower median of the last {_MED_SPAN}
+    values, in micro-cents) per user — the robust-smoothing twin of
+    the EWMA: medians shrug off the value spikes that drag any mean,
+    which is why monitoring pipelines pair them. Exact because the
+    median of integers IS an integer — no interpolation, no floats,
+    no approx-percentile sketch needed at this frame size.
+
+    Plan: one user-keyed ordered window collects the span-bounded
+    frame; sort + element_at run as JVM array expressions per row
+    (≤{_MED_SPAN} elements — constant work, the right tool BECAUSE
+    the frame is bounded; an unbounded running median would be the
+    two-heap streaming algorithm instead). Same single-exchange
+    shape as the EWMA, measured flat at 8× users."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wseq.rowsBetween(-(_MED_SPAN - 1), 0)
+    frame = F.collect_list(
+        F.round(F.col("value") * 100).cast("bigint")
+    ).over(wf)
+    med = F.element_at(
+        F.array_sort(F.col("frame_cents")),
+        ((F.size("frame_cents") + 1) / 2).cast("int"),
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(wseq).cast("bigint").alias("rn"),
+            frame.alias("frame_cents"),
+        )
+        .select("user_id", "event_id", "rn", med.alias("median_cents"))
+        .orderBy("user_id", "rn")
+    )

@@ -82,6 +82,10 @@ DEFAULT_QUERIES = [
     # — their scale posture is the blocking argument in SCALE.md.
     "q_mutual_knn_pairs",
     "q_weighted_stratified_sample",
+    # Exact EWMA + OLS trend + rolling median: events-based (8x users).
+    "q_events_ewma_halflife",
+    "q_user_value_trend",
+    "q_events_rolling_median",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
