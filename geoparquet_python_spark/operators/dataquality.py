@@ -334,3 +334,74 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source score calibration (per-source quantile normalization)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_source_quantile_calibration",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             CAST(rank() OVER (PARTITION BY source
+                               ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+               AS qn_num,
+             CAST(COUNT(*) OVER (PARTITION BY source) - 1 AS BIGINT)
+               AS qn_den
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, qn_num, qn_den,
+           CASE WHEN qn_den > 0
+                THEN CAST(qn_num * 1000000 // qn_den AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS calib_ppm
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def q_source_quantile_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization ACROSS sources: each document's raw
+    score (n_chars here; any per-doc quality signal drops in) is
+    replaced by its within-source percent rank — the calibration step
+    that makes scores comparable when sources have wildly different
+    score distributions (a web crawl's '90th percentile' and a books
+    corpus's '90th percentile' become the same number, so one global
+    threshold curates both fairly).
+
+    The rank is emitted as the exact rational (rank−1)/(n−1) in int64
+    (percent_rank's definition, with a (n_chars, doc_id) ordering so
+    ties resolve identically on both engines) plus a ppm projection —
+    non-negative, so floor- and truncating-div agree. Plan: ONE
+    source-keyed window computing rank and count together — a single
+    exchange; at 100 TB the per-source window is the same
+    hash-partitioned sort every rank query pays, with no join and no
+    global frame anywhere."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.rank().over(ws) - 1).cast("bigint").alias("qn_num"),
+        (F.count(F.lit(1)).over(wc) - 1).cast("bigint").alias("qn_den"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "qn_num",
+        "qn_den",
+        F.when(
+            F.col("qn_den") > 0,
+            F.expr("CAST(qn_num * 1000000 div qn_den AS BIGINT)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("calib_ppm"),
+    ).orderBy("doc_id")

@@ -191,3 +191,136 @@ def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("member_key")
     )
+
+
+@query(
+    "q_entity_golden_record",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_FUZZY_CTES},
+    edges AS (
+      SELECT key_a AS s, key_b AS d FROM fuzzy
+      UNION ALL
+      SELECT key_b AS s, key_a AS d FROM fuzzy
+    ),
+    nodes AS (SELECT DISTINCT s FROM edges),
+    reach(s, d) AS (
+      SELECT s, s FROM nodes
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+    ),
+    comp AS (
+      SELECT s AS member_key, MIN(d) AS entity_key FROM reach GROUP BY s
+    ),
+    rows_in AS (
+      SELECT c.entity_key, p.p_name, p.p_brand, p.p_size,
+             CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part p
+      JOIN n nm ON nm.p_name = p.p_name
+      JOIN comp c ON c.member_key = nm.canonical_key
+    ),
+    brand_votes AS (
+      SELECT entity_key, p_brand, COUNT(*) AS n_votes
+      FROM rows_in GROUP BY entity_key, p_brand
+    ),
+    top_brand AS (
+      SELECT entity_key, p_brand AS brand FROM (
+        SELECT entity_key, p_brand,
+               row_number() OVER (PARTITION BY entity_key
+                                  ORDER BY n_votes DESC, p_brand) AS rk
+        FROM brand_votes
+      ) WHERE rk = 1
+    ),
+    agg AS (
+      SELECT entity_key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+             CAST(MIN(p_size) AS BIGINT) AS min_size,
+             CAST(MAX(p_size) AS BIGINT) AS max_size,
+             CAST(SUM(price_cents) AS BIGINT) AS total_price_cents
+      FROM rows_in GROUP BY entity_key
+    )
+    SELECT a.entity_key, ne.p_name AS entity_name, a.n_rows, a.n_names,
+           tb.brand AS survivor_brand, a.min_size, a.max_size,
+           a.total_price_cents
+    FROM agg a
+    JOIN n ne ON ne.canonical_key = a.entity_key
+    JOIN top_brand tb ON tb.entity_key = a.entity_key
+    ORDER BY a.entity_key
+    """,
+)
+def q_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVORSHIP: one golden record per resolved entity — the step
+    after clustering that MDM/ER pipelines actually ship. All part
+    ROWS whose name belongs to the entity merge into one record:
+    most-frequent brand wins (lexicographic tie-break — a
+    deterministic mode, since SQL has no mode with stable ties),
+    sizes report their span, prices their exact cent total, and the
+    entity displays under its canonical (min-key) name.
+
+    Plan: the pair graph + O(log n) star contraction (entity-sized),
+    ONE row-table join routing each part row to its entity, a
+    per-(entity, brand) vote count with a WindowGroupLimit rank-1
+    pick, and one entity-keyed aggregate. At 100 TB the row table is
+    the only big frame and it is touched exactly once; everything
+    downstream is entity-sized."""
+    from pyspark.sql import Window
+
+    from geoparquet_python_spark.operators.dedup import (
+        star_contraction_components,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    n = _name_entities(spark, sf_dir)
+    pairs = _fuzzy_pairs(spark, sf_dir).select("key_a", "key_b")
+    comp = star_contraction_components(pairs).select(
+        F.col("node").alias("member_key"), F.col("label").alias("entity_key")
+    )
+    rows_in = (
+        p.select(
+            "p_name",
+            "p_brand",
+            "p_size",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .join(n.withColumnRenamed("canonical_key", "member_key"), "p_name")
+        .join(comp, "member_key")
+    )
+    votes = rows_in.groupBy("entity_key", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("entity_key").orderBy(
+        F.col("n_votes").desc(), F.col("p_brand")
+    )
+    top_brand = (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select("entity_key", F.col("p_brand").alias("survivor_brand"))
+    )
+    agg = rows_in.groupBy("entity_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("p_name").cast("bigint").alias("n_names"),
+        F.min("p_size").cast("bigint").alias("min_size"),
+        F.max("p_size").cast("bigint").alias("max_size"),
+        F.sum("price_cents").cast("bigint").alias("total_price_cents"),
+    )
+    entity_names = n.select(
+        F.col("canonical_key").alias("entity_key"),
+        F.col("p_name").alias("entity_name"),
+    )
+    return (
+        agg.join(entity_names, "entity_key")
+        .join(top_brand, "entity_key")
+        .select(
+            "entity_key",
+            "entity_name",
+            "n_rows",
+            "n_names",
+            "survivor_brand",
+            "min_size",
+            "max_size",
+            "total_price_cents",
+        )
+        .orderBy("entity_key")
+    )
