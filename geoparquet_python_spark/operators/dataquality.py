@@ -405,3 +405,82 @@ def q_source_quantile_calibration(
         .otherwise(F.lit(0).cast("bigint"))
         .alias("calib_ppm"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline) — local frontier, then global refine
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_pareto_doc_frontier",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+               AS n_distinct_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, n_distinct_tokens
+    FROM f a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM f b
+      WHERE b.n_chars >= a.n_chars
+        AND b.n_distinct_tokens >= a.n_distinct_tokens
+        AND (b.n_chars > a.n_chars
+             OR b.n_distinct_tokens > a.n_distinct_tokens)
+    )
+    ORDER BY n_chars DESC, doc_id
+    """,
+)
+def q_pareto_doc_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE: documents Pareto-optimal under two quality axes
+    (length in chars, lexical diversity as distinct-token count) — no
+    other document is at least as good on both axes and strictly
+    better on one. The multi-objective selection move when two
+    signals should not be collapsed into one weighted score.
+
+    The 2-D skyline needs no pair join: sort one axis and a point is
+    dominated iff the MAX of the other axis over strictly-greater x
+    reaches it (or a same-x point strictly beats it) — two window
+    maxes and a filter. Scale shape: frontier(S) ⊆ ∪ frontier(S_i)
+    for ANY partition of S, so stage 1 computes the frontier WITHIN
+    each source (partitioned windows, fully parallel) and only those
+    survivors — frontier-sized, tiny for correlated axes — enter the
+    stage-2 global window, the same post-filter-global-frame pattern
+    the plan guards allow for post-agg windows. The oracle is the
+    quadratic NOT EXISTS dominance definition; the match certifies
+    the window formulation including dominance ties."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+    )
+
+    def frontier(df: DataFrame, part_cols: list) -> DataFrame:
+        w_eq = Window.partitionBy(*(part_cols + ["n_chars"]))
+        w_gt = (
+            Window.partitionBy(*part_cols)
+            .orderBy("n_chars")
+            .rangeBetween(1, Window.unboundedFollowing)
+            if part_cols
+            else Window.orderBy("n_chars").rangeBetween(
+                1, Window.unboundedFollowing
+            )
+        )
+        y = F.col("n_distinct_tokens")
+        dominated = F.coalesce(
+            F.max("n_distinct_tokens").over(w_gt) >= y, F.lit(False)
+        ) | (F.max("n_distinct_tokens").over(w_eq) > y)
+        return df.withColumn("dominated", dominated).where(
+            ~F.col("dominated")
+        ).drop("dominated")
+
+    local = frontier(d, ["source"])
+    return frontier(local, []).orderBy(F.col("n_chars").desc(), "doc_id")

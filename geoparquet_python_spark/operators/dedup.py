@@ -1732,3 +1732,127 @@ def q_containment_prefix_filter_pairs(
         .where(F.col("containment_micro") >= _CONTAIN_T_MICRO)
         .orderBy("contained_doc", "container_doc")
     )
+
+
+# --------------------------------------------------------------------------
+# F2f: cross-source similarity via MERGED MinHash sketches
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_source_minhash_similarity",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    src AS (SELECT doc_id, source FROM documents),
+    hh AS (
+      SELECT sc.source,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(s), 16, 14)) AS BIGINT) AS h2
+      FROM sh JOIN src sc ON sc.doc_id = sh.doc_id
+    ),
+    mh AS (
+      SELECT source, j, MIN(h1 + j * h2) AS v
+      FROM hh CROSS JOIN range({_N_HASHES}) t(j)
+      GROUP BY source, j
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) FILTER (a.v = b.v) AS BIGINT) AS n_hash_agree,
+           CAST(COUNT(*) FILTER (a.v = b.v) * 1000000 // {_N_HASHES}
+                AS BIGINT) AS est_jaccard_ppm
+    FROM mh a
+    JOIN mh b ON b.j = a.j AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_minhash_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-level similarity matrix from MERGED MinHash sketches:
+    each source's 32-slot signature is the slot-wise MIN over every
+    shingle in the source, and Ĵ(A, B) = (#slots agreeing)/32 — the
+    classic one-hash-class estimator, here DETERMINISTIC (md5-derived
+    hashes) so it is oracle-exact, not rows-only.
+
+    The point is MERGEABILITY, the property that makes sketches a
+    100 TB primitive: min is associative, so per-partition partial
+    signatures combine map-side (partial aggregation) and per-source
+    signatures combine into corpus-group signatures WITHOUT touching
+    rows again — the same contract that lets a 100 TB corpus keep
+    per-shard sketches and answer cross-shard similarity from
+    |shards|×32 integers. Plan: one shingle projection (no explode —
+    in-row slot mins per doc), one source-keyed aggregate to
+    |sources|×32 rows, then a slot-keyed self-join over that tiny
+    frame. The heavy corpus never shuffles: only per-doc 32-int
+    signatures do."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    base = d.select("source", shingles("toks", k=3).alias("sh"))
+    hs = F.transform("sh", lambda s: F.md5(s))
+    hashed = base.select("source", hs.alias("hs"))
+    h1 = F.transform(
+        "hs", lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    )
+    h2 = F.transform(
+        "hs", lambda h: F.conv(F.substring(h, 16, 14), 16, 10).cast("long")
+    )
+    hashed = hashed.select("source", h1.alias("h1"), h2.alias("h2"))
+
+    def _slot(j: int):
+        return lambda a, b: a + F.lit(j).cast("long") * b
+
+    sig_cols = [
+        F.array_min(F.zip_with("h1", "h2", _slot(j))).alias(f"sig_{j}")
+        for j in range(_N_HASHES)
+    ]
+    per_doc = hashed.select("source", *sig_cols)
+    per_source = per_doc.groupBy("source").agg(
+        *[F.min(f"sig_{j}").alias(f"sig_{j}") for j in range(_N_HASHES)]
+    )
+    melted = per_source.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"sig_{j}").alias("v")
+                    )
+                    for j in range(_N_HASHES)
+                ]
+            )
+        ).alias("e"),
+    ).select("source", F.col("e.j").alias("j"), F.col("e.v").alias("v"))
+    a = melted.select(
+        F.col("source").alias("source_a"), "j", F.col("v").alias("va")
+    )
+    b = melted.select(
+        F.col("source").alias("source_b"),
+        F.col("j").alias("jb"),
+        F.col("v").alias("vb"),
+    )
+    agree = F.sum(
+        F.when(F.col("va") == F.col("vb"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("j") == F.col("jb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            agree.alias("n_hash_agree"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_hash_agree",
+            F.expr(
+                f"CAST(n_hash_agree * 1000000 div {_N_HASHES} AS BIGINT)"
+            ).alias("est_jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

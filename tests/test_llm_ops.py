@@ -1294,3 +1294,41 @@ def test_fuzzy_entity_clusters_match_union_find(spark, sf_dir_small):
         ).collect()
     }
     assert got == expected
+
+
+def test_pareto_frontier_matches_brute_dominance(spark, sf_dir_small):
+    """The two-stage window skyline must equal the quadratic dominance
+    fold: a doc is on the frontier iff no other doc is >= on both axes
+    and > on at least one."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.io import load_table
+
+    pts = [
+        (r.doc_id, r.n_chars, r.y)
+        for r in load_table(spark, sf_dir_small, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(F.array_distinct(F.split("text", " ")))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .collect()
+    ]
+    expected = {
+        d
+        for d, x, y in pts
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y)
+            for bd, bx, by in pts
+            if bd != d
+        )
+    }
+    got = {
+        r.doc_id
+        for r in registry.QUERIES["q_pareto_doc_frontier"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert got == expected
