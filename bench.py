@@ -86,6 +86,10 @@ HEADLINE = [
     # symmetric-evidence gate over the shared cell-kNN build.
     "q_fuzzy_entity_clusters",
     "q_mutual_knn_pairs",
+    # Round-6 (statistics batch): shift-resistant chunk dedup + the
+    # one-pass Poisson-bootstrap corpus CI.
+    "q_cdc_chunk_dedup",
+    "q_bootstrap_mean_ci",
 ]
 
 

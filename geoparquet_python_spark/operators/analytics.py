@@ -668,3 +668,107 @@ def q_rolling_weekly_active_users(
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
         .orderBy("report_day")
     )
+
+
+# --------------------------------------------------------------------------
+# Clickstream path mining: top session paths
+# --------------------------------------------------------------------------
+
+_PATH_TOPK = 15
+
+
+@query(
+    "q_session_top_paths",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_TRANS_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s2 AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s2 GROUP BY user_id, sid
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOPK}
+    """,
+)
+def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream PATH mining: the {K} most common whole-session
+    event-type sequences (30-minute-gap sessions — the repo's shared
+    sessionization rule) with session and distinct-user counts. The
+    transition matrix (q_event_transition_matrix) is this table's
+    first-order marginal; full paths expose the funnels and loops a
+    Markov model averages away.
+
+    Plan: ONE user-keyed window pass (lag + running-sum session ids —
+    the stateful sessionizer's exact frame, batch form), a per-session
+    ordered fold done INSIDE the groupBy (sort_array over
+    (ts, event_id, type) structs → concat_ws, no second window), then
+    a path-keyed count + distinct-user aggregate and a TakeOrdered
+    top-{K}. Sessions are bounded by the gap rule so the collected
+    struct arrays are session-sized, not user-history-sized; the path
+    domain the final aggregate shuffles is (distinct paths) —
+    power-law small — and the result is driver-bound at {K} rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap_us.isNull()
+            | (gap_us > _TRANS_GAP_MIN * 60 * 1_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    s2 = s.withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        s2.groupBy("user_id", "sid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.concat_ws(
+                ">", F.expr("transform(evs, e -> e.event_type)")
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOPK)
+    )

@@ -1133,3 +1133,159 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# F3f: Matryoshka truncated-dimension recall audit
+# --------------------------------------------------------------------------
+
+_MRL_D = 16  # leading dims of the 64 kept by the coarse ranking
+_MRL_K = 5  # top-k audited
+
+
+@query(
+    "q_matryoshka_recall_audit",
+    oracle=f"""
+    WITH flat AS ({SQL_FLAT_EMBEDDINGS}),
+    nf AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(floor(x * x * 1e12) AS BIGINT)) AS BIGINT) AS n2
+      FROM flat GROUP BY vec_id
+    ),
+    nt AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(floor(x * x * 1e12) AS BIGINT)) AS BIGINT) AS n2
+      FROM flat WHERE i <= {_MRL_D} GROUP BY vec_id
+    ),
+    df AS (
+      SELECT fa.vec_id AS qid, fb.vec_id AS cid,
+             CAST(SUM(CAST(floor(fa.x * fb.x * 1e12) AS BIGINT)) AS BIGINT) AS d
+      FROM flat fa JOIN flat fb ON fa.i = fb.i
+        AND fa.vec_id < 10 AND fb.vec_id <> fa.vec_id
+      GROUP BY 1, 2
+    ),
+    dt AS (
+      SELECT fa.vec_id AS qid, fb.vec_id AS cid,
+             CAST(SUM(CAST(floor(fa.x * fb.x * 1e12) AS BIGINT)) AS BIGINT) AS d
+      FROM flat fa JOIN flat fb ON fa.i = fb.i AND fa.i <= {_MRL_D}
+        AND fa.vec_id < 10 AND fb.vec_id <> fa.vec_id
+      GROUP BY 1, 2
+    ),
+    topf AS (
+      SELECT qid, cid FROM (
+        SELECT d.qid, d.cid,
+               row_number() OVER (PARTITION BY d.qid ORDER BY
+                 (d.d / 1e12) / (sqrt(na.n2 / 1e12) * sqrt(nb.n2 / 1e12))
+                 DESC, d.cid) AS rank
+        FROM df d
+        JOIN nf na ON na.vec_id = d.qid
+        JOIN nf nb ON nb.vec_id = d.cid
+      ) WHERE rank <= {_MRL_K}
+    ),
+    topt AS (
+      SELECT qid, cid FROM (
+        SELECT d.qid, d.cid,
+               row_number() OVER (PARTITION BY d.qid ORDER BY
+                 (d.d / 1e12) / (sqrt(na.n2 / 1e12) * sqrt(nb.n2 / 1e12))
+                 DESC, d.cid) AS rank
+        FROM dt d
+        JOIN nt na ON na.vec_id = d.qid
+        JOIN nt nb ON nb.vec_id = d.cid
+      ) WHERE rank <= {_MRL_K}
+    )
+    SELECT f.qid,
+           CAST(COUNT(t.cid) AS BIGINT) AS n_overlap,
+           CAST(COUNT(t.cid) AS BIGINT) / {_MRL_K}.0 AS recall
+    FROM topf f
+    LEFT JOIN topt t ON t.qid = f.qid AND t.cid = f.cid
+    GROUP BY f.qid
+    ORDER BY f.qid
+    """,
+)
+def q_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit (Kusupati et al. 2022): how
+    much of the exact full-dimension cosine top-{K} does ranking on
+    only the LEADING {D} of 64 dimensions recover, per query? This is
+    the quality gate for the coarse-to-fine serving plan — rank with
+    a {D}-dim prefix (4× fewer bytes scanned and FLOPs), refine the
+    shortlist at full width — the vector twin of the IVF-PQ and LSH
+    recall audits, and it makes dimension-truncation a MEASURED
+    trade, not a hope.
+
+    Both rankings use the exact fixed-point dot/norm lattice, so the
+    audit is oracle-exact; the prefix ranking needs no second table —
+    `slice(embedding, 1, {D})` reuses the same scan. recall is the
+    exact rational n/{K} (int over constant, IEEE-exact). Scale: two
+    bounded-query broadcasts against the corpus (the brute-force
+    baseline shape); at index scale both sides come from the ANN
+    path instead and this audit certifies the swap."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, _MRL_D).alias("emb_t"),
+        norm2_scaled("embedding").alias("n2f"),
+        norm2_scaled(F.slice("embedding", 1, _MRL_D)).alias("n2t"),
+    )
+    q = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("emb_t").alias("q_emb_t"),
+        F.col("n2f").alias("q_n2f"),
+        F.col("n2t").alias("q_n2t"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("emb_t").alias("c_emb_t"),
+        F.col("n2f").alias("c_n2f"),
+        F.col("n2t").alias("c_n2t"),
+    )
+    pairs = broadcast_bounded(q, max_rows=64).join(
+        c, F.col("qid") != F.col("cid")
+    )
+
+    def topk(cos: F.Column) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("cid")
+        )
+        return (
+            pairs.select("qid", "cid", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _MRL_K)
+            .select("qid", "cid")
+        )
+
+    topf = topk(
+        cosine_from_scaled(
+            dot_scaled("q_emb", "c_emb"), F.col("q_n2f"), F.col("c_n2f")
+        )
+    )
+    topt = topk(
+        cosine_from_scaled(
+            dot_scaled("q_emb_t", "c_emb_t"), F.col("q_n2t"), F.col("c_n2t")
+        )
+    )
+    ov = topf.join(topt, ["qid", "cid"], "left_semi")
+    return (
+        topf.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(
+            ov.groupBy("qid").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+            ),
+            "qid",
+            "left",
+        )
+        .select(
+            "qid",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias(
+                "n_overlap"
+            ),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                / F.lit(float(_MRL_K))
+            ).alias("recall"),
+        )
+        .orderBy("qid")
+    )

