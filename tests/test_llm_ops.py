@@ -1528,3 +1528,26 @@ def test_kcore_matches_python_peeling_and_converges_within_unroll(
         ).collect()
     }
     assert got == expected
+
+
+def test_rendezvous_resharding_minimal_movement(spark, sf_dir_small):
+    """The rendezvous guarantee as assertions: adding shard S moves
+    ONLY the docs the new shard wins — every surviving shard reports
+    n_moved = 0, the new shard reports n_moved = n_docs, and the
+    global moved fraction sits near 1/S1."""
+    from geoparquet_python_spark.operators.sharding import _S0, _S1
+
+    rows = registry.QUERIES["q_rendezvous_resharding"](
+        spark, sf_dir_small
+    ).collect()
+    by_shard = {r.shard: r for r in rows}
+    assert set(by_shard) <= set(range(_S1))
+    for s, r in by_shard.items():
+        if s < _S0:
+            assert r.n_moved == 0, f"shard {s} reported movement"
+        else:
+            assert r.n_moved == r.n_docs and r.moved_ppm == 1_000_000
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.n_moved for r in rows)
+    # expected 1/17 ≈ 5.9%; allow generous binomial slack
+    assert 0.02 <= moved / total <= 0.12
