@@ -1551,3 +1551,62 @@ def test_rendezvous_resharding_minimal_movement(spark, sf_dir_small):
     moved = sum(r.n_moved for r in rows)
     # expected 1/17 ≈ 5.9%; allow generous binomial slack
     assert 0.02 <= moved / total <= 0.12
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark, sf_dir_small):
+    """θ and the adjusted means must equal a numpy recomputation from
+    the per-user (x, y) table, and CUPED must do its job: pooled
+    variance of y − θ·x is no greater than the variance of y."""
+    import numpy as np
+
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.experiments import _CUT
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir_small, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < F.lit(_CUT).cast("timestamp"), cents)),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= F.lit(_CUT).cast("timestamp"), cents)),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+        .collect()
+    )
+    x = np.array([r.x for r in pu], dtype=np.float64)
+    y = np.array([r.y for r in pu], dtype=np.float64)
+    v = np.array([r.variant for r in pu])
+    n = len(x)
+    theta = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    rows = {
+        r.variant: r
+        for r in registry.QUERIES["q_cuped_experiment_readout"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert set(rows) == {0, 1}
+    for vid in (0, 1):
+        m = v == vid
+        r = rows[vid]
+        assert r.n_users == int(m.sum())
+        assert abs(r.mean_post - y[m].mean()) < 1e-6
+        expected_adj = y[m].mean() - theta * (x[m].mean() - x.mean())
+        assert abs(r.mean_adj - expected_adj) < 1e-6
+    assert np.var(y - theta * x) <= np.var(y) + 1e-9
