@@ -185,3 +185,125 @@ def q_cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@query(
+    "q_ab_welch_readout",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS variant,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUT}'
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+               AS syy
+      FROM per_user GROUP BY variant
+    ),
+    w AS (
+      SELECT variant, n, sy,
+             CAST(sy AS DOUBLE) / n AS mean,
+             (CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS s2
+      FROM v
+    )
+    SELECT a.n AS n0, b.n AS n1,
+           a.sy AS sum_cents0, b.sy AS sum_cents1,
+           a.mean AS mean0, b.mean AS mean1,
+           b.mean - a.mean AS effect,
+           (b.mean - a.mean)
+             / sqrt(a.s2 / a.n + b.s2 / b.n) AS welch_t,
+           CAST(a.n - b.n AS DOUBLE) * (a.n - b.n) / (a.n + b.n)
+             AS srm_chi2
+    FROM w a JOIN w b ON a.variant = 0 AND b.variant = 1
+    """,
+)
+def q_ab_welch_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row A/B readout for the md5-parity experiment: per-variant
+    user counts and post-period means, the effect, the Welch
+    t-statistic (unequal-variance form — the platform default), and
+    the sample-ratio-mismatch chi-square for the 50/50 design (SRM is
+    the first guardrail every readout checks: an imbalanced split
+    means the assignment itself is broken and no metric below it can
+    be trusted).
+
+    Exactness mirrors CUPED: counts/sums int64, Σy² in DECIMAL(38,0);
+    mean/variance/t are correctly-rounded double ops on those exact
+    integers, identical in the oracle. Plan: one user-keyed
+    conditional aggregate, a 2-group rollup, and a self-join of two
+    one-row frames — after the user aggregate everything is
+    row-sized at any event volume."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ts") >= F.lit(_CUT).cast("timestamp"), cents)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        "y",
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    mean = F.col("sy").cast("double") / F.col("n")
+    s2 = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    ) / (F.col("n") - 1)
+    w = v.select("variant", "n", "sy", mean.alias("mean"), s2.alias("s2"))
+    a = w.where(F.col("variant") == 0).select(
+        F.col("n").alias("n0"),
+        F.col("sy").alias("sum_cents0"),
+        F.col("mean").alias("mean0"),
+        F.col("s2").alias("s20"),
+    )
+    b = w.where(F.col("variant") == 1).select(
+        F.col("n").alias("n1"),
+        F.col("sy").alias("sum_cents1"),
+        F.col("mean").alias("mean1"),
+        F.col("s2").alias("s21"),
+    )
+    eff = F.col("mean1") - F.col("mean0")
+    t = eff / F.sqrt(
+        F.col("s20") / F.col("n0") + F.col("s21") / F.col("n1")
+    )
+    srm = (
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n1"))
+        / (F.col("n0") + F.col("n1"))
+    )
+    return a.crossJoin(b).select(
+        "n0",
+        "n1",
+        "sum_cents0",
+        "sum_cents1",
+        "mean0",
+        "mean1",
+        eff.alias("effect"),
+        t.alias("welch_t"),
+        srm.alias("srm_chi2"),
+    )

@@ -1610,3 +1610,48 @@ def test_cuped_matches_numpy_and_reduces_variance(spark, sf_dir_small):
         expected_adj = y[m].mean() - theta * (x[m].mean() - x.mean())
         assert abs(r.mean_adj - expected_adj) < 1e-6
     assert np.var(y - theta * x) <= np.var(y) + 1e-9
+
+
+def test_welch_readout_matches_scipy_style_recompute(spark, sf_dir_small):
+    """welch_t must equal the textbook unequal-variance statistic
+    recomputed in numpy from the per-user post sums, and srm_chi2 the
+    one-dof 50/50 chi-square."""
+    import numpy as np
+
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.experiments import _CUT
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir_small, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= F.lit(_CUT).cast("timestamp"), cents)),
+                F.lit(0),
+            ).alias("y")
+        )
+        .withColumn(
+            "variant",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+        .collect()
+    )
+    y = np.array([r.y for r in pu], dtype=np.float64)
+    v = np.array([r.variant for r in pu])
+    y0, y1 = y[v == 0], y[v == 1]
+    r = registry.QUERIES["q_ab_welch_readout"](spark, sf_dir_small).collect()[0]
+    assert (r.n0, r.n1) == (len(y0), len(y1))
+    t = (y1.mean() - y0.mean()) / np.sqrt(
+        y0.var(ddof=1) / len(y0) + y1.var(ddof=1) / len(y1)
+    )
+    assert abs(r.welch_t - t) < 1e-9
+    assert abs(
+        r.srm_chi2 - (len(y0) - len(y1)) ** 2 / (len(y0) + len(y1))
+    ) < 1e-12
