@@ -527,3 +527,106 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_images") >= 2)
         .orderBy("width", "height", "ahash")
     )
+
+
+# --------------------------------------------------------------------------
+# F5: video-shaped op — scene-cut (shot boundary) detection over frames
+# --------------------------------------------------------------------------
+
+_SC_FRAMES = 8  # frames per synthetic clip
+_SC_FB = 4  # bytes per frame
+_SC_T = 2  # Hamming cut threshold on the per-frame mean-hash
+
+
+def _scene_cut_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per clip: frame-wise mean hash (bit j set iff byte j is above
+    the frame mean — the 1-D aHash), Hamming distance between
+    consecutive frames, cut where distance >= _SC_T. Pure numpy over
+    the Arrow batch — the real-decoder swap point (PyAV frame
+    iterator + true 8x8 aHash) keeps this exact dataflow."""
+    for pdf in batches:
+        n_cuts = []
+        for payload in pdf["payload"]:
+            frames = np.frombuffer(payload, dtype=np.uint8).reshape(
+                _SC_FRAMES, _SC_FB
+            ).astype(np.int64)
+            bits = (_SC_FB * frames) > frames.sum(axis=1, keepdims=True)
+            ham = (bits[1:] != bits[:-1]).sum(axis=1)
+            n_cuts.append(int((ham >= _SC_T).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": _SC_FRAMES,
+                "n_cuts": n_cuts,
+            }
+        )
+
+
+@query(
+    "q_multimodal_scene_cuts",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, md5(text) || md5(text || 'x') AS hex
+      FROM documents WHERE doc_id < 100
+    ),
+    fb AS (
+      SELECT doc_id, f.f, j.j,
+             CAST(('0x' || substr(hex, (f.f * {_SC_FB} + j.j) * 2 + 1, 2))
+                  AS INT) AS b
+      FROM p
+      CROSS JOIN range({_SC_FRAMES}) f(f)
+      CROSS JOIN range({_SC_FB}) j(j)
+    ),
+    fsum AS (
+      SELECT doc_id, f, SUM(b) AS s FROM fb GROUP BY doc_id, f
+    ),
+    bits AS (
+      SELECT fb.doc_id, fb.f, fb.j,
+             CASE WHEN {_SC_FB} * fb.b > fs.s THEN 1 ELSE 0 END AS bit
+      FROM fb JOIN fsum fs ON fs.doc_id = fb.doc_id AND fs.f = fb.f
+    ),
+    ham AS (
+      SELECT a.doc_id, a.f,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
+      FROM bits a
+      JOIN bits b ON b.doc_id = a.doc_id AND b.f = a.f + 1 AND b.j = a.j
+      GROUP BY a.doc_id, a.f
+    )
+    SELECT p.doc_id,
+           CAST({_SC_FRAMES} AS INT) AS n_frames,
+           CAST(COALESCE(SUM(CASE WHEN ham.h >= {_SC_T} THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_cuts
+    FROM p LEFT JOIN ham ON ham.doc_id = p.doc_id
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over synthetic {F}-frame clips: the
+    video-curation primitive that decides where a clip gets split
+    before frame-dedup/captioning. Per frame a mean-threshold hash
+    (the 1-D aHash — bit j iff byte j above the frame mean), a cut
+    wherever consecutive frames' hashes differ by >= {T} bits. The
+    decode body is the documented deterministic fake (md5-derived
+    32-byte payload — this container has no codec libs); the Spark
+    plumbing is real and exact: binary payload column, Arrow-batched
+    mapInPandas with a numpy kernel, byte-level arithmetic the hex
+    oracle re-derives relationally (frame/byte unnest → per-frame
+    sums → bit compare → consecutive-frame Hamming join).
+
+    Scale shape: map-only until the final presentation sort — each
+    clip's cut census is computed inside its Arrow batch, so the
+    operator scales with input splits like every decode op here."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    with_payload = d.select(
+        "doc_id",
+        F.unhex(F.concat(F.md5("text"), F.md5(F.concat("text", F.lit("x"))))).alias(
+            "payload"
+        ),
+    )
+    cuts = with_payload.mapInPandas(
+        _scene_cut_batches, "doc_id bigint, n_frames int, n_cuts bigint"
+    )
+    return cuts.orderBy("doc_id")

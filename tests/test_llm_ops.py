@@ -1655,3 +1655,48 @@ def test_welch_readout_matches_scipy_style_recompute(spark, sf_dir_small):
     assert abs(
         r.srm_chi2 - (len(y0) - len(y1)) ** 2 / (len(y0) + len(y1))
     ) < 1e-12
+
+
+def test_scene_cuts_match_pure_python(spark, sf_dir_small):
+    """The mapInPandas kernel must agree with a from-scratch Python
+    recomputation of mean-hash Hamming cuts on the same payloads."""
+    import hashlib
+
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.multimodal import (
+        _SC_FB,
+        _SC_FRAMES,
+        _SC_T,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir_small, "documents")
+        .where("doc_id < 100")
+        .collect()
+    }
+    got = {
+        r.doc_id: (r.n_frames, r.n_cuts)
+        for r in registry.QUERIES["q_multimodal_scene_cuts"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        payload = (
+            hashlib.md5(text.encode()).digest()
+            + hashlib.md5((text + "x").encode()).digest()
+        )
+        frames = [
+            list(payload[f * _SC_FB : (f + 1) * _SC_FB])
+            for f in range(_SC_FRAMES)
+        ]
+        bits = [
+            [1 if _SC_FB * b > sum(fr) else 0 for b in fr] for fr in frames
+        ]
+        cuts = sum(
+            1
+            for f in range(_SC_FRAMES - 1)
+            if sum(x != y for x, y in zip(bits[f], bits[f + 1])) >= _SC_T
+        )
+        assert got[doc_id] == (_SC_FRAMES, cuts)
