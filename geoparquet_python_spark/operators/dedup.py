@@ -1790,7 +1790,14 @@ def q_source_minhash_similarity(
         "source",
         F.split(F.col("text"), " ").alias("toks"),
     )
-    base = d.select("source", shingles("toks", k=3).alias("sh"))
+    # A doc under 3 tokens has an EMPTY shingle set — no sketch. Drop
+    # it here so a source whose every doc is sub-trigram contributes
+    # no signature at all (min over the empty set is undefined), the
+    # same absence the oracle's shingle CTE produces; keeping such
+    # rows would emit NULL-slot signatures and phantom source pairs.
+    base = d.select("source", shingles("toks", k=3).alias("sh")).where(
+        F.size("sh") > 0
+    )
     hs = F.transform("sh", lambda s: F.md5(s))
     hashed = base.select("source", hs.alias("hs"))
     h1 = F.transform(

@@ -785,6 +785,18 @@ def test_edge_docs_oracle_parity(spark, tmp_path):
         "q_source_divergence_matrix",
         "q_bpe_batch_merge_round",
         "q_image_ahash_dedup",
+        # r6 (statistics batch): an empty doc is one ""-token chunk
+        # (CDC), a zero-length x-axis point (bootstrap weights still
+        # sum it), a rank-table entry for the "" token (Zipf), the
+        # origin corner of the Pareto axes, a sub-window "clip"
+        # (scene cuts), and a 32-slot signature of zero shingles
+        # (merged MinHash) — every degenerate fold must agree.
+        "q_cdc_chunk_dedup",
+        "q_bootstrap_mean_ci",
+        "q_token_zipf_slope",
+        "q_pareto_doc_frontier",
+        "q_source_minhash_similarity",
+        "q_multimodal_scene_cuts",
     ):
         run_compare(
             spark,
