@@ -772,3 +772,139 @@ def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 SQL surface): reachability over the
+# session-transition graph
+# --------------------------------------------------------------------------
+
+_REACH_SRC = "signup"
+_REACH_MAX_HOPS = 6
+
+
+@query(
+    "q_reachable_event_types",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT event_type,
+             lead(event_type) OVER w AS next_type,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    edges AS (
+      SELECT DISTINCT event_type AS src, next_type AS dst
+      FROM seq
+      WHERE next_type IS NOT NULL
+        AND gap_us <= {_TRANS_GAP_MIN} * 60 * 1000000
+    ),
+    reach(t, hops) AS (
+      SELECT '{_REACH_SRC}' AS t, 0 AS hops
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.t
+      WHERE r.hops < {_REACH_MAX_HOPS}
+    )
+    SELECT t AS event_type, CAST(MIN(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY t
+    ORDER BY min_hops, event_type
+    """,
+)
+def q_reachable_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE surface: which event types are reachable
+    from '{SRC}' through observed SAME-SESSION transitions, and in
+    how few hops — BFS as declarative SQL, the query shape Spark
+    could not express before 4.0 (this repo's connected-components
+    operators hand-roll star contraction instead precisely because
+    3.x lacked this; the recursive form is registered on the
+    transition graph, where it is the RIGHT tool).
+
+    Scale shape: the corpus-sized work is the ONE lead-window pass
+    that derives the edge set — identical to
+    q_event_transition_matrix's frame — which collapses to the
+    ≤|types|² distinct-edge relation before any recursion; the
+    iteration then runs on a vocabulary-sized graph with a hop
+    bound, so recursion depth never touches corpus rows. The oracle
+    is the same recursive SQL on DuckDB — both engines execute true
+    recursive plans."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__reach_events")
+    return spark.sql(
+        f"""
+    WITH RECURSIVE seq AS (
+      SELECT event_type,
+             lead(event_type) OVER w AS next_type,
+             unix_micros(lead(ts) OVER w) - unix_micros(ts) AS gap_us
+      FROM __reach_events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    edges AS (
+      SELECT DISTINCT event_type AS src, next_type AS dst
+      FROM seq
+      WHERE next_type IS NOT NULL
+        AND gap_us <= {_TRANS_GAP_MIN} * 60 * 1000000
+    ),
+    reach(t, hops) AS (
+      SELECT '{_REACH_SRC}' AS t, 0 AS hops
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.t
+      WHERE r.hops < {_REACH_MAX_HOPS}
+    )
+    SELECT t AS event_type, CAST(MIN(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY t
+    ORDER BY min_hops, event_type
+    """
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (wide → long) — the inverse of C7's pivot
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot_status_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, metric, value FROM (
+      SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value
+      FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'total_cents', total_cents FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'n_customers', n_customers FROM wide
+    )
+    ORDER BY o_orderstatus, metric
+    """,
+)
+def q_unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshaping with the built-in `DataFrame.unpivot`
+    (melt): per-status order metrics land as (status, metric, value)
+    rows — the inverse surface of C7's pivot, what every metric-store
+    ingestion does to a reporting table. The unpivot is a zero-shuffle
+    Expand node over the already-aggregated |statuses|-row frame (the
+    oracle spells it as the equivalent UNION ALL); cents are exact
+    int64 so one BIGINT value column types all three metrics."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "total_cents", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("o_orderstatus", "metric")

@@ -1712,3 +1712,53 @@ def test_scene_cuts_match_pure_python(spark, sf_dir_small):
             if sum(x != y for x, y in zip(bits[f], bits[f + 1])) >= _SC_T
         )
         assert got[doc_id] == (_SC_FRAMES, cuts)
+
+
+def test_reachability_matches_python_bfs(spark, sf_dir_small):
+    """The recursive-CTE min-hop table must equal a pure-Python BFS
+    over the same session-transition edge set."""
+    from collections import deque
+
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.analytics import (
+        _REACH_SRC,
+        _TRANS_GAP_MIN,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir_small, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    edges = {
+        (r.src, r.dst)
+        for r in e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+            gap.alias("g"),
+        )
+        .where(
+            F.col("dst").isNotNull()
+            & (F.col("g") <= _TRANS_GAP_MIN * 60 * 1_000_000)
+        )
+        .distinct()
+        .collect()
+    }
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {_REACH_SRC: 0}
+    q = deque([_REACH_SRC])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {
+        r.event_type: r.min_hops
+        for r in registry.QUERIES["q_reachable_event_types"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert got == dist
