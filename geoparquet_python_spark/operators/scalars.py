@@ -335,3 +335,55 @@ def q_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), davg("o_totalprice", "avg_price"))
         .orderBy("bucket", "status_label")
     )
+
+
+@query(
+    "q_variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(COUNT(CAST(json_extract_string(props, '$.absent') AS BIGINT))
+                AS BIGINT) AS n_with_absent
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: `parse_json` the semi-structured
+    `props` column ONCE into the binary VARIANT encoding, then
+    extract typed paths with `variant_get`/`try_variant_get` — the
+    schema-flexible lane next to q_json_events' schema-declared
+    `from_json`. The difference that matters operationally: VARIANT
+    needs no up-front schema, unknown paths degrade to NULL
+    (`try_variant_get` on '$.absent' — counted here as the
+    missing-field audit), and the binary encoding makes repeated
+    path extraction cheaper than re-parsing JSON text per field at
+    100 TB. Plan: map-side parse + extract inside the scan
+    projection, one event_type-keyed aggregate — the same single
+    exchange as every conditional-agg profile; exact int64 sums."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.expr("parse_json(props)").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(v, '$.absent', 'bigint')").alias("absent"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.count("absent").cast("bigint").alias("n_with_absent"),
+        )
+        .orderBy("event_type")
+    )
