@@ -38,7 +38,7 @@ Scale shape (100 TB lens):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.exact import broadcast_narrow
@@ -306,4 +306,193 @@ def q_ab_welch_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff.alias("effect"),
         t.alias("welch_t"),
         srm.alias("srm_chi2"),
+    )
+
+
+_EB = 32  # effect-CI bootstrap replicates
+
+# Poisson(1) CDF thresholds on the 60-bit md5 lattice (the
+# operators/bootstrap.py convention, duplicated as literals so the two
+# modules stay independently readable).
+import math as _math
+
+_ECDF = [
+    sum(_math.exp(-1.0) / _math.factorial(j) for j in range(k + 1))
+    for k in range(6)
+]
+_ETHRESH = [int(c * (1 << 60)) for c in _ECDF]
+
+
+def _sql_eweight(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_ETHRESH)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@query(
+    "q_bootstrap_effect_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS variant,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUT}'
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    rep AS (
+      SELECT u.variant, u.y, r.r,
+             {_sql_eweight("CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT)")} AS w
+      FROM per_user u CROSS JOIN range({_EB}) r(r)
+    ),
+    boot AS (
+      SELECT r,
+             (SUM(CASE WHEN variant = 1 THEN w * y END) * 1000000)
+               // SUM(CASE WHEN variant = 1 THEN w END)
+             - (SUM(CASE WHEN variant = 0 THEN w * y END) * 1000000)
+               // SUM(CASE WHEN variant = 0 THEN w END) AS eff_micro
+      FROM rep
+      GROUP BY r
+      HAVING SUM(CASE WHEN variant = 0 THEN w END) > 0
+         AND SUM(CASE WHEN variant = 1 THEN w END) > 0
+    ),
+    rk AS (
+      SELECT eff_micro,
+             row_number() OVER (ORDER BY eff_micro, r) AS rn,
+             COUNT(*) OVER () AS m
+      FROM boot
+    ),
+    pt AS (
+      SELECT (SUM(CASE WHEN variant = 1 THEN y END) * 1000000)
+               // SUM(CASE WHEN variant = 1 THEN 1 END)
+             - (SUM(CASE WHEN variant = 0 THEN y END) * 1000000)
+               // SUM(CASE WHEN variant = 0 THEN 1 END) AS point_micro
+      FROM per_user
+    )
+    SELECT CAST(p.point_micro AS BIGINT) AS point_effect_micro,
+           CAST(MAX(CASE WHEN rk.rn = 2 THEN rk.eff_micro END) AS BIGINT)
+             AS effect_lo_micro,
+           CAST(MAX(CASE WHEN rk.rn = {_EB - 1} THEN rk.eff_micro END)
+             AS BIGINT) AS effect_hi_micro,
+           CAST(MAX(rk.m) AS BIGINT) AS n_replicates
+    FROM pt p CROSS JOIN rk
+    GROUP BY p.point_micro
+    """,
+)
+def q_bootstrap_effect_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The families composed: a ONE-PASS Poisson-bootstrap confidence
+    interval for the A/B EFFECT itself (difference of per-variant
+    mean post-period spend). Resampling USERS — the randomization
+    unit — respects the experiment's dependence structure, which a
+    per-event bootstrap would break; each replicate reweights every
+    user by a deterministic Poisson(1) draw and all {B} replicate
+    effects accumulate in one scan (conditional weighted sums per
+    (variant, replicate), partial map-side). The interval is the
+    trimmed (2nd, {B}-1th) order statistics of the replicate
+    effects; replicate effects are differences of floored
+    micro-means — subtraction AFTER the non-negative integer
+    division, so no truncating-div sign hazard even for negative
+    effects. Everything after the user aggregate is (2×{B})-sized."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ts") >= F.lit(_CUT).cast("timestamp"), cents)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        "y",
+    )
+    rep = per_user.select(
+        "user_id",
+        "variant",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_EB - 1))).alias("r"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k in range(len(_ETHRESH) - 1, -1, -1):
+        w = F.when(h < _ETHRESH[k], F.lit(k)).otherwise(w)
+    boot = (
+        rep.select("variant", "y", "r", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.when(F.col("variant") == 1, F.col("w") * F.col("y")))
+            .cast("bigint")
+            .alias("swy1"),
+            F.sum(F.when(F.col("variant") == 1, F.col("w")))
+            .cast("bigint")
+            .alias("sw1"),
+            F.sum(F.when(F.col("variant") == 0, F.col("w") * F.col("y")))
+            .cast("bigint")
+            .alias("swy0"),
+            F.sum(F.when(F.col("variant") == 0, F.col("w")))
+            .cast("bigint")
+            .alias("sw0"),
+        )
+        .where((F.col("sw0") > 0) & (F.col("sw1") > 0))
+        .select(
+            "r",
+            F.expr(
+                "(swy1 * 1000000) div sw1 - (swy0 * 1000000) div sw0"
+            ).alias("eff_micro"),
+        )
+    )
+    rk = boot.select(
+        "eff_micro",
+        F.row_number()
+        .over(Window.orderBy("eff_micro", "r"))
+        .alias("rn"),
+    )
+    ci = rk.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("eff_micro")))
+        .cast("bigint")
+        .alias("effect_lo_micro"),
+        F.max(F.when(F.col("rn") == _EB - 1, F.col("eff_micro")))
+        .cast("bigint")
+        .alias("effect_hi_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+    )
+    pt = per_user.agg(
+        F.expr(
+            "CAST((SUM(CASE WHEN variant = 1 THEN y END) * 1000000) div "
+            "SUM(CASE WHEN variant = 1 THEN 1 END) - "
+            "(SUM(CASE WHEN variant = 0 THEN y END) * 1000000) div "
+            "SUM(CASE WHEN variant = 0 THEN 1 END) AS BIGINT)"
+        ).alias("point_effect_micro")
+    )
+    return pt.crossJoin(broadcast_narrow(ci)).select(
+        "point_effect_micro",
+        "effect_lo_micro",
+        "effect_hi_micro",
+        "n_replicates",
     )

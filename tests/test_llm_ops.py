@@ -1762,3 +1762,17 @@ def test_reachability_matches_python_bfs(spark, sf_dir_small):
         ).collect()
     }
     assert got == dist
+
+
+def test_bootstrap_effect_ci_brackets_point_estimate(spark, sf_dir_small):
+    """The effect interval must be ordered and bracket the full-sample
+    point effect, and the point effect must agree (to the micro-floor)
+    with the Welch readout's mean difference."""
+    r = registry.QUERIES["q_bootstrap_effect_ci"](
+        spark, sf_dir_small
+    ).collect()[0]
+    assert r.n_replicates == 32
+    assert r.effect_lo_micro <= r.point_effect_micro <= r.effect_hi_micro
+    w = registry.QUERIES["q_ab_welch_readout"](spark, sf_dir_small).collect()[0]
+    # floored micro-means vs exact double means: ≤1 micro-unit per side
+    assert abs(r.point_effect_micro / 1e6 - (w.mean1 - w.mean0)) < 2e-6
