@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -125,6 +126,101 @@ def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_moved",
             F.expr("CAST(n_moved * 1000000 div n_docs AS BIGINT)").alias(
                 "moved_ppm"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+_G = 4  # shard groups (two-level rendezvous)
+_KPG = 5  # shards per group → _G × _KPG total
+
+
+@query(
+    "q_rendezvous_two_level",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, s AS grp FROM (
+        SELECT d.doc_id, r.s,
+               row_number() OVER (
+                 PARTITION BY d.doc_id ORDER BY
+                 CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':g:'
+                      || CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) DESC, r.s
+               ) AS rn
+        FROM documents d CROSS JOIN range({_G}) r(s)
+      ) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id, grp, s AS sub FROM (
+        SELECT g.doc_id, g.grp, r.s,
+               row_number() OVER (
+                 PARTITION BY g.doc_id ORDER BY
+                 CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR) || ':s:'
+                      || CAST(g.grp AS VARCHAR) || '.'
+                      || CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) DESC, r.s
+               ) AS rn
+        FROM g CROSS JOIN range({_KPG}) r(s)
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT grp * {_KPG} + sub AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM sh GROUP BY grp * {_KPG} + sub
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts)
+    SELECT c.shard, c.n_docs,
+           CAST(c.n_docs * 1000000 // t.n AS BIGINT) AS load_ppm
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.shard
+    """,
+)
+def q_rendezvous_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rendezvous — the flat census's docstring promise as
+    checked code: pick the GROUP by HRW over {G} group hashes, then
+    the shard WITHIN the winning group by HRW over {K} shard hashes
+    — {G}+{K} hashes per key instead of {G}·{K}, which is how
+    rendezvous stays per-row-cheap when S reaches the thousands
+    (log-depth levels). Still minimal-movement level-wise: adding a
+    group moves ~1/(G+1) of keys; adding a shard to ONE group moves
+    ~1/(K+1) of THAT group only. The census reports per-shard load
+    in exact ppm — the balance certificate (HRW within level keeps
+    the multinomial balance the flat form has).
+
+    Plan: both argmax levels are in-row array_max expressions in ONE
+    projection (the group winner feeds the second level's hash
+    string); the only shuffle is the {G}×{K}-group aggregate."""
+    grp = (
+        f"array_max(transform(sequence(0, {_G - 1}), s -> named_struct("
+        "'h', CAST(conv(substring(md5(CAST(doc_id AS STRING) || ':g:' "
+        "|| CAST(s AS STRING)), 1, 15), 16, 10) AS BIGINT), "
+        "'negs', -s))).negs * -1"
+    )
+    sub = (
+        f"array_max(transform(sequence(0, {_KPG - 1}), s -> named_struct("
+        "'h', CAST(conv(substring(md5(CAST(doc_id AS STRING) || ':s:' "
+        "|| CAST(grp AS STRING) || '.' || CAST(s AS STRING)), 1, 15), "
+        "16, 10) AS BIGINT), "
+        "'negs', -s))).negs * -1"
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(grp).alias("grp"))
+        .select(
+            "doc_id",
+            (F.col("grp") * _KPG + F.expr(sub)).alias("shard"),
+        )
+    )
+    counts = d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    return (
+        counts.crossJoin(broadcast_narrow(tot))
+        .select(
+            "shard",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 div n AS BIGINT)").alias(
+                "load_ppm"
             ),
         )
         .orderBy("shard")

@@ -1776,3 +1776,23 @@ def test_bootstrap_effect_ci_brackets_point_estimate(spark, sf_dir_small):
     w = registry.QUERIES["q_ab_welch_readout"](spark, sf_dir_small).collect()[0]
     # floored micro-means vs exact double means: ≤1 micro-unit per side
     assert abs(r.point_effect_micro / 1e6 - (w.mean1 - w.mean0)) < 2e-6
+
+
+def test_two_level_rendezvous_balance_and_totals(spark, sf_dir_small):
+    """All 20 hierarchical shards must be populated with multinomial
+    balance (no shard above 3x the uniform share at n=500+), ppm
+    shares must sum to ~1e6, and totals must equal the corpus."""
+    import duckdb
+
+    rows = registry.QUERIES["q_rendezvous_two_level"](
+        spark, sf_dir_small
+    ).collect()
+    n_docs_total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir_small}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    assert len(rows) == 20
+    uniform = n_docs_total / 20
+    for r in rows:
+        assert r.n_docs < 3 * uniform, f"shard {r.shard} overloaded"
+    assert abs(sum(r.load_ppm for r in rows) - 1_000_000) <= 20
