@@ -675,6 +675,14 @@ def q_rolling_weekly_active_users(
 # --------------------------------------------------------------------------
 
 _PATH_TOPK = 15
+# Per-session event cap for the collected path: the 30-minute gap rule
+# bounds nothing for a continuously-active key (bots, monitors), so an
+# uncapped collect_list is user-history-sized in the worst case
+# (round-6 ADVICE). Sessions longer than the cap keep their first
+# _PATH_MAX_EVENTS events and an explicit '>…' truncation marker —
+# mirrored in the oracle, so both engines mine identical (possibly
+# marked) paths.
+_PATH_MAX_EVENTS = 64
 
 
 @query(
@@ -695,10 +703,19 @@ _PATH_TOPK = 15
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM s
     ),
+    s3 AS (
+      SELECT user_id, sid, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM s2
+    ),
     p AS (
       SELECT user_id, sid,
-             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-      FROM s2 GROUP BY user_id, sid
+             string_agg(event_type, '>' ORDER BY ts, event_id)
+               FILTER (WHERE rn <= {_PATH_MAX_EVENTS})
+             || CASE WHEN COUNT(*) > {_PATH_MAX_EVENTS}
+                     THEN '>…' ELSE '' END AS path
+      FROM s3 GROUP BY user_id, sid
     )
     SELECT path,
            CAST(COUNT(*) AS BIGINT) AS n_sessions,
@@ -721,10 +738,13 @@ def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered fold done INSIDE the groupBy (sort_array over
     (ts, event_id, type) structs → concat_ws, no second window), then
     a path-keyed count + distinct-user aggregate and a TakeOrdered
-    top-{K}. Sessions are bounded by the gap rule so the collected
-    struct arrays are session-sized, not user-history-sized; the path
-    domain the final aggregate shuffles is (distinct paths) —
-    power-law small — and the result is driver-bound at {K} rows."""
+    top-{K}. The collected struct array is HARD-capped at
+    _PATH_MAX_EVENTS per session (truncation marked '>…', oracle-
+    mirrored): the gap rule alone bounds nothing for a continuously
+    active key, so the cap — not the rule — is what keeps the
+    aggregation row session-sized at scale. The path domain the final
+    aggregate shuffles is (distinct paths) — power-law small — and the
+    result is driver-bound at {K} rows."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -749,17 +769,31 @@ def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # Cap BEFORE collecting: the rank filter runs in a spillable window
+    # sort, so no aggregation buffer ever holds more than the cap
+    # (collect_list skips the NULLs the `when` produces past it).
+    wsess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    s3 = s2.withColumn("rn", F.row_number().over(wsess))
     paths = (
-        s2.groupBy("user_id", "sid")
+        s3.groupBy("user_id", "sid")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("evs")
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= _PATH_MAX_EVENTS,
+                        F.struct("ts", "event_id", "event_type"),
+                    )
+                )
+            ).alias("evs"),
+            F.count(F.lit(1)).alias("n_ev"),
         )
         .select(
             "user_id",
-            F.concat_ws(
-                ">", F.expr("transform(evs, e -> e.event_type)")
+            F.concat(
+                F.concat_ws(">", F.expr("transform(evs, e -> e.event_type)")),
+                F.when(
+                    F.col("n_ev") > _PATH_MAX_EVENTS, F.lit(">…")
+                ).otherwise(F.lit("")),
             ).alias("path"),
         )
     )

@@ -66,7 +66,14 @@ def _merge_round(seq: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
             F.col("n_pair").alias("n_pair"),
         )
     )
-    c = pr.crossJoin(F.broadcast(top)).withColumn(
+    # LEFT join, not crossJoin: if a round finds ZERO adjacent pairs
+    # (every doc down to one symbol), `top` is empty and a cross join
+    # would empty the whole corpus — silently running later rounds on
+    # nothing (round-6 ADVICE). A left join keeps every row with NULL
+    # m1/m2 → cand=false everywhere → the round is a no-op that emits
+    # an explicit zero-merge stats row, which is BPE's actual semantics
+    # for an exhausted corpus. The SQL mirror uses the same LEFT JOIN.
+    c = pr.join(F.broadcast(top), F.lit(True), "left").withColumn(
         "cand",
         F.coalesce(
             (F.col("w") == F.col("m1")) & (F.col("wn") == F.col("m2")),
@@ -94,10 +101,14 @@ def _merge_round(seq: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
         )
         .select(
             F.lit(rnd).cast("bigint").alias("round"),
-            "merged_l",
-            "merged_r",
-            F.col("n_pair").cast("bigint").alias("n_pair"),
-            "n_merged",
+            # Explicit zero-merge row on a no-pair round (NULL-free so
+            # the stats schema never degrades): '' / 0 / 0.
+            F.coalesce("merged_l", F.lit("")).alias("merged_l"),
+            F.coalesce("merged_r", F.lit("")).alias("merged_r"),
+            F.coalesce(F.col("n_pair").cast("bigint"), F.lit(0).cast("bigint")).alias(
+                "n_pair"
+            ),
+            F.coalesce("n_merged", F.lit(0).cast("bigint")).alias("n_merged"),
         )
     )
     new_seq = (
@@ -129,7 +140,7 @@ def _sql_round(t: int) -> str:
     c{t} AS (
       SELECT s.doc_id, s.p, s.w, s.wn, t.m1, t.m2, t.n_pair,
              COALESCE(s.w = t.m1 AND s.wn = t.m2, FALSE) AS cand
-      FROM pr{t} s CROSS JOIN top{t} t
+      FROM pr{t} s LEFT JOIN top{t} t ON TRUE
     ),
     d{t} AS (
       SELECT *,
@@ -154,8 +165,9 @@ def _sql_round(t: int) -> str:
     ),
     stat{t} AS (
       SELECT CAST({t} AS BIGINT) AS round,
-             MIN(m1) AS merged_l, MIN(m2) AS merged_r,
-             CAST(MIN(n_pair) AS BIGINT) AS n_pair,
+             COALESCE(MIN(m1), '') AS merged_l,
+             COALESCE(MIN(m2), '') AS merged_r,
+             CAST(COALESCE(MIN(n_pair), 0) AS BIGINT) AS n_pair,
              CAST(SUM(CASE WHEN merge_at THEN 1 ELSE 0 END) AS BIGINT)
                AS n_merged
       FROM f{t}

@@ -121,13 +121,22 @@ def _assign_expr(cents: list[list[int]]) -> F.Column:
 _CENT_CACHE: dict[str, list[list[int]]] = {}
 
 
-def _train(spark: SparkSession, sf_dir: str) -> list[list[int]]:
-    """T Lloyd iterations; returns the final K x dim int64 matrix."""
-    key = f"{sf_dir}|{_K}|{_T}|{_SCALE}"
+def _train(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> list[list[int]]:
+    """T Lloyd iterations; returns the final k x dim int64 matrix.
+
+    ``k`` defaults to the module's fixed _K; callers whose contract
+    scales the cell count with the corpus (SemDeDup — the paper runs
+    50k clusters for LAION) pass their computed k and get a separate
+    cache entry. Everything downstream (_assign_expr, the driver
+    update loop) adapts to len(cents)."""
+    k = _K if k is None else k
+    key = f"{sf_dir}|{k}|{_T}|{_SCALE}"
     if key in _CENT_CACHE:
         return _CENT_CACHE[key]
     x = _fixed_points(spark, sf_dir).select("vec_id", "xfix")
-    init = x.where(F.col("vec_id") < _K).orderBy("vec_id").collect()
+    init = x.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [list(r["xfix"]) for r in init]
     for _ in range(_T):
         # No materialize() barrier needed here anymore: the old
@@ -171,9 +180,15 @@ def _sql_assign(src_cents: str, out: str, where: str = "") -> str:
     )"""
 
 
-def _sql_kmeans_ctes() -> str:
+def _sql_kmeans_ctes(k_sql: str | None = None) -> str:
     """xf, c0, then T unrolled (assign, sum, update) rounds ending in
-    c{T} (final centroids) and a{T} (final assignment)."""
+    c{T} (final centroids) and a{T} (final assignment).
+
+    ``k_sql``: SQL expression for the cluster count in the c0 init
+    (default: the fixed _K literal). A K-scaled consumer passes a
+    scalar subquery over the same corpus its Spark side counts, so
+    both engines derive the identical k from the identical rule."""
+    k_expr = str(_K) if k_sql is None else k_sql
     parts = [
         f"""xf AS (
       SELECT vec_id,
@@ -181,7 +196,7 @@ def _sql_kmeans_ctes() -> str:
                CAST(floor(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)) AS xfix
       FROM embeddings
     )""",
-        f"c0 AS (SELECT vec_id AS cid, xfix AS cfix FROM xf WHERE vec_id < {_K})",
+        f"c0 AS (SELECT vec_id AS cid, xfix AS cfix FROM xf WHERE vec_id < {k_expr})",
     ]
     for t in range(_T):
         parts.append(_sql_assign(f"c{t}", f"a{t}"))

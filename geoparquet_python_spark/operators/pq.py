@@ -64,7 +64,7 @@ def _cb_lit(cents: list[list[list[int]]]) -> F.Column:
     )
 
 
-def _codes_expr(cents: list[list[list[int]]]) -> F.Column:
+def _codes_udf(cents: list[list[list[int]]]) -> F.Column:
     """Per-row array of _M centroid ids (map-only, ties -> lowest).
 
     Arrow-vectorized (one int64 matmul per subspace per batch) — the
@@ -74,9 +74,7 @@ def _codes_expr(cents: list[list[list[int]]]) -> F.Column:
     (ties to the lowest cid), so the codes are bit-identical to the
     interpreted-HOF form this replaced — which evaluated M×K
     transform/aggregate lambdas per row and dominated both PQ
-    training and the encode pass (measured ~2× on the IVFADC wall).
-    Returns (codes_column, codebook_literal); the literal is still
-    what reconstruction-error expressions index into."""
+    training and the encode pass (measured ~2× on the IVFADC wall)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -96,7 +94,16 @@ def _codes_expr(cents: list[list[list[int]]]) -> F.Column:
             out[:, m] = np.argmin(scores, axis=1)
         return pd.Series(list(out))
 
-    return codes(F.col("xfix")), _cb_lit(cents)
+    return codes(F.col("xfix"))
+
+
+def _codes_expr(cents: list[list[list[int]]]) -> tuple[F.Column, F.Column]:
+    """(codes_column, codebook_literal) for callers that index the
+    codebook in expressions (reconstruction error). The literal is
+    M×K×SUBD nested F.lit arrays — ~1k py4j column constructions, a
+    measurable driver cost per plan build — so callers that only need
+    the codes (the IVFADC encode pass) use :func:`_codes_udf` alone."""
+    return _codes_udf(cents), _cb_lit(cents)
 
 
 _PQ_CACHE: dict[str, list[list[list[int]]]] = {}

@@ -71,6 +71,23 @@ from geoparquet_python_spark.operators.kmeans import (
 from geoparquet_python_spark.registry import query
 
 _TAU = 0.35  # semantic-duplicate cosine threshold
+# K-scaling contract (the paper's): cells grow with the corpus so the
+# per-cell pair term |c|^2 stays bounded — K = max(8, n // _CELL_TARGET)
+# targets ~_CELL_TARGET members per cell. Round 6 measured the fixed-K
+# footgun at 13x wall under 8x data (SCALE.md); the K-scaled run is
+# 5.2x with an exactly-linear pair count, so scaled K is the REGISTERED
+# default from round 7 (VERDICT r6 item 4) and fixed-K survives only as
+# the weak-scaling table's documented contrast.
+_CELL_TARGET = 250
+# SQL twin of _scaled_k — the oracle derives k from the same corpus
+# count so both engines compute the identical cluster count.
+_SQL_KK = f"kk AS (SELECT GREATEST(8, COUNT(*) // {_CELL_TARGET}) AS k FROM embeddings)"
+
+
+def _scaled_k(spark: SparkSession, sf_dir: str) -> int:
+    """K = max(8, n / _CELL_TARGET): one metadata-only parquet count."""
+    n = _fixed_points(spark, sf_dir).count()
+    return max(8, n // _CELL_TARGET)
 
 
 def _assigned_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,7 +95,7 @@ def _assigned_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed ONCE per query and shared by the pair expansion and the
     membership rollup (the centroid-argmin projection is the
     expensive interpreted-HOF pass; see kmeans.py's Generate note)."""
-    cents = _train(spark, sf_dir)
+    cents = _train(spark, sf_dir, k=_scaled_k(spark, sf_dir))
     return materialize(
         _fixed_points(spark, sf_dir).select(
             "vec_id",
@@ -109,30 +126,21 @@ def _cell_pairs(
     explode within the stage and never hit a shuffle."""
     if base is None:
         base = _assigned_base(spark, sf_dir)
-    # array_sort on structs compares field-by-field, so ordering by
-    # the unique leading vec_id is total → the (lo, hi) expansion
-    # below yields exactly the vec_a < vec_b pairs, deterministically.
-    cells = (
-        base.groupBy("cell")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("vec_id", "embedding", "n2"))
-            ).alias("ms")
-        )
-        .where(F.size("ms") > 1)
+    # Occupancy-capped pair expansion (shared with the hyperplane LSH
+    # path — similarity._capped_bucket_pairs): the K-scaling contract
+    # bounds the TYPICAL cell, but one semantically-hot cell can still
+    # exceed any fixed target, and the plain collect_list form would
+    # concentrate its whole embedding payload into a single aggregation
+    # row (round-6 ADVICE). The cap makes the worst-case row O(cap)
+    # while leaving the emitted pair set bit-identical.
+    from geoparquet_python_spark.operators.similarity import (
+        _capped_bucket_pairs,
     )
-    return cells.select(
-        "cell",
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (a, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), "
-                "b -> struct(a.vec_id AS vec_a, b.vec_id AS vec_b, "
-                "a.embedding AS a_emb, b.embedding AS b_emb, "
-                "a.n2 AS a_n2, b.n2 AS b_n2))))"
-            )
-        ).alias("p"),
-    ).select(
+
+    keyed = base.select(
+        "cell", F.struct("vec_id", "embedding", "n2").alias("m")
+    )
+    return _capped_bucket_pairs(keyed, ["cell"]).select(
         "cell",
         "p.vec_a",
         "p.vec_b",
@@ -172,7 +180,8 @@ _SQL_SEMDEDUP_EDGES = f"""
 @query(
     "q_semdedup_dropped",
     oracle=f"""
-    WITH {_sql_kmeans_ctes()},
+    WITH {_SQL_KK},
+    {_sql_kmeans_ctes(k_sql="(SELECT k FROM kk)")},
     {_SQL_SEMDEDUP_EDGES},
     verdict AS (
       SELECT cell, vec_b AS vec_id, MIN(vec_a) AS dup_of
@@ -213,7 +222,8 @@ def q_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_semdedup_cell_stats",
     oracle=f"""
-    WITH {_sql_kmeans_ctes()},
+    WITH {_SQL_KK},
+    {_sql_kmeans_ctes(k_sql="(SELECT k FROM kk)")},
     {_SQL_SEMDEDUP_EDGES},
     dropped AS (SELECT DISTINCT vec_b AS vec_id, cell FROM hits),
     members AS (SELECT cid AS cell, COUNT(*) AS n_members FROM a{_T} GROUP BY cid)

@@ -29,6 +29,101 @@ def test_minhash_lsh_recall(spark, sf_dir):
         assert recall >= 0.7, f"LSH recall too low: {recall:.2f}"
 
 
+def test_capped_bucket_pairs_identical_pair_set(spark):
+    """The sub-bucket occupancy cap (round-6 ADVICE: hot LSH bucket =
+    one unboundedly large aggregation row) must not change WHAT pairs
+    come out — only the worst-case row memory. A 7-member bucket at
+    cap=3 (within + cross sub-bucket paths both exercised, 3 groups)
+    must emit exactly the C(7,2)=21 (lo<hi) pairs an uncapped run
+    emits, each exactly once, payload intact."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.operators.similarity import (
+        _capped_bucket_pairs,
+    )
+
+    rows = [(0, i, [float(i), 1.0], i * 10) for i in range(7)] + [
+        (1, 100, [9.0, 9.0], 1000),
+        (1, 101, [8.0, 8.0], 1001),
+    ]
+    df = spark.createDataFrame(
+        rows, "bkt bigint, vec_id bigint, embedding array<double>, n2 bigint"
+    ).select("bkt", F.struct("vec_id", "embedding", "n2").alias("m"))
+
+    def pair_set(cap):
+        out = _capped_bucket_pairs(df, ["bkt"], cap=cap).select(
+            "bkt", "p.vec_a", "p.vec_b", "p.a_n2", "p.b_n2"
+        )
+        got = [tuple(r) for r in out.collect()]
+        assert len(got) == len(set(got)), "duplicate pair emitted"
+        return set(got)
+
+    capped, uncapped = pair_set(3), pair_set(100)
+    assert capped == uncapped
+    assert len(capped) == 21 + 1
+    assert all(a < b for (_, a, b, _, _) in capped)
+    # payload rode along unswapped (n2 = vec_id * 10 in bucket 0)
+    assert all(
+        an2 == a * 10 and bn2 == b * 10
+        for (bkt, a, b, an2, bn2) in capped
+        if bkt == 0
+    )
+
+
+def test_bpe_no_pair_round_is_noop(spark):
+    """A merge round that finds ZERO adjacent pairs (every doc down to
+    one symbol) must be a no-op that emits an explicit zero-merge
+    stats row — not empty the corpus (round-6 ADVICE: the old
+    crossJoin against an empty top-pair frame dropped every row, and
+    the oracle shared the degeneracy so the gate couldn't see it)."""
+    from geoparquet_python_spark.operators.bpe import _merge_round
+
+    seq = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")],
+        "doc_id bigint, p bigint, w string",
+    )
+    new_seq, stats = _merge_round(seq, 0)
+    s = stats.collect()[0]
+    assert s["n_pair"] == 0
+    assert s["n_merged"] == 0
+    assert s["merged_l"] == "" and s["merged_r"] == ""
+    got = {(r["doc_id"], r["p"], r["w"]) for r in new_seq.collect()}
+    want = {(1, 1, "a"), (2, 1, "b"), (3, 1, "c")}
+    assert got == want, "no-pair round must leave the corpus unchanged"
+
+
+def test_ivfpq_recall_floor(spark, sf_dir):
+    """Hard recall floor for the lossy ANN family (VERDICT r6 item 7):
+    IVFADC recall@3 vs exact brute cosine must stay >= 0.7 at sf0.01.
+    The audit query is registered (q_ivfpq_recall_audit) but a
+    registered measurement alone would let a future NPROBE/SHORTLIST
+    'speedup' silently trade recall away — this assertion makes that a
+    red test instead."""
+    row = registry.QUERIES["q_ivfpq_recall_audit"](spark, sf_dir).collect()[0]
+    recall = row["recall_micro"] / 1_000_000
+    assert row["n_expected"] > 0
+    assert recall >= 0.7, f"IVFADC recall@3 dropped to {recall:.3f} (< 0.7)"
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """Same floor for the uncompressed trained-cell IVF search: probe
+    pruning is its only loss source, so it must do at least as well as
+    the PQ-compressed path's floor."""
+    approx = {
+        (r["qid"], r["cid"])
+        for r in registry.QUERIES["q_ann_topk_ivf"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r["qid"], r["cid"])
+        for r in registry.QUERIES["q_cosine_topk_brute"](spark, sf_dir)
+        .where("rank <= 3")
+        .collect()
+    }
+    assert exact, "brute baseline returned no rows"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, f"IVF recall@3 dropped to {recall:.3f} (< 0.7)"
+
+
 def test_approx_count_distinct_error(spark, sf_dir):
     rows = registry.QUERIES["q_approx_distinct_parts"](spark, sf_dir).collect()
     from geoparquet_python_spark.io import load_table
