@@ -321,3 +321,100 @@ def q_extreme_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_winsorized_price_stats",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT returnflag, c,
+             row_number() OVER (PARTITION BY returnflag ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY returnflag) AS n
+      FROM cents
+    ),
+    thr AS (
+      SELECT returnflag,
+             MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN c END) AS p05,
+             MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN c END) AS p95
+      FROM ranked GROUP BY returnflag
+    )
+    SELECT r.returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(t.p05) AS BIGINT) AS p05_cents,
+           CAST(MIN(t.p95) AS BIGINT) AS p95_cents,
+           CAST(SUM(r.c) * 1000000 // COUNT(*) AS BIGINT)
+             AS mean_raw_microcents,
+           CAST(SUM(LEAST(GREATEST(r.c, t.p05), t.p95)) * 1000000
+                // COUNT(*) AS BIGINT) AS mean_winsor_microcents
+    FROM ranked r JOIN thr t USING (returnflag)
+    GROUP BY r.returnflag
+    ORDER BY r.returnflag
+    """,
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED robust mean per return flag: clamp extended prices to
+    their group's exact [p05, p95] order statistics, then average —
+    side by side with the raw mean so the tail influence is visible.
+    The standard pre-aggregation treatment for metrics where a few
+    extreme rows would otherwise own the average (payment amounts,
+    session durations, token counts).
+
+    Exactness: prices become integer cents; percentile cuts are the
+    values AT ceil(q*n) rank in the sorted multiset (value-at-position
+    is tie-order independent, so row_number's arbitrary tie-break is
+    harmless); means ship as integer micro-cents via truncating DIV —
+    no float aggregation anywhere.
+
+    Plan: one group-keyed sort window for ranks (spillable), one
+    |groups|-row threshold aggregate joined back, one conditional
+    aggregate. At 100 TB exact order statistics per group are the
+    expensive-but-honest choice; sketch-based cuts (the GK operator)
+    swap in when one sort-per-group is too dear — both live in this
+    repo, which IS the decision a pipeline owner makes."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("returnflag").orderBy("c")
+    wc = Window.partitionBy("returnflag")
+    ranked = cents.select(
+        "returnflag",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    # integer ceil ranks: (n*q + 99) DIV 100 — expression shared with
+    # the oracle (Spark's `/` on longs is double division, so expr DIV)
+    thr = ranked.groupBy("returnflag").agg(
+        F.max(
+            F.when(F.expr("rn = (n * 5 + 99) DIV 100"), F.col("c"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.expr("rn = (n * 95 + 99) DIV 100"), F.col("c"))
+        ).alias("p95"),
+    )
+    return (
+        ranked.join(thr, "returnflag")
+        .groupBy("returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("p05").cast("bigint").alias("p05_cents"),
+            F.min("p95").cast("bigint").alias("p95_cents"),
+            F.expr(
+                "CAST(SUM(c) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_raw_microcents"),
+            F.expr(
+                "CAST(SUM(LEAST(GREATEST(c, p05), p95)) * 1000000 "
+                "DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_winsor_microcents"),
+        )
+        .orderBy("returnflag")
+    )

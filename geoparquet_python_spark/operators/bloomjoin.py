@@ -1,0 +1,268 @@
+"""Bloom-filter semi-join: the runtime-filter pattern for selective
+joins, materialized explicitly and oracle-checked.
+
+When a big fact table joins a dim whose predicate keeps only a sliver
+of keys, the scale-correct plan ships a BITSET of the qualifying keys
+to the fact scan and drops non-members map-side BEFORE any shuffle —
+Spark injects exactly this as `BloomFilterMightContain` runtime filters
+(SPARK-32268), and every warehouse engine has a twin (Trino dynamic
+filtering, Snowflake join pruning). The built-in filter is opaque
+(XXH64-based, not reproducible cross-engine), so this module builds the
+same structure from first principles with the repo's md5_long hash
+convention: identical bits in Spark and DuckDB, which makes even the
+FALSE-POSITIVE COUNT an oracle-checkable integer rather than a
+probabilistic hand-wave.
+
+No reference equivalent (SURVEY.md §0 — the reference is a GeoParquet
+round-trip shim); [N] north-star scope beside the join family
+(SURVEY.md §2.B), same public-technique sourcing as the sketch
+operators (Bloom 1970; the Spark runtime-filter JIRA is public).
+
+Scale design: the filter is _M_BITS/64 int64 words — a CONSTANT-sized
+literal (the bounded-driver-literal class the k-means/PQ trainers
+established), built by one narrow aggregate over the dim keys and
+collected once. The probe is a map-only projection against that
+literal: the fact side never shuffles, never joins, and the filter
+rides into the scan stage exactly like Spark's injected runtime filter.
+At 100 TB the only growing cost is the dim-side aggregate (key-count
+linear); _M_BITS scales with the expected key count to hold the FP rate
+(m/n ≈ 19 bits/key at k=3 hashes ≈ 1% FP), and the literal stays a few
+KB per million keys of budget.
+
+Determinism: h_i(key) = md5_long("bf{i}_" || key) % _M_BITS — 60-bit
+md5 prefix, reproducible in DuckDB; bit_or aggregation is
+order-independent; all counts are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.text import SQL_MD5_LONG
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+_M_BITS = 8192  # filter size
+_N_HASH = 3  # hash functions
+# 63 usable bits per int64 word: bit 63 stays clear so neither engine
+# ever shifts into the sign bit (DuckDB raises on 1::BIGINT << 63;
+# Spark wraps silently — both are avoided by construction).
+_BITS_PER_WORD = 63
+_N_WORDS = (_M_BITS + _BITS_PER_WORD - 1) // _BITS_PER_WORD
+_P_SIZE_MIN = 40  # dim predicate: "large parts" (p_size in [1, 50])
+
+# Spark-side md5_long as inline SQL (functions.text.md5_long is the
+# Column form; the probe builds positions inside a transform lambda).
+_SPARK_MD5_LONG = "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _positions_expr(
+    template: str, key_expr: str, arr_fn: str = "array"
+) -> str:
+    """SQL array expression of the _N_HASH bit positions for a key.
+    ``template``: the engine's md5_long template ({expr} placeholder);
+    ``arr_fn``: the engine's array constructor (Spark `array`,
+    DuckDB `list_value`)."""
+    hashes = ", ".join(
+        template.format(expr=f"concat('bf{i}_', CAST({key_expr} AS STRING))")
+        + f" % {_M_BITS}"
+        for i in range(_N_HASH)
+    )
+    return f"{arr_fn}({hashes})"
+
+
+def _build_filter_words(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Dense _N_WORDS-long int64 word list of the Bloom filter over the
+    qualifying dim keys. One narrow aggregate, <= _N_WORDS rows
+    collected (constant by construction)."""
+    part = load_table(spark, sf_dir, "part")
+    keys = part.where(F.col("p_size") >= _P_SIZE_MIN).select("p_partkey")
+    words = (
+        keys.select(
+            F.explode(
+                F.expr(_positions_expr(_SPARK_MD5_LONG, "p_partkey"))
+            ).alias("pos")
+        )
+        .select(
+            F.expr("CAST(pos DIV 63 AS BIGINT)").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
+    )
+    dense = [0] * _N_WORDS
+    for r in words:
+        dense[int(r["word"])] = int(r["bits"])
+    return dense
+
+
+_SQL_POSITIONS = _positions_expr(SQL_MD5_LONG, "{key}", arr_fn="list_value")
+
+
+@query(
+    "q_bloom_filter_semi_join",
+    oracle=f"""
+    WITH keys AS (
+      SELECT p_partkey FROM part WHERE p_size >= {_P_SIZE_MIN}
+    ),
+    hp AS (
+      SELECT p_partkey, unnest({_SQL_POSITIONS.format(key="p_partkey")}) AS pos
+      FROM keys
+    ),
+    words AS (
+      SELECT pos // 63 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+      FROM hp GROUP BY 1
+    ),
+    probe_keys AS (
+      SELECT l_partkey AS k, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    pp AS (
+      SELECT k, n_rows, unnest({_SQL_POSITIONS.format(key="k")}) AS pos
+      FROM probe_keys
+    ),
+    tested AS (
+      SELECT p.k, MIN(p.n_rows) AS n_rows,
+             SUM(CASE WHEN (w.bits >> CAST(p.pos % 63 AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS n_set
+      FROM pp p LEFT JOIN words w ON w.word = p.pos // 63
+      GROUP BY p.k
+    ),
+    verdicts AS (
+      SELECT t.k, t.n_rows,
+             t.n_set = {_N_HASH} AS bloom_pass,
+             ky.p_partkey IS NOT NULL AS exact_member
+      FROM tested t LEFT JOIN keys ky ON ky.p_partkey = t.k
+    )
+    SELECT CAST(SUM(n_rows) AS BIGINT) AS n_probe_rows,
+           CAST(SUM(CASE WHEN bloom_pass THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_pass_rows,
+           CAST(SUM(CASE WHEN exact_member THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_exact_rows,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT exact_member
+                         THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_false_pos_rows,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT exact_member
+                         THEN n_rows ELSE 0 END) * 1000000
+                // GREATEST(SUM(CASE WHEN NOT exact_member
+                                     THEN n_rows ELSE 0 END), 1) AS BIGINT)
+             AS fp_ppm
+    FROM verdicts
+    """,
+)
+def q_bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-pruned semi-join audit: build the filter over the
+    qualifying dim keys (parts with p_size >= {MIN}), probe every
+    lineitem row MAP-ONLY against the filter literal, and count probe /
+    pass / exact-member / false-positive rows plus the false-positive
+    rate among true non-members (ppm). Bloom filters have no false
+    negatives, so n_pass_rows >= n_exact_rows always — asserted in
+    tests/test_llm_ops.py along with an FP-rate ceiling.
+
+    Plan: dim-side narrow aggregate -> constant literal; probe side is
+    one projection + one groupBy over DISTINCT probe keys (the verdict
+    depends only on the key, so rows roll up to keys first); the final
+    answer is a one-row conditional sum. The fact table is scanned
+    once and never shuffled at fact-row granularity."""
+    words = _build_filter_words(spark, sf_dir)
+    words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+    li = load_table(spark, sf_dir, "lineitem")
+    probe_keys = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    pass_expr = F.expr(
+        f"forall(transform({_positions_expr(_SPARK_MD5_LONG, 'k')}, "
+        f"pos -> shiftright(element_at({words_lit}, CAST(pos DIV 63 AS INT) + 1), "
+        f"                  CAST(pos % 63 AS INT)) & 1 = 1), x -> x)"
+    )
+    part = load_table(spark, sf_dir, "part")
+    keys = part.where(F.col("p_size") >= _P_SIZE_MIN).select(
+        F.col("p_partkey").alias("k"), F.lit(True).alias("exact_member")
+    )
+    verdicts = (
+        probe_keys.withColumn("bloom_pass", pass_expr)
+        .join(keys, "k", "left")
+        .select(
+            "n_rows",
+            "bloom_pass",
+            F.coalesce("exact_member", F.lit(False)).alias("exact_member"),
+        )
+    )
+    tot = F.lit(0).cast("bigint")
+    return verdicts.agg(
+        F.sum("n_rows").cast("bigint").alias("n_probe_rows"),
+        F.sum(F.when(F.col("bloom_pass"), F.col("n_rows")).otherwise(tot))
+        .cast("bigint")
+        .alias("n_pass_rows"),
+        F.sum(F.when(F.col("exact_member"), F.col("n_rows")).otherwise(tot))
+        .cast("bigint")
+        .alias("n_exact_rows"),
+        F.sum(
+            F.when(
+                F.col("bloom_pass") & ~F.col("exact_member"), F.col("n_rows")
+            ).otherwise(tot)
+        )
+        .cast("bigint")
+        .alias("n_false_pos_rows"),
+        F.expr(
+            "CAST(SUM(CASE WHEN bloom_pass AND NOT exact_member "
+            "              THEN n_rows ELSE 0 END) * 1000000 "
+            "DIV GREATEST(SUM(CASE WHEN NOT exact_member "
+            "                      THEN n_rows ELSE 0 END), 1) AS BIGINT)"
+        ).alias("fp_ppm"),
+    )
+
+
+@query(
+    "q_bloom_pruned_revenue",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= {_P_SIZE_MIN}
+    """,
+)
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter doing its actual job: revenue over lineitems of
+    large parts, where the filter literal pre-prunes the fact scan
+    MAP-SIDE and the (now tiny) survivor stream joins the dim only to
+    remove the false positives — the standard two-step of every
+    runtime-filtered plan (cheap approximate drop, exact confirm).
+    Result is identical to the plain join by construction (no false
+    negatives); what changes at 100 TB is the shuffle/join input:
+    |survivors| ≈ |true matches| × (1 + fp_rate) instead of |fact|.
+    The oracle is the PLAIN join — proving the pruned plan loses
+    nothing."""
+    words = _build_filter_words(spark, sf_dir)
+    words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    li = load_table(spark, sf_dir, "lineitem")
+    pruned = li.where(
+        F.expr(
+            f"forall(transform({_positions_expr(_SPARK_MD5_LONG, 'l_partkey')}, "
+            f"pos -> shiftright(element_at({words_lit}, CAST(pos DIV 63 AS INT) + 1), "
+            f"                  CAST(pos % 63 AS INT)) & 1 = 1), x -> x)"
+        )
+    )
+    part = load_table(spark, sf_dir, "part")
+    keys = part.where(F.col("p_size") >= _P_SIZE_MIN).select("p_partkey")
+    joined = pruned.join(
+        keys, pruned["l_partkey"] == keys["p_partkey"]
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

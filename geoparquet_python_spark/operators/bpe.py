@@ -45,19 +45,21 @@ from geoparquet_python_spark.registry import query
 _ROUNDS = 3
 
 
-def _merge_round(seq: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
-    """One BPE round over seq(doc_id, p, w): returns (new_seq, stats).
-
-    stats is one row: (round, merged_l, merged_r, n_pair, n_merged).
-    """
+def _pair_frame(seq: DataFrame) -> DataFrame:
     wdoc = Window.partitionBy("doc_id").orderBy("p")
-    pr = seq.withColumn("wn", F.lead("w").over(wdoc))
+    return seq.withColumn("wn", F.lead("w").over(wdoc))
+
+
+def _top_pair(seq: DataFrame) -> DataFrame:
+    """The round's winning pair as a 1-row frame (m1, m2, n_pair):
+    count DESC, then lexicographic tie-break."""
     counts = (
-        pr.where(F.col("wn").isNotNull())
+        _pair_frame(seq)
+        .where(F.col("wn").isNotNull())
         .groupBy("w", "wn")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
-    top = (
+    return (
         counts.orderBy(F.desc("n_pair"), "w", "wn")
         .limit(1)
         .select(
@@ -66,6 +68,24 @@ def _merge_round(seq: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
             F.col("n_pair").alias("n_pair"),
         )
     )
+
+
+def _merge_round(seq: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
+    """One BPE TRAINING round over seq(doc_id, p, w): learn the top
+    pair from this corpus and apply it. Returns (new_seq, stats);
+    stats is one row: (round, merged_l, merged_r, n_pair, n_merged).
+    """
+    return _apply_pair(seq, _top_pair(seq), rnd)
+
+
+def _apply_pair(
+    seq: DataFrame, top: DataFrame, rnd: int
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a GIVEN 1-row merge frame to seq — the ENCODE half of
+    BPE, shared by training (top learned from the same corpus) and
+    held-out encoding (top learned elsewhere; q_bpe_encode_heldout)."""
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    pr = _pair_frame(seq)
     # LEFT join, not crossJoin: if a round finds ZERO adjacent pairs
     # (every doc down to one symbol), `top` is empty and a cross join
     # would empty the whole corpus — silently running later rounds on
@@ -298,6 +318,163 @@ def q_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("saved_micro"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/encode split: learn merges on the TRAIN split, apply to HELD-OUT
+# ---------------------------------------------------------------------------
+
+_HELD_MOD = 5  # doc_id % _HELD_MOD == 0 -> held-out split
+
+
+def _sql_pr(pfx: str, t: int) -> str:
+    return f"""{pfx}pr{t} AS (
+      SELECT doc_id, p, w,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS wn
+      FROM {pfx}seq{t}
+    )"""
+
+
+def _sql_apply_from_pr(pfx: str, t: int, top: str) -> str:
+    """CTEs {pfx}c{t}…{pfx}seq{t+1}: apply merge frame ``top`` to
+    {pfx}pr{t} — the parity-resolved encode chain of _sql_round,
+    parametrized so one learned pair can drive several corpora."""
+    return f"""{pfx}c{t} AS (
+      SELECT s.doc_id, s.p, s.w, s.wn,
+             COALESCE(s.w = t.m1 AND s.wn = t.m2, FALSE) AS cand
+      FROM {pfx}pr{t} s LEFT JOIN {top} t ON TRUE
+    ),
+    {pfx}d{t} AS (
+      SELECT *,
+             p - SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS ik
+      FROM {pfx}c{t}
+    ),
+    {pfx}e{t} AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY doc_id, cand, ik
+                                ORDER BY p) - 1 AS off
+      FROM {pfx}d{t}
+    ),
+    {pfx}f{t} AS (
+      SELECT *,
+             (cand AND off % 2 = 0) AS merge_at,
+             COALESCE(lag(cand AND off % 2 = 0)
+                        OVER (PARTITION BY doc_id ORDER BY p),
+                      FALSE) AS dropped
+      FROM {pfx}e{t}
+    ),
+    {pfx}seq{t + 1} AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                  AS BIGINT) AS p,
+             CASE WHEN merge_at THEN w || ' ' || wn ELSE w END AS w
+      FROM {pfx}f{t} WHERE NOT dropped
+    )"""
+
+
+def _sql_heldout_rounds() -> str:
+    parts = [
+        f"""tseq0 AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(str_split(text, ' '), 1) AS BIGINT)
+               AS p,
+             unnest(str_split(text, ' ')) AS w
+      FROM documents WHERE doc_id % {_HELD_MOD} <> 0
+    )""",
+        f"""hseq0 AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(str_split(text, ' '), 1) AS BIGINT)
+               AS p,
+             unnest(str_split(text, ' ')) AS w
+      FROM documents WHERE doc_id % {_HELD_MOD} = 0
+    )""",
+    ]
+    for t in range(_ROUNDS):
+        parts.append(_sql_pr("t", t))
+        parts.append(f"""ttop{t} AS (
+      SELECT w AS m1, wn AS m2, COUNT(*) AS n_pair
+      FROM tpr{t} WHERE wn IS NOT NULL
+      GROUP BY w, wn
+      ORDER BY n_pair DESC, m1, m2 LIMIT 1
+    )""")
+        parts.append(_sql_apply_from_pr("t", t, f"ttop{t}"))
+        parts.append(_sql_pr("h", t))
+        parts.append(_sql_apply_from_pr("h", t, f"ttop{t}"))
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_bpe_encode_heldout",
+    oracle=f"""
+    WITH {_sql_heldout_rounds()},
+    before AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_before
+      FROM hseq0 GROUP BY doc_id
+    ),
+    after AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after
+      FROM hseq{_ROUNDS} GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_before, a.n_after,
+           b.n_before - a.n_after AS n_merges_applied
+    FROM before b JOIN after a USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def q_bpe_encode_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of the tokenizer — the production hot path the
+    training queries don't exercise: learn {_ROUNDS} merges on the
+    TRAIN split (doc_id % {_HELD_MOD} != 0), then apply those merges
+    IN LEARNED ORDER to the held-out split (doc_id % {_HELD_MOD} == 0)
+    that contributed nothing to the counts. Per held-out doc: token
+    count before/after and merges applied. Generalization shows up as
+    n_merges_applied > 0 on text the trainer never saw.
+
+    Plan: the train chain is the q_bpe_merge_rounds recurrence; each
+    round's 1-row winning pair is materialized once and BROADCAST into
+    two encode passes (train corpus to keep training honest, held-out
+    corpus to encode). Encoding at 100 TB is this exact shape — a
+    linear scan per (batched) merge round with the merge table riding
+    as a broadcast literal; no shuffle ever touches the encoded
+    corpus except the per-doc window."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def seq_of(df: DataFrame) -> DataFrame:
+        return (
+            spread(df.select("doc_id", tokens("text").alias("toks")))
+            .select("doc_id", F.posexplode("toks").alias("i", "w"))
+            .select("doc_id", (F.col("i") + 1).cast("bigint").alias("p"), "w")
+        )
+
+    train = seq_of(d.where(F.col("doc_id") % _HELD_MOD != 0))
+    held = seq_of(d.where(F.col("doc_id") % _HELD_MOD == 0))
+    before = held.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    for t in range(_ROUNDS):
+        # materialize: the 1-row top frame feeds BOTH encode passes,
+        # and each round's corpus feeds the next (same barrier logic
+        # as q_bpe_merge_rounds).
+        top = materialize(_top_pair(train))
+        train, _ = _apply_pair(train, top, t)
+        train = materialize(train)
+        held, _ = _apply_pair(held, top, t)
+        held = materialize(held)
+    after = held.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after")
+    )
+    return (
+        before.join(after, "doc_id")
+        .select(
+            "doc_id",
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).alias("n_merges_applied"),
+        )
+        .orderBy("doc_id")
     )
 
 

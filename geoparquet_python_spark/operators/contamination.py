@@ -100,3 +100,154 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         (F.col("n_hits").cast("double") / F.col("n_shingles")).alias("hit_frac"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=_K)},
+    first_seen AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN f.first_doc = sh.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM sh JOIN first_seen f USING (s)
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_ppm
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY under the corpus's doc_id ingestion
+    order: the fraction of a doc's distinct 3-grams whose GLOBAL first
+    occurrence is this doc. The curation signal behind "has the crawl
+    gone stale" dashboards and per-source marginal-value scoring — a
+    source whose new documents stop contributing novel n-grams is
+    contributing only duplication, and training-data buyers price it
+    accordingly (the diminishing-returns curve of web-scale crawls).
+
+    Plan: one in-row shingling projection, one explode, a MIN(doc_id)
+    aggregate keyed by shingle (the global first-occurrence index —
+    uniform keys, full map-side combine), then a shingle-keyed join
+    back and a doc-keyed conditional count. Two linear shuffles
+    (shingle domain, then doc domain), nothing pairwise anywhere. At
+    100 TB the first-seen index is the same vocabulary-sized frame the
+    TF-IDF/DF operators already build; incremental crawls maintain it
+    as a running MIN under union — the aggregate is mergeable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.explode(shingles("toks", _K)).alias("s"),
+    )
+    first_seen = exploded.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        exploded.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST(n_novel * 1000000 DIV n_shingles AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_source_novelty_curve",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=_K)},
+    src AS (SELECT doc_id, source FROM documents),
+    first_seen AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sh,
+             CAST(SUM(CASE WHEN f.first_doc = sh.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM sh JOIN first_seen f USING (s)
+      GROUP BY sh.doc_id
+    ),
+    halves AS (
+      SELECT p.doc_id, s.source,
+             CASE WHEN p.doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS half,
+             p.n_sh, p.n_novel
+      FROM per_doc p JOIN src s USING (doc_id)
+    )
+    SELECT source, half,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           CAST(SUM(n_novel) * 1000000 // SUM(n_sh) AS BIGINT)
+             AS novelty_ppm
+    FROM halves
+    GROUP BY source, half
+    ORDER BY source, half
+    """,
+)
+def q_source_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The novelty signal rolled up to (source, corpus-half): comparing
+    a source's even-doc_id and odd-doc_id halves approximates its
+    novelty DERIVATIVE — the marginal n-gram value of continuing to
+    crawl it. Same two linear shuffles as q_ngram_novelty plus a
+    |sources|x2-key rollup."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("toks")
+    )
+    exploded = docs.select(
+        "doc_id", "source", F.explode(shingles("toks", _K)).alias("s")
+    )
+    first_seen = exploded.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        exploded.join(first_seen, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.select(
+            "source",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("even"))
+            .otherwise(F.lit("odd"))
+            .alias("half"),
+            "n_sh",
+            "n_novel",
+        )
+        .groupBy("source", "half")
+        .agg(
+            F.sum("n_sh").cast("bigint").alias("n_shingles"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "half",
+            "n_shingles",
+            "n_novel",
+            F.expr(
+                "CAST(n_novel * 1000000 DIV n_shingles AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("source", "half")
+    )

@@ -85,8 +85,12 @@ _SQL_KK = f"kk AS (SELECT GREATEST(8, COUNT(*) // {_CELL_TARGET}) AS k FROM embe
 
 
 def _scaled_k(spark: SparkSession, sf_dir: str) -> int:
-    """K = max(8, n / _CELL_TARGET): one metadata-only parquet count."""
-    n = _fixed_points(spark, sf_dir).count()
+    """K = max(8, n / _CELL_TARGET): one metadata-only parquet count
+    (io.parquet_row_count reads footers driver-side — zero Spark jobs,
+    so deriving k never costs a corpus pass)."""
+    from geoparquet_python_spark.io import parquet_row_count
+
+    n = parquet_row_count(spark, sf_dir, "embeddings")
     return max(8, n // _CELL_TARGET)
 
 

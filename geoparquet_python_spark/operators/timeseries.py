@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -514,4 +515,84 @@ def q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", "rn", med.alias("median_cents"))
         .orderBy("user_id", "rn")
+    )
+
+
+_MAD_K = 3  # anomaly threshold: |x - median| > _MAD_K * MAD
+
+
+@query(
+    "q_events_anomaly_mad",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT (list_sort(list(n_events)))[CAST((COUNT(*) + 1) // 2 AS INT)]
+               AS med FROM daily
+    ),
+    dev AS (
+      SELECT d.day, d.n_events, m.med,
+             abs(d.n_events - m.med) AS dev
+      FROM daily d CROSS JOIN med m
+    ),
+    mad AS (
+      SELECT (list_sort(list(dev)))[CAST((COUNT(*) + 1) // 2 AS INT)]
+               AS mad FROM dev
+    )
+    SELECT v.day, v.n_events, v.med AS median_events,
+           v.dev AS abs_dev, a.mad,
+           v.dev > {_MAD_K} * a.mad AS is_anomaly
+    FROM dev v CROSS JOIN mad a
+    ORDER BY v.day
+    """,
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection: flag days whose event count
+    deviates from the corpus's daily MEDIAN by more than {K}x the
+    MEDIAN ABSOLUTE DEVIATION — the estimator monitoring uses where
+    mean/stddev would let one outlier day inflate its own threshold
+    (50% breakdown point vs 0%). Exact arithmetic throughout: lower
+    medians of integers are integers, so both engines agree bit-wise
+    with no percentile interpolation.
+
+    Plan: one day-keyed count (|days| rows), then two one-row scalar
+    aggregates (median, MAD) broadcast back over the |days|-sized
+    frame — the attach-a-scalar pattern (BM25 stats). At 100 TB the
+    daily rollup is the only corpus-sized pass; everything after is
+    |days|-bounded. The same shape per (source, day) partitions the
+    medians by key instead of collecting one global row."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    lower_med = F.element_at(
+        F.array_sort(F.collect_list("n_events")),
+        ((F.count(F.lit(1)) + 1) / 2).cast("int"),
+    )
+    med = daily.agg(lower_med.alias("med"))
+    dev = daily.crossJoin(broadcast_narrow(med)).select(
+        "day",
+        "n_events",
+        "med",
+        F.abs(F.col("n_events") - F.col("med")).alias("dev"),
+    )
+    lower_mad = F.element_at(
+        F.array_sort(F.collect_list("dev")),
+        ((F.count(F.lit(1)) + 1) / 2).cast("int"),
+    )
+    mad = dev.agg(lower_mad.alias("mad"))
+    return (
+        dev.crossJoin(broadcast_narrow(mad))
+        .select(
+            "day",
+            "n_events",
+            F.col("med").alias("median_events"),
+            F.col("dev").alias("abs_dev"),
+            "mad",
+            (F.col("dev") > _MAD_K * F.col("mad")).alias("is_anomaly"),
+        )
+        .orderBy("day")
     )

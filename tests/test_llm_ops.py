@@ -29,6 +29,59 @@ def test_minhash_lsh_recall(spark, sf_dir):
         assert recall >= 0.7, f"LSH recall too low: {recall:.2f}"
 
 
+def test_jl_distortion_within_band(spark, sf_dir):
+    """JL sanity band: the unbiased per-pair distortion ratio (ppm,
+    expected 1e6) must stay inside a wide band and average near 1 —
+    a broken sign matrix, dropped dimension, or scaling slip moves
+    every ratio far outside instantly. Band chosen at ~±4 sigma for
+    D=16 (sigma ~= sqrt(2/D) ~ 0.35) so the test never flakes on the
+    fixed deterministic matrix."""
+    rows = registry.QUERIES["q_jl_distortion_audit"](spark, sf_dir).collect()
+    assert len(rows) == 45
+    ratios = [r["ratio_ppm"] for r in rows]
+    assert all(50_000 <= x <= 4_000_000 for x in ratios), sorted(ratios)[:3]
+    mean = sum(ratios) / len(ratios)
+    assert 500_000 <= mean <= 1_500_000, mean
+
+
+def test_pca_direction_beats_random_direction(spark, sf_dir):
+    """The power-iteration output must actually point somewhere: the
+    Rayleigh quotient (variance captured) of the returned direction
+    must exceed the all-ones start vector's — if iteration did nothing
+    (e.g. a rescale bug zeroed v), this fails."""
+    import numpy as np
+
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.randproj import _SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64) * _SCALE
+    v_rows = registry.QUERIES["q_pca_power_iteration"](spark, sf_dir).collect()
+    v = np.array([r["v_fixed"] for r in v_rows], dtype=np.float64)
+    assert np.linalg.norm(v) > 0
+    v = v / np.linalg.norm(v)
+    ones = np.ones_like(v) / np.sqrt(len(v))
+
+    def rayleigh(d):
+        return float(((X @ d) ** 2).sum())
+
+    assert rayleigh(v) > rayleigh(ones), "power iteration did not improve"
+
+
+def test_bloom_filter_no_false_negatives_and_fp_ceiling(spark, sf_dir):
+    """Structural Bloom guarantees, asserted not just reported: every
+    exact member passes the filter (no false negatives — pass_rows >=
+    exact_rows AND false_pos = pass - exact exactly), and the measured
+    FP rate stays under 10x the design point (m/n ~ 19 bits/key at
+    k=3 => ~1%; ceiling 10% guards the hash math without flaking)."""
+    row = registry.QUERIES["q_bloom_filter_semi_join"](spark, sf_dir).collect()[0]
+    assert row["n_pass_rows"] >= row["n_exact_rows"]
+    assert (
+        row["n_false_pos_rows"] == row["n_pass_rows"] - row["n_exact_rows"]
+    ), "false negatives present: some exact member failed the filter"
+    assert row["fp_ppm"] <= 100_000, f"FP rate {row['fp_ppm']} ppm > 10%"
+
+
 def test_capped_bucket_pairs_identical_pair_set(spark):
     """The sub-bucket occupancy cap (round-6 ADVICE: hot LSH bucket =
     one unboundedly large aggregation row) must not change WHAT pairs

@@ -354,6 +354,37 @@ def test_duplicate_spans_no_pair_join(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_bucketed_join_has_no_join_input_exchange(spark, sf_dir):
+    """The whole point of the bucketed layout: the orderkey sort-merge
+    join must read the bucketed scans DIRECTLY — no Exchange below the
+    join. The only exchanges allowed are the post-join status rollup's
+    hash partitioning and the presentation sort's range partitioning
+    (both above the join in the plan string)."""
+    plan = plan_of(spark, sf_dir, "q_bucketed_colocated_join")
+    assert "SortMergeJoin" in plan, "bucketed join lost its SMJ strategy"
+    join_at = plan.index("SortMergeJoin")
+    below_join = plan[join_at:]
+    assert "Exchange" not in below_join, (
+        "bucketing failed to remove the join-input shuffle:\n" + below_join
+    )
+    assert plan.count("Exchange") <= 2, "unexpected extra exchanges"
+
+
+def test_bloom_probe_is_map_only_on_fact_rows(spark, sf_dir):
+    """The Bloom-pruned revenue query's fact-side filter must be a
+    PLAIN Filter over the lineitem scan (the words literal rides inside
+    the predicate) — no join, no shuffle at fact-row granularity before
+    the pruning happens."""
+    plan = plan_of(spark, sf_dir, "q_bloom_pruned_revenue")
+    # the dim confirm-join exists, but the fact scan itself must sit
+    # under a Filter containing the bloom probe (forall over md5 hash
+    # positions), not under any exchange-before-filter shape
+    import re
+
+    m = re.search(r"Filter [^\n]*forall[^\n]*", plan)
+    assert m, "bloom probe filter not found in the fact scan stage"
+
+
 def test_ivfpq_store_scan_is_partition_pruned(spark, sf_dir):
     """The persisted IVFADC index must behave as an inverted file: the
     store scan carries a PartitionFilters predicate on cell, so only
