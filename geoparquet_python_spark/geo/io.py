@@ -58,21 +58,37 @@ _WKB_TYPE_NAMES = {
 }
 
 
-def _geo_metadata_json(
-    geometry_col: str,
+def _geo_column_entry(
     crs: Any,
     bbox: list | None,
     geometry_types: list[str] | None = None,
-) -> bytes:
+) -> dict[str, Any]:
     col: dict[str, Any] = {"encoding": "WKB", "geometry_types": geometry_types or []}
     if crs is not None:
         col["crs"] = crs
     if bbox is not None:
         col["bbox"] = bbox
+    return col
+
+
+def _geo_metadata_json(
+    geometry_col: str,
+    crs: Any,
+    bbox: list | None,
+    geometry_types: list[str] | None = None,
+    extra_cols: dict[str, dict] | None = None,
+) -> bytes:
+    """Spec `geo` doc: the primary column entry plus any SECONDARY
+    geometry columns (GeoParquet allows several; exactly one is
+    primary_column). Secondaries carry encoding/crs/geometry_types;
+    the dataset bbox rides on the primary."""
     doc = {
         "version": SPEC_VERSION,
         "primary_column": geometry_col,
-        "columns": {geometry_col: col},
+        "columns": {
+            geometry_col: _geo_column_entry(crs, bbox, geometry_types),
+            **(extra_cols or {}),
+        },
     }
     return json.dumps(doc).encode("utf-8")
 
@@ -133,6 +149,7 @@ def write_geoparquet(
     geometry_col: str = "geometry",
     crs: Any = "OGC:CRS84",
     bbox_covering: bool = True,
+    secondary_geometry_cols: list[str] | None = None,
 ) -> int:
     """Distributed GeoParquet sink; returns rows written.
 
@@ -153,8 +170,10 @@ def write_geoparquet(
     this function's commit step is where an S3A-style committer slots
     in. An empty input still produces one schema-only part file, so the
     output directory is always a readable dataset."""
-    if geometry_col not in df.columns:
-        raise ValueError(f"geometry column {geometry_col!r} not in {df.columns}")
+    secondary = list(secondary_geometry_cols or [])
+    for c in [geometry_col, *secondary]:
+        if c not in df.columns:
+            raise ValueError(f"geometry column {c!r} not in {df.columns}")
     if bbox_covering and "bbox" not in df.columns:
         df = add_bbox_column(df, geometry_col)
 
@@ -178,10 +197,13 @@ def write_geoparquet(
         xmin = ymin = float("inf")
         xmax = ymax = float("-inf")
         codes: set[int] = set()
+        sec_codes: dict[str, set[int]] = {c: set() for c in secondary}
         for batch in batches:
             buffered.append(batch)
             rows += batch.num_rows
             codes |= _wkb_type_codes(batch.column(geometry_col))
+            for c in secondary:
+                sec_codes[c] |= _wkb_type_codes(batch.column(c))
             if "bbox" in batch.schema.names:
                 import pyarrow.compute as pc
 
@@ -202,7 +224,16 @@ def write_geoparquet(
                     else:
                         ymax = max(ymax, v)
         bbox = [xmin, ymin, xmax, ymax] if xmin <= xmax else None
-        meta_json = _geo_metadata_json(geometry_col, crs, bbox, _type_code_names(codes))
+        meta_json = _geo_metadata_json(
+            geometry_col,
+            crs,
+            bbox,
+            _type_code_names(codes),
+            extra_cols={
+                c: _geo_column_entry(crs, None, _type_code_names(sec_codes[c]))
+                for c in secondary
+            },
+        )
         writer = None
         try:
             for batch in buffered:
@@ -230,7 +261,12 @@ def write_geoparquet(
         tbl = df.limit(0).toArrow()
         tbl = tbl.replace_schema_metadata(
             {**(tbl.schema.metadata or {}),
-             GEO_KEY: _geo_metadata_json(geometry_col, crs, None, [])}
+             GEO_KEY: _geo_metadata_json(
+                 geometry_col, crs, None, [],
+                 extra_cols={
+                     c: _geo_column_entry(crs, None, []) for c in secondary
+                 },
+             )}
         )
         pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
         return 0
@@ -256,18 +292,20 @@ def geo_metadata(path: str) -> dict | None:
         if merged is None:
             merged = doc
             continue
-        pcol = merged["primary_column"]
-        a = merged["columns"].get(pcol, {})
-        b = doc.get("columns", {}).get(doc.get("primary_column", pcol), {})
-        a["geometry_types"] = sorted(
-            set(a.get("geometry_types", [])) | set(b.get("geometry_types", []))
-        )
-        ba, bb = a.get("bbox"), b.get("bbox")
-        if ba and bb:
-            a["bbox"] = [min(ba[0], bb[0]), min(ba[1], bb[1]),
-                         max(ba[2], bb[2]), max(ba[3], bb[3])]
-        elif bb:
-            a["bbox"] = bb
+        # Merge EVERY geometry column's per-file stats (multi-geometry
+        # datasets carry one entry per column; exactly one is primary).
+        for cname, a in merged["columns"].items():
+            b = doc.get("columns", {}).get(cname, {})
+            a["geometry_types"] = sorted(
+                set(a.get("geometry_types", []))
+                | set(b.get("geometry_types", []))
+            )
+            ba, bb = a.get("bbox"), b.get("bbox")
+            if ba and bb:
+                a["bbox"] = [min(ba[0], bb[0]), min(ba[1], bb[1]),
+                             max(ba[2], bb[2]), max(ba[3], bb[3])]
+            elif bb:
+                a["bbox"] = bb
     if merged is not None:
         return merged
     md = pq.ParquetFile(files[0]).schema_arrow.metadata or {}
@@ -299,7 +337,17 @@ def read_geoparquet(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     meta = geo_metadata(path)
     if meta is not None:
-        col = meta["primary_column"]
-        if col in df.columns:
-            df = df.withMetadata(col, {"geo": meta["columns"][col]})
+        # Attach metadata to EVERY geometry column the footer declares
+        # (multi-geometry files are spec-legal; primary_column marks the
+        # default one). The primary keeps an extra marker so consumers
+        # can find it without re-reading footers.
+        for cname, entry in meta["columns"].items():
+            if cname in df.columns:
+                df = df.withMetadata(
+                    cname,
+                    {
+                        "geo": entry,
+                        "geo_primary": cname == meta["primary_column"],
+                    },
+                )
     return df

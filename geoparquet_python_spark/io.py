@@ -10,6 +10,8 @@ footprint of the query and reading the table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -89,3 +91,24 @@ def parquet_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
         )
     except Exception:
         return load_table(spark, sf_dir, name).count()
+
+
+def run_scratch_dir(spark: SparkSession, label: str, sf_dir: str = "") -> str:
+    """Session-unique scratch directory for queries that round-trip
+    through a temp dataset (GeoParquet/JSONL/CSV/ORC/IVFPQ stores).
+
+    The path carries the Spark applicationId: a path keyed only by the
+    scale factor races when two concurrent runs hit the same sf — one
+    run's mode=overwrite DELETE lands between the other's listing and
+    read, yielding flaky FileNotFound/corrupt reads (round-6 ADVICE on
+    the IVFPQ cell store; every fixed-tempdir round-trip shared the
+    hazard). applicationId is unique per SparkContext, so concurrent
+    drivers never collide and repeated calls within one session still
+    reuse/overwrite their own path (bench best-of-N friendly)."""
+    import tempfile as _tempfile
+
+    sfl = os.path.basename(os.path.normpath(sf_dir)) if sf_dir else ""
+    app = spark.sparkContext.applicationId
+    return os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_{label}_{app}_{sfl}"
+    )

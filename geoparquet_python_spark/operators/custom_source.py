@@ -186,7 +186,7 @@ def q_pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.io import load_table, run_scratch_dir
     from geoparquet_python_spark.operators.jsonio import _SCHEMA
 
     prepare(spark)
@@ -194,10 +194,7 @@ def q_pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", "n_chars"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_pyds_w_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = run_scratch_dir(spark, "pyds_w", sf_dir)
     d.write.format("synthetic_docs").mode("overwrite").save(path)
     with open(os.path.join(path, "_MANIFEST.json")) as fh:
         manifest = json.load(fh)

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from geoparquet_python_spark.geo import io as gio
 from geoparquet_python_spark.geo.functions import st_point, st_x, st_y
-from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.io import load_table, run_scratch_dir
 from geoparquet_python_spark.registry import query
 
 _LON_SQL = "(((c_custkey * 7919) % 3600) / 10.0 - 180.0)"
@@ -52,10 +52,7 @@ def q_geoparquet_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame
     it reaches the parquet scan as PushedFilters — on a 100 TB lake the
     window prunes whole row groups before any WKB byte is read. ST_X/
     ST_Y then decode only surviving rows for the extent aggregate."""
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"gpq_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = run_scratch_dir(spark, "gpq_roundtrip", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
 
     cust = load_table(spark, sf_dir, "customer")
@@ -116,10 +113,7 @@ def q_geo_sql_pushdown_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     PushedFilters and rewrite soundness under OR/NOT)."""
     from geoparquet_python_spark.geo.sqlrewrite import geo_sql
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"gpq_sqlpush_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = run_scratch_dir(spark, "gpq_sqlpush", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
 
     cust = load_table(spark, sf_dir, "customer")
@@ -178,10 +172,7 @@ def q_geo_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     The two levers compose: partition pruning skips files, the bbox
     covering column then prunes row groups inside survivors.
     """
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"gpq_cells_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = run_scratch_dir(spark, "gpq_cells", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
 
     cust = load_table(spark, sf_dir, "customer")
@@ -208,4 +199,70 @@ def q_geo_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
         .orderBy("cell_x")
+    )
+
+
+@query(
+    "q_geoparquet_multi_geom_roundtrip",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_custkey, c_nationkey,
+             {_LON_SQL} AS x, {_LAT_SQL} AS y
+      FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(x) AS min_origin_x,
+           MAX(x / 2.0) AS max_dest_x,
+           MIN(y) AS min_origin_y,
+           MAX(y / 2.0) AS max_dest_y
+    FROM g
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_geoparquet_multi_geom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-geometry-column GeoParquet round trip: a dataset with an
+    origin point (primary) AND a destination point (secondary) in one
+    file — spec-legal (the `geo` doc lists one entry per geometry
+    column; primary_column marks the default), and the shape every
+    OD-matrix / trajectory table has. The sink stamps per-column
+    geometry_types into every part footer; the scan re-attaches
+    metadata to BOTH columns (geo_primary marks which one is primary —
+    asserted in tests/test_geoparquet_io.py). The extent aggregate
+    decodes both columns, proving both survived the trip byte-exactly
+    (x/2 is exact IEEE halving, so the oracle needs no rounding)."""
+    out = run_scratch_dir(spark, "gpq_multigeom", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") * 7919 % 3600) / 10.0 - 180.0
+    lat = (F.col("c_custkey") * 4409 % 1700) / 10.0 - 85.0
+    pts = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        st_point(lon, lat).alias("geometry"),
+        st_point(lon / 2.0, lat / 2.0).alias("dest"),
+    )
+    gio.write_geoparquet(
+        pts, out, "geometry", crs="OGC:CRS84", secondary_geometry_cols=["dest"]
+    )
+    back = gio.read_geoparquet(spark, out)
+    return (
+        back.select(
+            "c_nationkey",
+            st_x("geometry").alias("ox"),
+            st_y("geometry").alias("oy"),
+            st_x("dest").alias("dx"),
+            st_y("dest").alias("dy"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("ox").alias("min_origin_x"),
+            F.max("dx").alias("max_dest_x"),
+            F.min("oy").alias("min_origin_y"),
+            F.max("dy").alias("max_dest_y"),
+        )
+        .orderBy("c_nationkey")
     )

@@ -32,7 +32,7 @@ from pyspark.sql.types import (
 )
 
 from geoparquet_python_spark.functions.text import SQL_MD5_LONG, md5_long
-from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.io import load_table, run_scratch_dir
 from geoparquet_python_spark.registry import query
 
 _CKSUM_MOD = 1_000_000_000
@@ -69,10 +69,7 @@ def q_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", "n_chars"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = run_scratch_dir(spark, "jsonl", sf_dir)
     d.write.mode("overwrite").json(path)
     back = spark.read.schema(_SCHEMA).json(path)
     return (
@@ -107,10 +104,7 @@ def _roundtrip_stats(
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", "n_chars"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_{fmt}_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = run_scratch_dir(spark, fmt, sf_dir)
     w = d.write.mode("overwrite")
     for k, v in wopts.items():
         w = w.option(k, v)
@@ -184,10 +178,7 @@ def q_csv_splittable_roundtrip_stats(
         ).alias("text_b64"),
         "n_chars",
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_csvsplit_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = run_scratch_dir(spark, "csvsplit", sf_dir)
     (
         d.write.mode("overwrite")
         .option("header", "true")
@@ -279,10 +270,7 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-merging per query.
     """
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_evo_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = run_scratch_dir(spark, "evo", sf_dir)
     v1 = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "text")
     v2 = d.where(F.col("doc_id") % 2 == 1).select(
         "doc_id", "lang", "text", "n_chars"
@@ -339,10 +327,7 @@ def q_federated_format_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_fedjson_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = run_scratch_dir(spark, "fedjson", sf_dir)
     o.write.mode("overwrite").json(path)
     oschema = T.StructType(
         [
