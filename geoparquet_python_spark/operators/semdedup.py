@@ -141,10 +141,11 @@ def _cell_pairs(
         _capped_bucket_pairs,
     )
 
-    keyed = base.select(
-        "cell", F.struct("vec_id", "embedding", "n2").alias("m")
+    narrow = base.select("vec_id", "cell")
+    payload = base.select(
+        "vec_id", F.struct("vec_id", "embedding", "n2").alias("m")
     )
-    return _capped_bucket_pairs(keyed, ["cell"]).select(
+    return _capped_bucket_pairs(narrow, payload, ["cell"]).select(
         "cell",
         "p.vec_a",
         "p.vec_b",

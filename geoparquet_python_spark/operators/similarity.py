@@ -242,34 +242,50 @@ _BUCKET_CAP = 1024  # max payload structs per aggregation row
 
 
 def _capped_bucket_pairs(
-    keyed: DataFrame, key_cols: list[str], cap: int = _BUCKET_CAP
+    narrow: DataFrame,
+    payload: DataFrame,
+    key_cols: list[str],
+    cap: int = _BUCKET_CAP,
 ) -> DataFrame:
-    """All in-bucket (vec_a < vec_b) pairs with payload attached, from a
-    frame of key_cols + ``m`` struct (leading unique vec_id, embedding,
-    n2) — with a HARD per-aggregation-row occupancy cap.
+    """All in-bucket (vec_a < vec_b) pairs with payload attached.
+    ``narrow``: (vec_id, *key_cols) membership rows; ``payload``:
+    (vec_id, m) where m is a struct with leading unique vec_id plus
+    embedding/n2. Output: key_cols + exploded pair struct ``p`` — with
+    a HARD per-aggregation-row occupancy cap.
 
     The plain form (groupBy(bucket).collect_list(m)) concentrates a hot
     bucket's ENTIRE embedding payload into one aggregation row/task —
     reachable here because 8-bit bands saturate at ~2^8 values, putting
     ~n/256 vectors in one bucket (round-6 ADVICE: an executor OOM the
     round-6 broadcast-removal rewrite traded away rather than
-    eliminated). Fix: a rank window over the bucket splits members into
-    ``cap``-sized SUB-buckets (the window sort is spillable external
-    sort — streaming, unlike an agg buffer row which cannot spill
-    mid-row), then pairs = within-sub-bucket expansions plus
-    cross-sub-bucket (g1 < g2) list×list expansions. Because sub-bucket
-    ids follow vec_id rank order, every cross pair already satisfies
-    vec_a < vec_b — no normalization pass. Buckets at or under the cap
-    take the exact old single-group path (one group, empty cross side),
-    so the pair stream is IDENTICAL — only its worst-case row memory
-    changes, from O(hot bucket) to O(cap).
+    eliminated). Fix: a NARROW bucket-size count assigns each
+    membership row a sub-bucket id g — 0 for at-or-under-cap buckets
+    (virtually all of them), rank-windowed ``cap``-sized slices for
+    oversized ones (the window runs on payload-free rows; its sort is
+    spillable external sort — streaming, unlike an agg buffer row
+    which cannot spill mid-row). The payload then joins ONCE and
+    buckets collect on (key, g): every aggregation row holds <= cap
+    members. Pairs = within-group expansions plus cross-group
+    (g1 < g2) list×list expansions over the __bn > cap groups only —
+    an empty frame in the common case, whose __bn filter prunes its
+    lineage to near-nothing (a first cut that rank-windowed the
+    payload frame itself cost the hyperplane query ~1.7 s at sf0.1).
+    Sub-bucket ids follow vec_id rank order, so every cross pair
+    already satisfies vec_a < vec_b — no normalization. The emitted
+    pair set is bit-identical to the uncapped form (the split is a
+    disjoint partition of each bucket); what changes is worst-case
+    row memory, O(hot bucket) → O(cap).
     """
-    wsub = Window.partitionBy(*key_cols).orderBy(F.col("m.vec_id"))
-    sub = keyed.withColumn(
+    sizes = narrow.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    wsub = Window.partitionBy(*key_cols).orderBy("vec_id")
+    sub = narrow.join(sizes, key_cols).withColumn(
         "g",
-        ((F.row_number().over(wsub) - F.lit(1)) / F.lit(cap)).cast("long"),
+        F.when(F.col("__bn") <= cap, F.lit(0).cast("long")).otherwise(
+            ((F.row_number().over(wsub) - F.lit(1)) / F.lit(cap)).cast("long")
+        ),
     )
-    groups = sub.groupBy(*key_cols, "g").agg(
+    keyed = sub.join(payload, "vec_id")
+    groups = keyed.groupBy(*key_cols, "g", "__bn").agg(
         F.array_sort(F.collect_list("m")).alias("ms")
     )
     pair_struct = (
@@ -289,10 +305,11 @@ def _capped_bucket_pairs(
             ).alias("p"),
         )
     )
-    ga = groups.select(
+    hot = groups.where(F.col("__bn") > cap)
+    ga = hot.select(
         *key_cols, F.col("g").alias("g1"), F.col("ms").alias("ms1")
     )
-    gb = groups.select(
+    gb = hot.select(
         *[F.col(k).alias(f"__{k}2") for k in key_cols],
         F.col("g").alias("g2"),
         F.col("ms").alias("ms2"),
@@ -455,9 +472,7 @@ def q_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = base.select(
         "vec_id", F.struct("vec_id", "embedding", "n2").alias("m")
     )
-    pairs = _capped_bucket_pairs(
-        banded.join(payload, "vec_id"), ["band", "bval"]
-    )
+    pairs = _capped_bucket_pairs(banded, payload, ["band", "bval"])
     cos = cosine_from_scaled(
         dot_scaled_arrow("p.a_emb", "p.b_emb"),
         F.col("p.a_n2"),

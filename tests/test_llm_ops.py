@@ -99,12 +99,16 @@ def test_capped_bucket_pairs_identical_pair_set(spark):
         (1, 100, [9.0, 9.0], 1000),
         (1, 101, [8.0, 8.0], 1001),
     ]
-    df = spark.createDataFrame(
+    base = spark.createDataFrame(
         rows, "bkt bigint, vec_id bigint, embedding array<double>, n2 bigint"
-    ).select("bkt", F.struct("vec_id", "embedding", "n2").alias("m"))
+    )
+    narrow = base.select("vec_id", "bkt")
+    payload = base.select(
+        "vec_id", F.struct("vec_id", "embedding", "n2").alias("m")
+    )
 
     def pair_set(cap):
-        out = _capped_bucket_pairs(df, ["bkt"], cap=cap).select(
+        out = _capped_bucket_pairs(narrow, payload, ["bkt"], cap=cap).select(
             "bkt", "p.vec_a", "p.vec_b", "p.a_n2", "p.b_n2"
         )
         got = [tuple(r) for r in out.collect()]
