@@ -505,3 +505,191 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 composition: cross-modal curation funnel
+# ---------------------------------------------------------------------------
+
+_V4_CONTAM_PPM = 200_000  # drop: >=20% of shingles shared with the eval slice
+_V4_STALE_PPM = 50_000  # drop: <5% globally-novel shingles
+_V4_EVAL_MOD = 97  # eval slice: doc_id % 97 == 0 (contamination.py's rule)
+
+
+def _v4_oracle() -> str:
+    from geoparquet_python_spark.operators.kmeans import _sql_kmeans_ctes
+    from geoparquet_python_spark.operators.semdedup import (
+        _SQL_KK,
+        _SQL_SEMDEDUP_EDGES,
+    )
+
+    return f"""
+    WITH {_SQL_KK},
+    {_sql_kmeans_ctes(k_sql="(SELECT k FROM kk)")},
+    {_SQL_SEMDEDUP_EDGES},
+    semdrop AS (SELECT DISTINCT vec_b AS vec_id FROM hits),
+    {sql_shingles_cte(k=3)},
+    nsh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_V4_EVAL_MOD} = 0),
+    chit AS (
+      SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM sh JOIN bench USING (s) GROUP BY 1
+    ),
+    first_seen AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY s),
+    nov AS (
+      SELECT sh.doc_id,
+             CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh JOIN first_seen f USING (s) GROUP BY sh.doc_id
+    ),
+    verd AS (
+      SELECT d.lang,
+             CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             CASE
+               WHEN d.doc_id % {_V4_EVAL_MOD} = 0 THEN 'eval'
+               WHEN COALESCE(n.n_sh, 0) > 0
+                    AND COALESCE(c.n_hits, 0) * 1000000
+                        >= {_V4_CONTAM_PPM} * n.n_sh THEN 'contaminated'
+               WHEN COALESCE(n.n_sh, 0) > 0
+                    AND COALESCE(v.n_novel, 0) * 1000000
+                        < {_V4_STALE_PPM} * n.n_sh THEN 'stale'
+               WHEN s.vec_id IS NOT NULL THEN 'semdup'
+               ELSE 'kept'
+             END AS verdict
+      FROM documents d
+      LEFT JOIN nsh n ON n.doc_id = d.doc_id
+      LEFT JOIN chit c ON c.doc_id = d.doc_id
+      LEFT JOIN nov v ON v.doc_id = d.doc_id
+      LEFT JOIN semdrop s ON s.vec_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN verdict = 'eval' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_eval,
+           CAST(SUM(CASE WHEN verdict = 'contaminated' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN verdict = 'stale' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stale,
+           CAST(SUM(CASE WHEN verdict = 'semdup' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_semdup,
+           CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN verdict = 'kept' THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM verd
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@query("q_curation_pipeline_v4", oracle=_v4_oracle())
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 composition: the CROSS-MODAL curation funnel — the first
+    pipeline here whose stages span both the text and the embedding
+    modality of the same corpus. Precedence:
+
+    1. eval carve-out — the benchmark slice (doc_id % {_V4_EVAL_MOD})
+       never trains;
+    2. decontamination — docs sharing >= {_V4_CONTAM_PPM} ppm of their
+       distinct 3-gram shingles with the eval slice drop (the GPT-3
+       appendix-C rule with a fraction threshold instead of any-hit,
+       which at corpus scale over-fires on incidental trigrams);
+    3. staleness — docs contributing < {_V4_STALE_PPM} ppm globally
+       first-seen shingles drop (q_ngram_novelty's marginal-value
+       signal as a gate);
+    4. SemDeDup — survivors whose embedding has a tau-similar lower-id
+       mate in its k-means cell drop (paraphrase layer — the lexical
+       stages above cannot see it);
+    and a per-lang funnel rollup with kept-token accounting.
+
+    Plan shape: ONE exploded shingle frame feeds stages 2 and 3 (a
+    shingle-keyed first-occurrence aggregate and an eval-set semi-join
+    — two linear shuffles); stage 4 reuses the K-scaled cell pair
+    stream (semdedup.py, occupancy-capped); the verdict is a CASE over
+    left joins on doc_id and the rollup is |langs|-keyed. Nothing
+    pairwise outside the capped in-cell stream."""
+    from geoparquet_python_spark.operators.semdedup import (
+        _TAU,
+        _assigned_base,
+        _cell_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    from geoparquet_python_spark.functions.text import shingles
+
+    # shingles() wants a column NAME, so tokenize into a named column
+    # first, then build the distinct shingle array in-row.
+    ex = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles("toks", 3).alias("sh_arr"))
+        .select("doc_id", F.explode("sh_arr").alias("s"))
+    )
+    nsh = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    bench = (
+        ex.where(F.col("doc_id") % _V4_EVAL_MOD == 0).select("s").distinct()
+    )
+    chit = (
+        ex.join(broadcast_narrow(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    first_seen = ex.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    nov = (
+        ex.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel")
+        )
+    )
+    base = _assigned_base(spark, sf_dir)
+    semdrop = (
+        _cell_pairs(spark, sf_dir, base=base)
+        .where(F.col("cosine") >= _TAU)
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__semdup", F.lit(True))
+    )
+    verdict = F.when(F.col("doc_id") % _V4_EVAL_MOD == 0, "eval").when(
+        (F.coalesce("n_sh", F.lit(0)) > 0)
+        & (
+            F.coalesce("n_hits", F.lit(0)) * 1_000_000
+            >= _V4_CONTAM_PPM * F.col("n_sh")
+        ),
+        "contaminated",
+    ).when(
+        (F.coalesce("n_sh", F.lit(0)) > 0)
+        & (
+            F.coalesce("n_novel", F.lit(0)) * 1_000_000
+            < _V4_STALE_PPM * F.col("n_sh")
+        ),
+        "stale",
+    ).when(F.coalesce("__semdup", F.lit(False)), "semdup").otherwise("kept")
+    verd = (
+        d.select(
+            "doc_id", "lang", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+        )
+        .join(nsh, "doc_id", "left")
+        .join(chit, "doc_id", "left")
+        .join(nov, "doc_id", "left")
+        .join(semdrop, "doc_id", "left")
+        .select("lang", "n_tokens", verdict.alias("verdict"))
+    )
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    ]
+    for v in ["eval", "contaminated", "stale", "semdup", "kept"]:
+        agg.append(
+            F.sum((F.col("verdict") == v).cast("bigint")).alias(f"n_{v}")
+        )
+    agg.append(
+        F.sum(
+            F.when(F.col("verdict") == "kept", F.col("n_tokens")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+        .cast("bigint")
+        .alias("kept_tokens")
+    )
+    return verd.groupBy("lang").agg(*agg).orderBy("lang")

@@ -1,6 +1,7 @@
 """Structured Streaming operators (SURVEY.md §2.E)."""
 
 import geoparquet_python_spark.streaming.anomaly  # noqa: F401
+import geoparquet_python_spark.streaming.bloomgate  # noqa: F401
 import geoparquet_python_spark.streaming.dsirgate  # noqa: F401
 import geoparquet_python_spark.streaming.neardup  # noqa: F401
 import geoparquet_python_spark.streaming.serving  # noqa: F401

@@ -1,0 +1,171 @@
+"""Streaming Bloom dedup gate: ingest-time exact-duplicate screening
+of a document stream against a Bloom filter of the existing corpus's
+content hashes — the Dolma-deduper shape (AllenAI's corpus dedup IS a
+Bloom filter over document/paragraph hashes; public tooling), fused
+with this repo's stream-static confirm step.
+
+A new document whose hash MISSES the filter is guaranteed unseen (no
+false negatives) and can land without touching the corpus at all; a
+HIT is only *maybe* seen and goes to the exact confirm join, which at
+a well-sized m/n touches ~(dup_rate + fp_rate) of the stream instead
+of all of it. That asymmetry is the entire point at 100 TB: the
+filter is a few MB broadcast riding INSIDE the stateless stream
+projection (no state store, no watermark, append mode), and the
+expensive hash-keyed corpus join runs only for the sliver the filter
+could not clear.
+
+Determinism: content key = md5(text) hex; bit positions =
+md5_long("bfs{i}_" || key) % m — both engines compute identical bits
+(operators/bloomjoin.py's convention, 63 usable bits per int64 word
+so neither engine shifts into the sign bit), so bloom_hit and even
+the false-positive flags are oracle-exact booleans.
+
+Batch≡stream: availableNow drains the whole documents table through
+the same stateless plan, so the drained result equals the batch SQL
+the DuckDB oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.text import SQL_MD5_LONG
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.operators.bloomjoin import _SPARK_MD5_LONG
+from geoparquet_python_spark.registry import query
+from geoparquet_python_spark.session import prepare
+from geoparquet_python_spark.streaming.source import run_to_memory_table
+
+# Frozen "already ingested" corpus half (same convention as the
+# streaming span screen and DSIR gate).
+_HALF_PRED = "doc_id % 2 = 0"
+_M_BITS = 65536  # ~26 bits/key at sf0.1's 2500 frozen docs => FP ~0.1%
+_BITS_PER_WORD = 63
+_N_WORDS = (_M_BITS + _BITS_PER_WORD - 1) // _BITS_PER_WORD
+_N_HASH = 3
+
+
+def _positions(template: str, key_expr: str, arr_fn: str) -> str:
+    hashes = ", ".join(
+        template.format(expr=f"concat('bfs{i}_', {key_expr})") + f" % {_M_BITS}"
+        for i in range(_N_HASH)
+    )
+    return f"{arr_fn}({hashes})"
+
+
+def _filter_words(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Dense word list of the Bloom filter over the frozen half's
+    md5(text) content keys — one narrow aggregate, <= _N_WORDS rows
+    collected (constant by construction)."""
+    d = load_table(spark, sf_dir, "documents").where(F.expr(_HALF_PRED))
+    words = (
+        d.select(
+            F.explode(
+                F.expr(_positions(_SPARK_MD5_LONG, "md5(text)", "array"))
+            ).alias("pos")
+        )
+        .select(
+            F.expr("CAST(pos DIV 63 AS BIGINT)").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
+    )
+    dense = [0] * _N_WORDS
+    for r in words:
+        dense[int(r["word"])] = int(r["bits"])
+    return dense
+
+
+_SQL_GATE = f"""
+    WITH frozen AS (
+      SELECT md5(text) AS k FROM documents WHERE {_HALF_PRED}
+    ),
+    hp AS (
+      SELECT k, unnest({_positions(SQL_MD5_LONG, "k", "list_value")}) AS pos
+      FROM frozen
+    ),
+    words AS (
+      SELECT pos // 63 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+      FROM hp GROUP BY 1
+    ),
+    probe AS (
+      SELECT doc_id, md5(text) AS k FROM documents
+    ),
+    pp AS (
+      SELECT doc_id, k,
+             unnest({_positions(SQL_MD5_LONG, "k", "list_value")}) AS pos
+      FROM probe
+    ),
+    tested AS (
+      SELECT p.doc_id, MIN(p.k) AS k,
+             SUM(CASE WHEN (w.bits >> CAST(p.pos % 63 AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS n_set
+      FROM pp p LEFT JOIN words w ON w.word = p.pos // 63
+      GROUP BY p.doc_id
+    ),
+    fk AS (SELECT DISTINCT k FROM frozen)
+    SELECT t.doc_id,
+           t.n_set = {_N_HASH} AS bloom_hit,
+           fk.k IS NOT NULL AS exact_dup,
+           t.n_set = {_N_HASH} AND fk.k IS NULL AS false_pos
+    FROM tested t LEFT JOIN fk ON fk.k = t.k
+    ORDER BY t.doc_id
+"""
+
+
+@query("q_stream_bloom_dedup_gate", oracle=_SQL_GATE)
+def q_stream_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time Bloom dedup: every streamed document is probed
+    MAP-ONLY (stateless, append) against the frozen half's content
+    filter; the drained table then exact-confirms the hits against
+    the frozen hash set, labelling each doc (bloom_hit, exact_dup,
+    false_pos). No false negatives by construction — asserted in
+    tests/test_streaming.py along with batch≡stream parity."""
+    prepare(spark)
+    words = _filter_words(spark, sf_dir)
+    words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    probed = stream_docs.select(
+        "doc_id",
+        F.md5("text").alias("k"),
+        F.expr(
+            f"forall(transform({_positions(_SPARK_MD5_LONG, 'md5(text)', 'array')}, "
+            f"pos -> shiftright(element_at({words_lit}, CAST(pos DIV 63 AS INT) + 1), "
+            f"                  CAST(pos % 63 AS INT)) & 1 = 1), x -> x)"
+        ).alias("bloom_hit"),
+    )
+    name = run_to_memory_table(probed, output_mode="append")
+    drained = spark.table(name)
+
+    frozen = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.expr(_HALF_PRED))
+        .select(F.md5("text").alias("k"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    return (
+        drained.join(frozen, "k", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("__seen", F.lit(False)).alias("exact_dup"),
+            (F.col("bloom_hit") & F.coalesce(~F.col("__seen"), F.lit(True))).alias(
+                "false_pos"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -447,3 +447,19 @@ def test_stream_anomaly_state_carries_across_microbatches(spark, tmp_path):
     q.awaitTermination()
     rows = spark.table("anomaly_state_test").collect()
     assert [(r.event_id, r.n_prior) for r in rows] == [(100, 12)]
+
+
+def test_stream_bloom_gate_no_false_negatives(spark, sf_dir):
+    """Bloom dedup gate invariants: every exact duplicate must have
+    hit the filter (no false negatives — the property that makes
+    'bloom miss => land without the corpus join' safe), false_pos is
+    exactly hit-and-not-dup, and the frozen half (even doc_ids, all
+    self-present) must be 100% bloom_hit + exact_dup."""
+    rows = registry.QUERIES["q_stream_bloom_dedup_gate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["exact_dup"]:
+            assert r["bloom_hit"], f"false negative at doc {r['doc_id']}"
+        assert r["false_pos"] == (r["bloom_hit"] and not r["exact_dup"])
+        if r["doc_id"] % 2 == 0:
+            assert r["bloom_hit"] and r["exact_dup"]
