@@ -618,9 +618,15 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoparquet_python_spark.functions.text import shingles
 
     # shingles() wants a column NAME, so tokenize into a named column
-    # first, then build the distinct shingle array in-row.
-    ex = (
-        d.select("doc_id", tokens("text").alias("toks"))
+    # first, then build the distinct shingle array in-row. Materialized:
+    # the exploded frame feeds THREE consumers (per-doc counts, the
+    # eval-set semi-join, the first-occurrence aggregate) — without the
+    # barrier each one re-runs the tokenize+shingle projection over the
+    # whole corpus (measured ~4 s of the funnel's wall at sf0.1).
+    from geoparquet_python_spark.functions.exact import materialize, spread
+
+    ex = materialize(
+        spread(d.select("doc_id", tokens("text").alias("toks")))
         .select("doc_id", shingles("toks", 3).alias("sh_arr"))
         .select("doc_id", F.explode("sh_arr").alias("s"))
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.exact import (
     broadcast_bounded,
+    broadcast_narrow,
     materialize,
     spread,
 )
@@ -276,13 +277,27 @@ def _capped_bucket_pairs(
     disjoint partition of each bucket); what changes is worst-case
     row memory, O(hot bucket) → O(cap).
     """
+    # sizes is bounded by the BUCKET-KEY DOMAIN, not the corpus: both
+    # call sites have constructively bounded domains (hyperplane LSH:
+    # bands × 2^band_bits rows; SemDeDup: K cells), so the broadcast
+    # is driver-safe at any corpus size and removes a sort-merge join
+    # + sort from the hot lineage (measured ~4 s of the 8× leg).
     sizes = narrow.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
     wsub = Window.partitionBy(*key_cols).orderBy("vec_id")
-    sub = narrow.join(sizes, key_cols).withColumn(
-        "g",
-        F.when(F.col("__bn") <= cap, F.lit(0).cast("long")).otherwise(
-            ((F.row_number().over(wsub) - F.lit(1)) / F.lit(cap)).cast("long")
-        ),
+    # materialize: sub feeds the within path AND both cross-branch
+    # sides; without the barrier each one re-runs the size join +
+    # window sort (the __bn filter cannot push below a window, so the
+    # "empty" cross branches still paid the full narrow lineage —
+    # measured 2× extra at the 8× weak-scaling leg).
+    sub = materialize(
+        narrow.join(broadcast_narrow(sizes), key_cols).withColumn(
+            "g",
+            F.when(F.col("__bn") <= cap, F.lit(0).cast("long")).otherwise(
+                ((F.row_number().over(wsub) - F.lit(1)) / F.lit(cap)).cast(
+                    "long"
+                )
+            ),
+        )
     )
     keyed = sub.join(payload, "vec_id")
     groups = keyed.groupBy(*key_cols, "g", "__bn").agg(
@@ -305,7 +320,15 @@ def _capped_bucket_pairs(
             ).alias("p"),
         )
     )
-    hot = groups.where(F.col("__bn") > cap)
+    # Hot groups are re-derived from keyed.where(__bn > cap), NOT from
+    # groups.where(...): the latter filters ABOVE the payload collect,
+    # so the two cross-branch lineages would re-run the full corpus
+    # groupBy just to throw it away (measured: the 8× weak-scaling leg
+    # tripled, 6.8 s → 27 s). Filtering keyed pushes to the join input
+    # — the cross branches collect only the oversized sliver.
+    hot = keyed.where(F.col("__bn") > cap).groupBy(*key_cols, "g").agg(
+        F.array_sort(F.collect_list("m")).alias("ms")
+    )
     ga = hot.select(
         *key_cols, F.col("g").alias("g1"), F.col("ms").alias("ms1")
     )
