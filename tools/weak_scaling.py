@@ -86,6 +86,19 @@ DEFAULT_QUERIES = [
     "q_events_ewma_halflife",
     "q_user_value_trend",
     "q_events_rolling_median",
+    # Round-7: Bloom runtime filters, spectral ops, novelty, robust
+    # stats, the encode path, the cross-modal funnel, and the capped
+    # hyperplane/semdedup forms (measured table in SCALE.md Round-7).
+    "q_bloom_filter_semi_join",
+    "q_bloom_pruned_revenue",
+    "q_ngram_novelty",
+    "q_winsorized_price_stats",
+    "q_pca_power_iteration",
+    "q_jl_distortion_audit",
+    "q_events_anomaly_mad",
+    "q_session_top_paths",
+    "q_bpe_encode_heldout",
+    "q_curation_pipeline_v4",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
