@@ -122,3 +122,36 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "q_bucketed_groupby_no_shuffle",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def q_bucketed_groupby_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER thing bucketing buys: a groupBy on the bucket key
+    aggregates each bucket file in place — the plan has NO Exchange
+    below the aggregate (asserted in tests/test_plans.py; the only
+    exchange left is the presentation sort's). At 100 TB this is every
+    per-order/per-entity rollup in the workload running shuffle-free
+    off the same layout the joins use; together with
+    q_bucketed_colocated_join it shows one write-time decision paying
+    for two whole operator classes."""
+    _, t_lineitem = _bucketed_tables(spark, sf_dir)
+    li = spark.table(t_lineitem)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum(F.col("l_quantity"), "total_qty"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -394,3 +394,16 @@ def test_ivfpq_store_scan_is_partition_pruned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_ivfpq_cell_store_search")
     m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
     assert m, "store scan lost its cell partition filter"
+
+
+def test_bucketed_groupby_has_no_pre_agg_exchange(spark, sf_dir):
+    """Bucket-key aggregation must run in place: no Exchange between
+    the bucketed scan and the HashAggregate pair — only the trailing
+    presentation sort's range partitioning remains."""
+    plan = plan_of(spark, sf_dir, "q_bucketed_groupby_no_shuffle")
+    agg_at = plan.index("HashAggregate")
+    below_agg = plan[agg_at:]
+    assert "Exchange" not in below_agg, (
+        "bucketing failed to remove the aggregation shuffle:\n" + below_agg
+    )
+    assert plan.count("Exchange") <= 1, "unexpected extra exchanges"
