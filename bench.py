@@ -156,9 +156,19 @@ def main() -> None:
             break
         prev_t = t
 
+    # Local-iteration subset (comma-separated names). Subset runs are
+    # for DEVELOPMENT timing only — the driver's recorded run never
+    # sets this, so BENCH_r*.json always carries the full suite.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))]
+        if only
+        else HEADLINE
+    )
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = registry.QUERIES[name]
         best = float("inf")
         runs = 0
@@ -216,9 +226,12 @@ def main() -> None:
     print(json.dumps(record))
     # Durable full record (next run's delta baseline even when the
     # driver's truncated stdout capture can't hold the full line).
+    # Subset runs (SPARK_GRAFT_BENCH_ONLY) never overwrite it — a
+    # partial baseline would null out every other query's delta.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_LAST_FULL.json"), "w") as f:
-        json.dump(record, f)
+    if not only:
+        with open(os.path.join(here, "BENCH_LAST_FULL.json"), "w") as f:
+            json.dump(record, f)
     # The driver keeps only the LAST 2000 bytes of stdout; the full
     # line above has outgrown that (BENCH_r04/r05 landed parsed:null).
     # Emit a compact trailing line that still carries the PER-QUERY
@@ -227,6 +240,12 @@ def main() -> None:
     # ~1.4 KB. If the suite ever grows past the 2000-byte capture, the
     # queries dict is dropped from the tail (never the headline value)
     # — the full detail always survives in BENCH_LAST_FULL.json.
+    # deltas_vs_prev must survive in the PARSED record too (VERDICT r7
+    # item 5: cross-round per-query deltas were only recoverable from
+    # the front-truncated tail). A name-keyed delta dict would double
+    # the line (~2.7 KB > the 2000-byte capture), so the compact form
+    # aligns a ratio ARRAY to the queries dict's key order (JSON keeps
+    # object order; null = no previous time for that query).
     compact = {
         "metric": "headline_suite_wall",
         "value": total,
@@ -234,9 +253,16 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "queries": {n: round(t, 2) for n, t in times.items()},
+        "deltas_vs_prev": {
+            "order": "queries",
+            "ratios": [deltas.get(n) for n in times],
+        },
         "regressions": regressions,
     }
     line = json.dumps(compact)
+    if len(line) > 1900:
+        del compact["deltas_vs_prev"]
+        line = json.dumps(compact)
     if len(line) > 1900:
         del compact["queries"]
         line = json.dumps(compact)

@@ -525,18 +525,23 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("ws").alias("w")
     )
     hashed = words.select("doc_id", md5_long(F.col("w")).alias("h"))
-    bit_aggs = [F.count(F.lit(1)).alias("nw")] + [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1)).alias(f"s{b}")
+    # Sum+pack as ONE spark.sql call (see _simhash_w240_signatures:
+    # the Python-Column form of a 60-sum agg + 60-term pack tree costs
+    # ~1 s of py4j round-trips per plan build; the SQL string parses
+    # JVM-side in one call).
+    hashed.createOrReplaceTempView("__sg_w60_hashed")
+    sums = ", ".join(
+        f"SUM(((h >> {b}) & 1)) AS s{b}" for b in range(_SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s{b} * 2 > nw THEN {1 << b}L ELSE 0L END"
         for b in range(_SIMHASH_BITS)
-    ]
-    bitsums = hashed.groupBy("doc_id").agg(*bit_aggs)
-    simhash = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(
-            F.col(f"s{b}") * 2 > F.col("nw"), F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        simhash = term if simhash is None else simhash + term
-    return bitsums.select("doc_id", simhash.alias("simhash"))
+    )
+    return spark.sql(
+        f"SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM "
+        f"(SELECT doc_id, COUNT(1) AS nw, {sums} FROM __sg_w60_hashed "
+        "GROUP BY doc_id)"
+    )
 
 
 @query(
@@ -1135,28 +1140,31 @@ def _simhash_wide_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Branch-free bit sums (see _simhash_signatures: sign(2*c1 - n) ≡
     # sign(Σ ±1), 4x cheaper than the CASE WHEN ±1 form — measured
-    # 4.2 s -> 0.9 s at sf0.1 for this 120-sum aggregation).
-    aggs = [F.count(F.lit(1)).alias("nw")]
-    for col, half in (("hlo", "lo"), ("hhi", "hi")):
-        aggs += [
-            F.sum(F.shiftright(F.col(col), b).bitwiseAND(1)).alias(
-                f"{half}{b}"
-            )
+    # 4.2 s -> 0.9 s at sf0.1 for this 120-sum aggregation). The whole
+    # sum+pack stage is ONE spark.sql call over a temp view: building
+    # the 120 agg Columns + 120-term pack trees as Python Column
+    # objects cost ~2 s of py4j round-trips PER PLAN BUILD (the r7
+    # memory: ~1-2 s per 1000 py4j calls); a ~25 KB SQL string parses
+    # JVM-side in one call. DataFrames analyze eagerly, so the
+    # returned frame is immune to later view replacement.
+    hashed.createOrReplaceTempView("__sg_w120_hashed")
+    sums = ", ".join(
+        f"SUM((({col} >> {b}) & 1)) AS {half}{b}"
+        for col, half in (("hlo", "lo"), ("hhi", "hi"))
+        for b in range(60)
+    )
+    packs = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN {half}{b} * 2 > nw THEN {1 << b}L ELSE 0L END"
             for b in range(60)
-        ]
-    bitsums = hashed.groupBy("doc_id").agg(*aggs)
-    packed = {}
-    for half in ("lo", "hi"):
-        acc = None
-        for b in range(60):
-            term = F.when(
-                F.col(f"{half}{b}") * 2 > F.col("nw"),
-                F.lit(1 << b).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-            acc = term if acc is None else acc + term
-        packed[half] = acc
-    return bitsums.select(
-        "doc_id", packed["lo"].alias("sim_lo"), packed["hi"].alias("sim_hi")
+        )
+        + f" AS BIGINT) AS sim_{half}"
+        for half in ("lo", "hi")
+    )
+    return spark.sql(
+        f"SELECT doc_id, {packs} FROM (SELECT doc_id, COUNT(1) AS nw, "
+        f"{sums} FROM __sg_w120_hashed GROUP BY doc_id)"
     )
 
 
@@ -1408,26 +1416,31 @@ def _simhash_w240_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s2hi_h"),
     )
-    aggs = [F.count(F.lit(1)).alias("nw")]
-    for col in _W240_COLS:
-        aggs += [
-            F.sum(
-                F.shiftright(F.col(f"{col}_h"), b).bitwiseAND(1)
-            ).alias(f"{col}_{b}")
+    # One spark.sql call for the 240-sum + 240-term-pack stage (same
+    # rationale as _simhash_wide_signatures above, 2× the width): the
+    # Python-Column form of this aggregation was ~4.2 s of py4j plan
+    # building per invocation — the bulk of the query's r7 bench wall
+    # (6.7 s total, 0.7 s execution). Bit-identical output asserted
+    # against the Column form before the swap (round-8).
+    hashed.createOrReplaceTempView("__sg_w240_hashed")
+    sums = ", ".join(
+        f"SUM((({c}_h >> {b}) & 1)) AS {c}_{b}"
+        for c in _W240_COLS
+        for b in range(60)
+    )
+    packs = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN {c}_{b} * 2 > nw THEN {1 << b}L ELSE 0L END"
             for b in range(60)
-        ]
-    bitsums = hashed.groupBy("doc_id").agg(*aggs)
-    sel = [F.col("doc_id")]
-    for col in _W240_COLS:
-        acc = None
-        for b in range(60):
-            term = F.when(
-                F.col(f"{col}_{b}") * 2 > F.col("nw"),
-                F.lit(1 << b).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-            acc = term if acc is None else acc + term
-        sel.append(acc.alias(col))
-    return bitsums.select(*sel)
+        )
+        + f" AS BIGINT) AS {c}"
+        for c in _W240_COLS
+    )
+    return spark.sql(
+        f"SELECT doc_id, {packs} FROM (SELECT doc_id, COUNT(1) AS nw, "
+        f"{sums} FROM __sg_w240_hashed GROUP BY doc_id)"
+    )
 
 
 # Each bit_count is cast up front: DuckDB's bit_count returns an

@@ -79,19 +79,33 @@ _TAU = 0.35  # semantic-duplicate cosine threshold
 # default from round 7 (VERDICT r6 item 4) and fixed-K survives only as
 # the weak-scaling table's documented contrast.
 _CELL_TARGET = 250
+# Hard ceiling on the scaled K (round-8, ADVICE r7): the trained
+# centroids ride as a K × dim literal expression tree and each Lloyd
+# round collects K × dim fixed-point sums — both are driver-side and
+# Catalyst-analysis costs that grow with K, so "K scales with the
+# corpus" cannot hold unboundedly under the trainer-literal contract.
+# 4096 cells × 64 dims ≈ 262k int64 literals is the measured comfort
+# ceiling for plan build; past it (corpora > ~1M vectors at the 250
+# target) the assignment must switch to a broadcast-join centroid
+# table instead of a literal — documented here as the next gear, not
+# silently entered.
+_K_CAP = 4096
 # SQL twin of _scaled_k — the oracle derives k from the same corpus
 # count so both engines compute the identical cluster count.
-_SQL_KK = f"kk AS (SELECT GREATEST(8, COUNT(*) // {_CELL_TARGET}) AS k FROM embeddings)"
+_SQL_KK = (
+    f"kk AS (SELECT LEAST(GREATEST(8, COUNT(*) // {_CELL_TARGET}),"
+    f" {_K_CAP}) AS k FROM embeddings)"
+)
 
 
 def _scaled_k(spark: SparkSession, sf_dir: str) -> int:
-    """K = max(8, n / _CELL_TARGET): one metadata-only parquet count
-    (io.parquet_row_count reads footers driver-side — zero Spark jobs,
-    so deriving k never costs a corpus pass)."""
+    """K = min(max(8, n / _CELL_TARGET), _K_CAP): one metadata-only
+    parquet count (io.parquet_row_count reads footers driver-side —
+    zero Spark jobs, so deriving k never costs a corpus pass)."""
     from geoparquet_python_spark.io import parquet_row_count
 
     n = parquet_row_count(spark, sf_dir, "embeddings")
-    return max(8, n // _CELL_TARGET)
+    return min(max(8, n // _CELL_TARGET), _K_CAP)
 
 
 def _assigned_base(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -276,13 +276,57 @@ def _capped_bucket_pairs(
     pair set is bit-identical to the uncapped form (the split is a
     disjoint partition of each bucket); what changes is worst-case
     row memory, O(hot bucket) → O(cap).
+
+    FAST PATH (round-8, VERDICT r7 item 1): one payload-free size
+    aggregate runs FIRST and collects two scalars (max occupancy,
+    key count). When no bucket exceeds the cap — the common case by
+    the callers' own contracts (band width / K-scaling keep typical
+    occupancy << cap) — the whole sub-bucket apparatus (size join,
+    rank window, localCheckpoint barrier, two cross branches) is
+    skipped and the plain (key)-grouped collect runs directly, safe
+    because the precheck just PROVED every aggregation row ≤ cap.
+    The precheck is a linear spillable aggregate over id+key rows —
+    strictly cheaper than the window sort + checkpoint it replaces
+    (the r7 bench's one flagged regression, ~1.4 s constant at
+    sf0.1). The guard stays armed: any oversized bucket flips the
+    run onto the sub-bucketed path unchanged.
     """
-    # sizes is bounded by the BUCKET-KEY DOMAIN, not the corpus: both
-    # call sites have constructively bounded domains (hyperplane LSH:
-    # bands × 2^band_bits rows; SemDeDup: K cells), so the broadcast
-    # is driver-safe at any corpus size and removes a sort-merge join
-    # + sort from the hot lineage (measured ~4 s of the 8× leg).
     sizes = narrow.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    # Two scalars, one job: the max drives the fast/guarded branch,
+    # the key count drives the sizes-join strategy below.
+    stats = sizes.agg(
+        F.max("__bn").alias("mx"), F.count(F.lit(1)).alias("nk")
+    ).collect()[0]
+    max_occupancy = int(stats["mx"] or 0)
+    n_keys = int(stats["nk"] or 0)
+    pair_struct = (
+        "struct(a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "a.embedding AS a_emb, b.embedding AS b_emb, "
+        "a.n2 AS a_n2, b.n2 AS b_n2)"
+    )
+    within_expr = (
+        "flatten(transform(ms, (a, i) -> "
+        f"transform(slice(ms, i + 2, size(ms)), b -> {pair_struct})))"
+    )
+    if max_occupancy <= cap:
+        groups = (
+            narrow.join(payload, "vec_id")
+            .groupBy(*key_cols)
+            .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        )
+        return groups.where(F.size("ms") > 1).select(
+            *key_cols, F.explode(F.expr(within_expr)).alias("p")
+        )
+    # sizes join strategy: the hyperplane caller's key domain is
+    # constructively bounded (bands × 2^band_bits) but SemDeDup's K
+    # now SCALES with the corpus (K = n / cell_target, r7), so the
+    # broadcast is guarded by the MEASURED key count, not a domain
+    # argument — past the bound, a shuffle join carries the sizes
+    # (ADVICE r7: the bounded-driver-literal contract must not be
+    # asserted for a corpus-proportional relation).
+    sized = (
+        broadcast_narrow(sizes) if n_keys <= 1_000_000 else sizes
+    )
     wsub = Window.partitionBy(*key_cols).orderBy("vec_id")
     # materialize: sub feeds the within path AND both cross-branch
     # sides; without the barrier each one re-runs the size join +
@@ -290,7 +334,7 @@ def _capped_bucket_pairs(
     # "empty" cross branches still paid the full narrow lineage —
     # measured 2× extra at the 8× weak-scaling leg).
     sub = materialize(
-        narrow.join(broadcast_narrow(sizes), key_cols).withColumn(
+        narrow.join(sized, key_cols).withColumn(
             "g",
             F.when(F.col("__bn") <= cap, F.lit(0).cast("long")).otherwise(
                 ((F.row_number().over(wsub) - F.lit(1)) / F.lit(cap)).cast(
@@ -303,21 +347,11 @@ def _capped_bucket_pairs(
     groups = keyed.groupBy(*key_cols, "g", "__bn").agg(
         F.array_sort(F.collect_list("m")).alias("ms")
     )
-    pair_struct = (
-        "struct(a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        "a.embedding AS a_emb, b.embedding AS b_emb, "
-        "a.n2 AS a_n2, b.n2 AS b_n2)"
-    )
     within = (
         groups.where(F.size("ms") > 1)
         .select(
             *key_cols,
-            F.explode(
-                F.expr(
-                    "flatten(transform(ms, (a, i) -> "
-                    f"transform(slice(ms, i + 2, size(ms)), b -> {pair_struct})))"
-                )
-            ).alias("p"),
+            F.explode(F.expr(within_expr)).alias("p"),
         )
     )
     # Hot groups are re-derived from keyed.where(__bn > cap), NOT from
@@ -428,54 +462,53 @@ def q_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _plane_components()
     base = e.select("vec_id", "embedding", norm2_scaled("embedding").alias("n2"))
 
-    # The 96×64 plane matrix rides as DATA (one broadcast row), not as
-    # 6144 literals in the expression tree — a literal-array encoding
-    # made Catalyst analysis/codegen the bottleneck (measured 24 s for
-    # 2 000 rows). One transform pass computes all 96 sign bits per
+    # The 96×64 plane matrix rides as ONE parsed SQL array literal that
+    # Catalyst CONSTANT-FOLDS to a single Literal(ArrayData) before any
+    # per-row evaluation — evaluated once at optimization, never per
+    # row. Two earlier encodings were both slower: 6144 F.lit Column
+    # objects in the projection made Catalyst analysis/codegen the
+    # bottleneck (measured 24 s for 2 000 rows — py4j builds one call
+    # per literal and nothing folds a 6144-node Python-built tree
+    # cheaply), and the round-6/7 createDataFrame-one-row-broadcast
+    # form was correct but paid createDataFrame serialization + a
+    # broadcast-bound count job + a join per invocation (~0.6 s of the
+    # r7 bench's 4.7 s wall). A 22 KB SQL string parses JVM-side in one
+    # py4j call. One transform pass computes all 96 sign bits per
     # vector; the signature is materialized before band expansion so
     # projection collapse can't inline the bit computation 12×.
-    planes_df = spark.createDataFrame(
-        [(planes,)], "planes array<array<bigint>>"
+    planes_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{c}L" for c in row) + ")" for row in planes
+        )
+        + ")"
     )
     xi = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * F.lit(_COMPONENT_SCALE)).cast("long"),
     )
-    bits = F.transform(
-        "planes",
-        lambda pl: F.when(
-            F.aggregate(
-                F.zip_with("xi", pl, lambda x, c: x * c),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    bits = F.expr(
+        f"transform({planes_lit}, pl -> CASE WHEN "
+        "aggregate(zip_with(xi, pl, (x, c) -> x * c), 0L, "
+        "(acc, x) -> acc + x) >= 0 THEN 1L ELSE 0L END)"
     )
     sig = materialize(
-        spread(e.select("vec_id", xi.alias("xi")))
-        .join(broadcast_bounded(planes_df, max_rows=1))
-        .select("vec_id", bits.alias("bits"))
+        spread(e.select("vec_id", xi.alias("xi"))).select(
+            "vec_id", bits.alias("bits")
+        )
     )
-    banded = sig.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        sum(
-                            F.element_at("bits", b * _BAND_BITS + r + 1)
-                            * F.lit(1 << r).cast("long")
-                            for r in range(_BAND_BITS)
-                        ).alias("bval"),
-                    )
-                    for b in range(_N_PLANES // _BAND_BITS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    # Band packing as one parsed expr (a Python-built 12-band × 8-term
+    # element_at tree was ~500 py4j calls per plan build).
+    band_expr = (
+        f"explode(transform(sequence(0, {_N_PLANES // _BAND_BITS - 1}, 1), "
+        "b -> struct(CAST(b AS BIGINT) AS band, "
+        f"aggregate(sequence(0, {_BAND_BITS - 1}, 1), 0L, (acc, r) -> "
+        f"acc + element_at(bits, CAST(b * {_BAND_BITS} + r + 1 AS INT)) "
+        "* shiftleft(1L, CAST(r AS INT))) AS bval)))"
+    )
+    banded = sig.select("vec_id", F.expr(band_expr).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
     # Candidates by bucket-grouping with the embedding PAYLOAD carried
     # through the bucket shuffle (the SemDeDup _cell_pairs shape): one
     # equi-join attaches (embedding, n2) to the narrow band frame, the
