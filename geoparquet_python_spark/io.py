@@ -93,6 +93,59 @@ def parquet_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
         return load_table(spark, sf_dir, name).count()
 
 
+_SCRATCH_REGISTERED: set[str] = set()
+_STALE_SWEPT = False
+_STALE_AGE_S = 24 * 3600
+
+
+def register_scratch(path: str) -> str:
+    """Track a scratch path for END-OF-PROCESS cleanup and, once per
+    process, sweep STALE scratch dirs left by dead runs.
+
+    The applicationId keying that fixed the concurrent-run race
+    (round 7) also meant every session leaked its scratch copies in
+    the temp dir forever, where the old per-sf paths were at least
+    reused (ADVICE r7). Two-part fix: (a) an atexit hook removes this
+    process's own paths — atexit rather than a SparkContext stop hook
+    because bench/driver sessions are stopped and restarted within one
+    process while the paths are still reused across those sessions;
+    (b) an age-gated sweep (> 24 h mtime) clears dirs whose owning
+    process died before its hook ran. The age gate keeps the sweep
+    race-free against concurrent LIVE runs, whose dirs are by
+    construction freshly written."""
+    import atexit
+    import shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    global _STALE_SWEPT
+    if not _SCRATCH_REGISTERED:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _SCRATCH_REGISTERED
+            ]
+        )
+    _SCRATCH_REGISTERED.add(path)
+    if not _STALE_SWEPT:
+        _STALE_SWEPT = True
+        tmp = _tempfile.gettempdir()
+        cutoff = _time.time() - _STALE_AGE_S
+        try:
+            for name in os.listdir(tmp):
+                if not name.startswith("spark_graft_"):
+                    continue
+                full = os.path.join(tmp, name)
+                try:
+                    if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
+                        shutil.rmtree(full, ignore_errors=True)
+                except OSError:
+                    continue
+        except OSError:
+            pass
+    return path
+
+
 def run_scratch_dir(spark: SparkSession, label: str, sf_dir: str = "") -> str:
     """Session-unique scratch directory for queries that round-trip
     through a temp dataset (GeoParquet/JSONL/CSV/ORC/IVFPQ stores).
@@ -104,11 +157,14 @@ def run_scratch_dir(spark: SparkSession, label: str, sf_dir: str = "") -> str:
     the IVFPQ cell store; every fixed-tempdir round-trip shared the
     hazard). applicationId is unique per SparkContext, so concurrent
     drivers never collide and repeated calls within one session still
-    reuse/overwrite their own path (bench best-of-N friendly)."""
+    reuse/overwrite their own path (bench best-of-N friendly).
+    Registered for end-of-process cleanup (register_scratch)."""
     import tempfile as _tempfile
 
     sfl = os.path.basename(os.path.normpath(sf_dir)) if sf_dir else ""
     app = spark.sparkContext.applicationId
-    return os.path.join(
-        _tempfile.gettempdir(), f"spark_graft_{label}_{app}_{sfl}"
+    return register_scratch(
+        os.path.join(
+            _tempfile.gettempdir(), f"spark_graft_{label}_{app}_{sfl}"
+        )
     )

@@ -18,20 +18,29 @@ round-trip shim); [N] north-star scope beside the join family
 (SURVEY.md §2.B), same public-technique sourcing as the sketch
 operators (Bloom 1970; the Spark runtime-filter JIRA is public).
 
-Scale design: the filter is _M_BITS/64 int64 words — a CONSTANT-sized
+Scale design: the filter is m/63 int64 words — a key-count-BOUNDED
 literal (the bounded-driver-literal class the k-means/PQ trainers
 established), built by one narrow aggregate over the dim keys and
 collected once. The probe is a map-only projection against that
 literal: the fact side never shuffles, never joins, and the filter
 rides into the scan stage exactly like Spark's injected runtime filter.
 At 100 TB the only growing cost is the dim-side aggregate (key-count
-linear); _M_BITS scales with the expected key count to hold the FP rate
-(m/n ≈ 19 bits/key at k=3 hashes ≈ 1% FP), and the literal stays a few
-KB per million keys of budget.
+linear); m AUTO-SIZES from the qualifying key count — next power of
+two >= 16·n, i.e. 16–32 bits/key, FP ≈ (1-e^(-3·n/m))^3 <= ~0.6% at
+k=3 hashes — so the filter neither saturates when the predicate keeps
+more keys (the round-7 fixed-8192 form hit 1.9 bits/key ≈ 50% FP at
+sf0.1, ADVICE r7) nor wastes broadcast bytes when it keeps fewer. The
+literal is ~2–4 bytes/key: a 10M-key budget is a ~30 MB broadcast —
+the point where a real deployment hands the probe to Spark's own
+injected runtime filter instead.
 
-Determinism: h_i(key) = md5_long("bf{i}_" || key) % _M_BITS — 60-bit
-md5 prefix, reproducible in DuckDB; bit_or aggregation is
-order-independent; all counts are exact integers.
+Determinism: h_i(key) = md5_long("bf{i}_" || key) % m — 60-bit md5
+prefix, reproducible in DuckDB; m itself is derived from COUNT(*) of
+the same qualifying-key predicate on BOTH engines (Spark counts the
+dim frame driver-side; the oracle computes the identical next-pow-2
+with integer shifts in a scalar CTE), so the filter bits and even the
+false-positive COUNT stay oracle-exact integers at every scale.
+bit_or aggregation is order-independent.
 """
 
 from __future__ import annotations
@@ -43,13 +52,12 @@ from geoparquet_python_spark.functions.text import SQL_MD5_LONG
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
-_M_BITS = 8192  # filter size
 _N_HASH = 3  # hash functions
+_BITS_PER_KEY = 16  # m = next pow2 of (_BITS_PER_KEY * n) => 16-32 bits/key
 # 63 usable bits per int64 word: bit 63 stays clear so neither engine
 # ever shifts into the sign bit (DuckDB raises on 1::BIGINT << 63;
 # Spark wraps silently — both are avoided by construction).
 _BITS_PER_WORD = 63
-_N_WORDS = (_M_BITS + _BITS_PER_WORD - 1) // _BITS_PER_WORD
 _P_SIZE_MIN = 40  # dim predicate: "large parts" (p_size in [1, 50])
 
 # Spark-side md5_long as inline SQL (functions.text.md5_long is the
@@ -57,31 +65,69 @@ _P_SIZE_MIN = 40  # dim predicate: "large parts" (p_size in [1, 50])
 _SPARK_MD5_LONG = "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
+def _m_bits(n_keys: int) -> int:
+    """Filter size for n qualifying keys: smallest power of two >=
+    max(_BITS_PER_KEY * n, 64) — the bits/key ratio lands in [16, 32)
+    for any n >= 4 (asserted across scale factors in
+    tests/test_llm_ops.py). Mirrored exactly by _sql_msize_cte."""
+    x = max(_BITS_PER_KEY * n_keys, 64)
+    return 1 << (x - 1).bit_length() if x & (x - 1) else x
+
+
+def _sql_msize_cte(count_sql: str) -> str:
+    """DuckDB CTE computing the identical m with INTEGER arithmetic
+    (smallest 1<<e covering the count — no float log2/ceil, whose
+    rounding at exact powers of two could diverge from the Python
+    bit_length form)."""
+    return f"""msize AS (
+      SELECT MIN(CAST(1 AS BIGINT) << CAST(e AS INTEGER)) AS m
+      FROM range(6, 63) t(e)
+      WHERE (CAST(1 AS BIGINT) << CAST(e AS INTEGER))
+            >= GREATEST({_BITS_PER_KEY} * ({count_sql}), 64)
+    )"""
+
+
 def _positions_expr(
-    template: str, key_expr: str, arr_fn: str = "array"
+    template: str, key_expr: str, m_expr, arr_fn: str = "array", salt: str = "bf"
 ) -> str:
     """SQL array expression of the _N_HASH bit positions for a key.
     ``template``: the engine's md5_long template ({expr} placeholder);
+    ``m_expr``: the filter size — a Python int (Spark side, known at
+    build time) or a SQL scalar-subquery string (oracle side);
     ``arr_fn``: the engine's array constructor (Spark `array`,
     DuckDB `list_value`)."""
     hashes = ", ".join(
-        template.format(expr=f"concat('bf{i}_', CAST({key_expr} AS STRING))")
-        + f" % {_M_BITS}"
+        template.format(
+            expr=f"concat('{salt}{i}_', CAST({key_expr} AS STRING))"
+        )
+        + f" % {m_expr}"
         for i in range(_N_HASH)
     )
     return f"{arr_fn}({hashes})"
 
 
-def _build_filter_words(spark: SparkSession, sf_dir: str) -> list[int]:
-    """Dense _N_WORDS-long int64 word list of the Bloom filter over the
-    qualifying dim keys. One narrow aggregate, <= _N_WORDS rows
-    collected (constant by construction)."""
+def _dense_words(rows, m: int) -> list[int]:
+    n_words = (m + _BITS_PER_WORD - 1) // _BITS_PER_WORD
+    dense = [0] * n_words
+    for r in rows:
+        dense[int(r["word"])] = int(r["bits"])
+    return dense
+
+
+def _build_filter_words(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], int]:
+    """(dense int64 word list, m) of the Bloom filter over the
+    qualifying dim keys. One narrow count sizes m, one narrow
+    aggregate builds the bits; <= m/63 rows collected (key-count
+    bounded by construction)."""
     part = load_table(spark, sf_dir, "part")
     keys = part.where(F.col("p_size") >= _P_SIZE_MIN).select("p_partkey")
+    m = _m_bits(keys.count())
     words = (
         keys.select(
             F.explode(
-                F.expr(_positions_expr(_SPARK_MD5_LONG, "p_partkey"))
+                F.expr(_positions_expr(_SPARK_MD5_LONG, "p_partkey", m))
             ).alias("pos")
         )
         .select(
@@ -94,13 +140,13 @@ def _build_filter_words(spark: SparkSession, sf_dir: str) -> list[int]:
         .agg(F.expr("bit_or(mask)").alias("bits"))
         .collect()
     )
-    dense = [0] * _N_WORDS
-    for r in words:
-        dense[int(r["word"])] = int(r["bits"])
-    return dense
+    return _dense_words(words, m), m
 
 
-_SQL_POSITIONS = _positions_expr(SQL_MD5_LONG, "{key}", arr_fn="list_value")
+_SQL_M = "(SELECT m FROM msize)"
+_SQL_POSITIONS = _positions_expr(
+    SQL_MD5_LONG, "{key}", _SQL_M, arr_fn="list_value"
+)
 
 
 @query(
@@ -109,6 +155,7 @@ _SQL_POSITIONS = _positions_expr(SQL_MD5_LONG, "{key}", arr_fn="list_value")
     WITH keys AS (
       SELECT p_partkey FROM part WHERE p_size >= {_P_SIZE_MIN}
     ),
+    {_sql_msize_cte("SELECT COUNT(*) FROM keys")},
     hp AS (
       SELECT p_partkey, unnest({_SQL_POSITIONS.format(key="p_partkey")}) AS pos
       FROM keys
@@ -164,12 +211,13 @@ def q_bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives, so n_pass_rows >= n_exact_rows always — asserted in
     tests/test_llm_ops.py along with an FP-rate ceiling.
 
-    Plan: dim-side narrow aggregate -> constant literal; probe side is
-    one projection + one groupBy over DISTINCT probe keys (the verdict
-    depends only on the key, so rows roll up to keys first); the final
-    answer is a one-row conditional sum. The fact table is scanned
-    once and never shuffled at fact-row granularity."""
-    words = _build_filter_words(spark, sf_dir)
+    Plan: dim-side narrow count + aggregate -> key-count-bounded
+    literal; probe side is one projection + one groupBy over DISTINCT
+    probe keys (the verdict depends only on the key, so rows roll up
+    to keys first); the final answer is a one-row conditional sum. The
+    fact table is scanned once and never shuffled at fact-row
+    granularity."""
+    words, m = _build_filter_words(spark, sf_dir)
     words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -177,7 +225,7 @@ def q_bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows")
     )
     pass_expr = F.expr(
-        f"forall(transform({_positions_expr(_SPARK_MD5_LONG, 'k')}, "
+        f"forall(transform({_positions_expr(_SPARK_MD5_LONG, 'k', m)}, "
         f"pos -> shiftright(element_at({words_lit}, CAST(pos DIV 63 AS INT) + 1), "
         f"                  CAST(pos % 63 AS INT)) & 1 = 1), x -> x)"
     )
@@ -241,12 +289,12 @@ def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     |survivors| ≈ |true matches| × (1 + fp_rate) instead of |fact|.
     The oracle is the PLAIN join — proving the pruned plan loses
     nothing."""
-    words = _build_filter_words(spark, sf_dir)
+    words, m = _build_filter_words(spark, sf_dir)
     words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
     li = load_table(spark, sf_dir, "lineitem")
     pruned = li.where(
         F.expr(
-            f"forall(transform({_positions_expr(_SPARK_MD5_LONG, 'l_partkey')}, "
+            f"forall(transform({_positions_expr(_SPARK_MD5_LONG, 'l_partkey', m)}, "
             f"pos -> shiftright(element_at({words_lit}, CAST(pos DIV 63 AS INT) + 1), "
             f"                  CAST(pos % 63 AS INT)) & 1 = 1), x -> x)"
         )

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.exact import dsum, sql_dsum
-from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.io import load_table, register_scratch
 from geoparquet_python_spark.registry import query
 
 _N_BUCKETS = 8
@@ -61,7 +61,9 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         return _TBL_CACHE[key]
     app = _ident(spark.sparkContext.applicationId)
     sfl = _ident(os.path.basename(os.path.normpath(sf_dir)))
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{app}_{sfl}")
+    base = register_scratch(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{app}_{sfl}")
+    )
     t_orders = f"bkt_orders_{app}_{sfl}"
     t_lineitem = f"bkt_lineitem_{app}_{sfl}"
     (

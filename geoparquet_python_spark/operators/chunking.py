@@ -179,3 +179,132 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: sliding-window RAG chunker — fixed width, fixed stride, overlap
+# ---------------------------------------------------------------------------
+
+_RW = 128  # window width (tokens)
+_RS = 96  # stride (tokens) => 32-token overlap between neighbors
+
+
+@query(
+    "q_rag_window_chunks",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, str_split(text, ' ') AS ws,
+             len(str_split(text, ' ')) AS n
+      FROM documents
+    ),
+    lim AS (
+      SELECT doc_id, source, ws, n,
+             CASE WHEN n > {_RW}
+                  THEN (n - {_RW} + {_RS} - 1) // {_RS}
+                  ELSE 0 END AS l
+      FROM tok
+    ),
+    ch0 AS (
+      SELECT doc_id, source, ws, n,
+             unnest(generate_series(0, l)) AS k
+      FROM lim
+    ),
+    ch AS (
+      SELECT doc_id, source, n,
+             LEAST({_RW}, n - k * {_RS}) AS ctoks,
+             md5(array_to_string(
+               list_slice(ws, k * {_RS} + 1,
+                          k * {_RS} + LEAST({_RW}, n - k * {_RS})), ' '))
+               AS chash
+      FROM ch0
+    ),
+    corp AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_corpus_tokens
+      FROM tok GROUP BY source
+    )
+    SELECT c.source,
+           CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.ctoks) AS BIGINT) AS n_chunk_tokens,
+           CAST(MIN(o.n_corpus_tokens) AS BIGINT) AS n_corpus_tokens,
+           CAST((SUM(c.ctoks) - MIN(o.n_corpus_tokens)) * 1000000
+                // SUM(c.ctoks) AS BIGINT) AS overlap_ppm,
+           CAST(COUNT(DISTINCT c.chash) AS BIGINT) AS n_distinct_chunks
+    FROM ch c JOIN corp o ON o.source = c.source
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+)
+def q_rag_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunker: every document splits into
+    {_RW}-token windows at stride {_RS} (a {_RW - _RS}-token overlap so
+    no retrieval-relevant span straddles a hard boundary — the
+    standard retrieval-corpus preparation, vs the content-defined
+    VARIABLE chunks above whose boundaries serve dedup). Per-source
+    accounting: chunk and token counts, the overlap tax
+    (chunk_tokens − corpus_tokens, as ppm of chunk tokens — the
+    storage/compute multiplier the stride choice buys), and distinct
+    chunk hashes (verbatim-repeated windows collapse at index time).
+
+    Plan shape: chunk COUNT per doc is closed-form
+    (ceil((n−W)/S) + 1, integer-exact on both engines), so the
+    generator input is just sequence(0, l) off two small ints — the
+    chunk text is sliced and hashed in the projection ABOVE the
+    explode, i.e. once per OUTPUT chunk (the Generate-projection
+    rule operators/chunking.py's CDC docstring documents); the token
+    array is materialized below the explode so projection collapse
+    cannot inline the str_split into every chunk row (measured 5×
+    re-tokenization otherwise — the round-7 Generate note). One
+    explode, one per-source aggregate with map-side combine; chunk
+    rows never shuffle (the distinct-hash count aggregates md5s, not
+    chunk strings)."""
+    from geoparquet_python_spark.functions.exact import materialize
+    from geoparquet_python_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = materialize(
+        spread(
+            d.select("doc_id", "source", tokens("text").alias("ws"))
+        ).withColumn("n", F.size("ws"))
+    )
+    lim = tok.withColumn(
+        "l",
+        F.when(
+            F.col("n") > _RW,
+            F.expr(f"CAST((n - {_RW} + {_RS} - 1) DIV {_RS} AS BIGINT)"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    ch = lim.select(
+        "doc_id",
+        "source",
+        "n",
+        "ws",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), l)")).alias("k"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(f"LEAST({_RW}, n - k * {_RS})").alias("ctoks"),
+        F.expr(
+            f"md5(array_join(slice(ws, CAST(k * {_RS} + 1 AS INT), "
+            f"CAST(LEAST({_RW}, n - k * {_RS}) AS INT)), ' '))"
+        ).alias("chash"),
+    )
+    corp = tok.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_corpus_tokens")
+    )
+    return (
+        ch.join(corp, "source")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("ctoks").cast("bigint").alias("n_chunk_tokens"),
+            F.min("n_corpus_tokens").cast("bigint").alias("n_corpus_tokens"),
+            F.expr(
+                "CAST((SUM(ctoks) - MIN(n_corpus_tokens)) * 1000000 "
+                "DIV SUM(ctoks) AS BIGINT)"
+            ).alias("overlap_ppm"),
+            F.countDistinct("chash").cast("bigint").alias("n_distinct_chunks"),
+        )
+        .orderBy("source")
+    )

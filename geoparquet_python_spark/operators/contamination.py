@@ -37,7 +37,6 @@ from geoparquet_python_spark.functions.text import (
     sql_shingles_cte,
     tokens,
 )
-from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -88,9 +87,13 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench_set = exploded.where(is_bench).select("s").distinct()
+    # No broadcast hint on the eval shingle set: it grows with the
+    # corpus (~1/97 of all doc-shingles), so a forced broadcast would
+    # override Spark's size threshold on an unbounded relation
+    # (ADVICE r7). AQE still broadcasts it at runtime when small.
     hits = (
         exploded.where(~is_bench)
-        .join(broadcast_narrow(bench_set), "s")
+        .join(bench_set, "s")
         .groupBy("doc_id", "n_shingles")
         .agg(F.count("*").alias("n_hits"))
     )

@@ -54,6 +54,7 @@ from geoparquet_python_spark.functions.vector import (
     norm2_scaled,
     sql_pair_dot_scaled,
 )
+from geoparquet_python_spark.io import register_scratch
 from geoparquet_python_spark.operators import kmeans as km
 from geoparquet_python_spark.operators import pq
 from geoparquet_python_spark.registry import query
@@ -464,10 +465,12 @@ def q_ivfpq_cell_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = _encoded_corpus(spark, sf_dir).select(
         "cvec", F.col("c_cell").alias("cell"), "codes"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivfpq_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    path = register_scratch(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_ivfpq_{spark.sparkContext.applicationId}_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}",
+        )
     )
     enc.write.mode("overwrite").partitionBy("cell").parquet(path)
 

@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.text import sql_shingles_cte, tokens
-from geoparquet_python_spark.functions.exact import broadcast_narrow
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.operators.dedup import _JACCARD_T, _exact_jaccard_pairs
 from geoparquet_python_spark.registry import query
@@ -280,10 +279,16 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", toks.alias("toks")).select(
         "doc_id", F.explode(shingles("toks", 3)).alias("s")
     )
+    # The eval shingle set is CORPUS-PROPORTIONAL (~1/97 of docs x
+    # shingles/doc), so it must NOT carry a size-threshold-overriding
+    # broadcast hint (ADVICE r7 on the v4 twin — the exact driver-OOM
+    # pattern broadcast_narrow's docstring forbids). Plain join: AQE
+    # converts it to broadcast at runtime when the distinct set is
+    # ACTUALLY small, which is the scale-safe way to the same plan.
     bench_set = sh.where(is_eval).select("s").distinct()
     contam = (
         sh.where(~is_eval)
-        .join(broadcast_narrow(bench_set), "s")
+        .join(bench_set, "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .where(F.col("n_hits") >= _CONTAM_HITS)
@@ -634,8 +639,10 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         ex.where(F.col("doc_id") % _V4_EVAL_MOD == 0).select("s").distinct()
     )
+    # No broadcast hint: bench is corpus-proportional (ADVICE r7) —
+    # AQE broadcasts it at runtime iff actually small.
     chit = (
-        ex.join(broadcast_narrow(bench), "s")
+        ex.join(bench, "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

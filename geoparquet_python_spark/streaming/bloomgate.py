@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.text import SQL_MD5_LONG
 from geoparquet_python_spark.io import load_table
-from geoparquet_python_spark.operators.bloomjoin import _SPARK_MD5_LONG
+from geoparquet_python_spark.operators.bloomjoin import (
+    _SPARK_MD5_LONG,
+    _dense_words,
+    _m_bits,
+    _positions_expr,
+    _sql_msize_cte,
+)
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
 from geoparquet_python_spark.streaming.source import run_to_memory_table
@@ -40,29 +46,28 @@ from geoparquet_python_spark.streaming.source import run_to_memory_table
 # Frozen "already ingested" corpus half (same convention as the
 # streaming span screen and DSIR gate).
 _HALF_PRED = "doc_id % 2 = 0"
-_M_BITS = 65536  # ~26 bits/key at sf0.1's 2500 frozen docs => FP ~0.1%
-_BITS_PER_WORD = 63
-_N_WORDS = (_M_BITS + _BITS_PER_WORD - 1) // _BITS_PER_WORD
 _N_HASH = 3
 
 
-def _positions(template: str, key_expr: str, arr_fn: str) -> str:
-    hashes = ", ".join(
-        template.format(expr=f"concat('bfs{i}_', {key_expr})") + f" % {_M_BITS}"
-        for i in range(_N_HASH)
-    )
-    return f"{arr_fn}({hashes})"
+def _positions(template: str, key_expr: str, m_expr, arr_fn: str) -> str:
+    # bloomjoin's position builder with this gate's 'bfs' hash salt; m
+    # auto-sizes from the frozen-half row count (16-32 bits/key) like
+    # the batch filter — the round-7 fixed-65536 constant was sized
+    # for the toy corpus only (ADVICE r7).
+    return _positions_expr(template, key_expr, m_expr, arr_fn, salt="bfs")
 
 
-def _filter_words(spark: SparkSession, sf_dir: str) -> list[int]:
-    """Dense word list of the Bloom filter over the frozen half's
-    md5(text) content keys — one narrow aggregate, <= _N_WORDS rows
-    collected (constant by construction)."""
+def _filter_words(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
+    """(dense word list, m) of the Bloom filter over the frozen half's
+    md5(text) content keys — one narrow count sizes m, one narrow
+    aggregate builds the bits; <= m/63 rows collected (key-count
+    bounded by construction)."""
     d = load_table(spark, sf_dir, "documents").where(F.expr(_HALF_PRED))
+    m = _m_bits(d.count())
     words = (
         d.select(
             F.explode(
-                F.expr(_positions(_SPARK_MD5_LONG, "md5(text)", "array"))
+                F.expr(_positions(_SPARK_MD5_LONG, "md5(text)", m, "array"))
             ).alias("pos")
         )
         .select(
@@ -75,18 +80,17 @@ def _filter_words(spark: SparkSession, sf_dir: str) -> list[int]:
         .agg(F.expr("bit_or(mask)").alias("bits"))
         .collect()
     )
-    dense = [0] * _N_WORDS
-    for r in words:
-        dense[int(r["word"])] = int(r["bits"])
-    return dense
+    return _dense_words(words, m), m
 
 
+_SQL_M = "(SELECT m FROM msize)"
 _SQL_GATE = f"""
     WITH frozen AS (
       SELECT md5(text) AS k FROM documents WHERE {_HALF_PRED}
     ),
+    {_sql_msize_cte("SELECT COUNT(*) FROM frozen")},
     hp AS (
-      SELECT k, unnest({_positions(SQL_MD5_LONG, "k", "list_value")}) AS pos
+      SELECT k, unnest({_positions(SQL_MD5_LONG, "k", _SQL_M, "list_value")}) AS pos
       FROM frozen
     ),
     words AS (
@@ -99,7 +103,7 @@ _SQL_GATE = f"""
     ),
     pp AS (
       SELECT doc_id, k,
-             unnest({_positions(SQL_MD5_LONG, "k", "list_value")}) AS pos
+             unnest({_positions(SQL_MD5_LONG, "k", _SQL_M, "list_value")}) AS pos
       FROM probe
     ),
     tested AS (
@@ -128,7 +132,7 @@ def q_stream_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     false_pos). No false negatives by construction — asserted in
     tests/test_streaming.py along with batch≡stream parity."""
     prepare(spark)
-    words = _filter_words(spark, sf_dir)
+    words, m = _filter_words(spark, sf_dir)
     words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -142,7 +146,7 @@ def q_stream_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("k"),
         F.expr(
-            f"forall(transform({_positions(_SPARK_MD5_LONG, 'md5(text)', 'array')}, "
+            f"forall(transform({_positions(_SPARK_MD5_LONG, 'md5(text)', m, 'array')}, "
             f"pos -> shiftright(element_at({words_lit}, CAST(pos DIV 63 AS INT) + 1), "
             f"                  CAST(pos % 63 AS INT)) & 1 = 1), x -> x)"
         ).alias("bloom_hit"),

@@ -72,14 +72,43 @@ def test_bloom_filter_no_false_negatives_and_fp_ceiling(spark, sf_dir):
     """Structural Bloom guarantees, asserted not just reported: every
     exact member passes the filter (no false negatives — pass_rows >=
     exact_rows AND false_pos = pass - exact exactly), and the measured
-    FP rate stays under 10x the design point (m/n ~ 19 bits/key at
-    k=3 => ~1%; ceiling 10% guards the hash math without flaking)."""
+    FP rate stays under 10x the design point (m auto-sizes to 16-32
+    bits/key at k=3 => FP <= ~0.6%; ceiling 10% guards the hash math
+    without flaking — and, since m now scales with the qualifying key
+    count, the ceiling holds at EVERY scale factor, unlike the r7
+    fixed-8192 filter that saturated at sf0.1)."""
     row = registry.QUERIES["q_bloom_filter_semi_join"](spark, sf_dir).collect()[0]
     assert row["n_pass_rows"] >= row["n_exact_rows"]
     assert (
         row["n_false_pos_rows"] == row["n_pass_rows"] - row["n_exact_rows"]
     ), "false negatives present: some exact member failed the filter"
     assert row["fp_ppm"] <= 100_000, f"FP rate {row['fp_ppm']} ppm > 10%"
+
+
+def test_bloom_filter_bits_per_key_in_band_across_scales(spark):
+    """The auto-sizing contract (ADVICE r7): m/n stays in [16, 32] for
+    BOTH Bloom filters (batch semi-join over qualifying part keys,
+    streaming gate over the frozen document half) at all three testdata
+    scales — the docstring's bits/key promise is asserted, not just
+    claimed."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators import bloomjoin as bj
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sd = f"/root/testdata/{sf}"
+        part = load_table(spark, sd, "part")
+        n = part.where(F.col("p_size") >= bj._P_SIZE_MIN).count()
+        m = bj._m_bits(n)
+        assert 16 <= m / n <= 32, f"batch filter {sf}: {m}/{n}"
+        nf = (
+            load_table(spark, sd, "documents")
+            .where(F.expr("doc_id % 2 = 0"))
+            .count()
+        )
+        mf = bj._m_bits(nf)
+        assert 16 <= mf / nf <= 32, f"stream gate {sf}: {mf}/{nf}"
 
 
 def test_capped_bucket_pairs_identical_pair_set(spark):
