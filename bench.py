@@ -90,14 +90,21 @@ HEADLINE = [
     "q_bootstrap_mean_ci",
     # Round-7: Bloom-pruned fact join (the runtime-filter pattern),
     # matrix-free fixed-point PCA, and the stateless streaming Bloom
-    # ingest gate. The heavier round-7 compositions stay correctness-
-    # registered only (q_curation_pipeline_v4 ~13 s at sf0.1 — v3
-    # remains the funnel representative; q_bpe_encode_heldout ~7 s —
-    # the training rounds it replays are already timed via
-    # q_bpe_merge_rounds).
+    # ingest gate. (q_bpe_encode_heldout ~7 s stays correctness-
+    # registered only — the training rounds it replays are already
+    # timed via q_bpe_merge_rounds.)
     "q_bloom_pruned_revenue",
     "q_pca_power_iteration",
     "q_stream_bloom_dedup_gate",
+    # Round-8: the cross-modal funnel joins the headline (VERDICT r7
+    # item 7) after the zip-with shingle rewrite + single-pass shingle
+    # stats fusion took it ~13 s -> ~3.3 s at sf0.1; plus the round's
+    # new operator families (robust trend, RAG chunking, positional
+    # phrase match).
+    "q_curation_pipeline_v4",
+    "q_theil_sen_trend",
+    "q_rag_window_chunks",
+    "q_phrase_match_stats",
 ]
 
 

@@ -607,12 +607,14 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
        stages above cannot see it);
     and a per-lang funnel rollup with kept-token accounting.
 
-    Plan shape: ONE exploded shingle frame feeds stages 2 and 3 (a
-    shingle-keyed first-occurrence aggregate and an eval-set semi-join
-    — two linear shuffles); stage 4 reuses the K-scaled cell pair
-    stream (semdedup.py, occupancy-capped); the verdict is a CASE over
-    left joins on doc_id and the rollup is |langs|-keyed. Nothing
-    pairwise outside the capped in-cell stream."""
+    Plan shape: ONE exploded shingle frame feeds ONE s-keyed aggregate
+    (per shingle: first owner + eval membership) that joins back once,
+    yielding n_sh / n_hits / n_novel in a single doc-keyed aggregate
+    (round-8 fusion of what were three shingle-keyed passes); stage 4
+    reuses the K-scaled cell pair stream (semdedup.py,
+    occupancy-capped); the verdict is a CASE over left joins on doc_id
+    and the rollup is |langs|-keyed. Nothing pairwise outside the
+    capped in-cell stream."""
     from geoparquet_python_spark.operators.semdedup import (
         _TAU,
         _assigned_base,
@@ -624,10 +626,10 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # shingles() wants a column NAME, so tokenize into a named column
     # first, then build the distinct shingle array in-row. Materialized:
-    # the exploded frame feeds THREE consumers (per-doc counts, the
-    # eval-set semi-join, the first-occurrence aggregate) — without the
-    # barrier each one re-runs the tokenize+shingle projection over the
-    # whole corpus (measured ~4 s of the funnel's wall at sf0.1).
+    # the exploded frame feeds the shingle-stats aggregate twice (the
+    # s-keyed pass and the join back) — without the barrier each
+    # consumer re-runs the tokenize+shingle projection over the whole
+    # corpus (measured ~4 s of the funnel's wall at sf0.1).
     from geoparquet_python_spark.functions.exact import materialize, spread
 
     ex = materialize(
@@ -635,25 +637,31 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingles("toks", 3).alias("sh_arr"))
         .select("doc_id", F.explode("sh_arr").alias("s"))
     )
-    nsh = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    bench = (
-        ex.where(F.col("doc_id") % _V4_EVAL_MOD == 0).select("s").distinct()
+    # Round-8 fusion: the r7 form ran THREE shingle-keyed passes (the
+    # eval distinct + semi-join for n_hits, the min(doc_id) aggregate
+    # + join for n_novel, a per-doc count for n_sh). All three are
+    # answerable from ONE s-keyed aggregate — per shingle, its first
+    # owner and whether any eval doc carries it — joined back once:
+    # n_sh = COUNT(*), n_hits = SUM(in_bench), n_novel = SUM(fd =
+    # doc_id), collapsing 2 corpus-frame shuffles and a distinct
+    # (measured ~2 s of the funnel wall at sf0.1). No broadcast hint
+    # anywhere: the s-table is corpus-proportional (ADVICE r7) — AQE
+    # picks the join strategy from actual sizes.
+    stats_s = ex.groupBy("s").agg(
+        F.min("doc_id").alias("fd"),
+        F.max(
+            (F.col("doc_id") % _V4_EVAL_MOD == 0).cast("int")
+        ).alias("in_bench"),
     )
-    # No broadcast hint: bench is corpus-proportional (ADVICE r7) —
-    # AQE broadcasts it at runtime iff actually small.
-    chit = (
-        ex.join(bench, "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    first_seen = ex.groupBy("s").agg(F.min("doc_id").alias("fd"))
-    nov = (
-        ex.join(first_seen, "s")
+    doc_stats = (
+        ex.join(stats_s, "s")
         .groupBy("doc_id")
         .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum("in_bench").alias("n_hits"),
             F.sum(
                 F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel")
+            ).alias("n_novel"),
         )
     )
     base = _assigned_base(spark, sf_dir)
@@ -683,9 +691,7 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id", "lang", F.size(tokens("text")).cast("bigint").alias("n_tokens")
         )
-        .join(nsh, "doc_id", "left")
-        .join(chit, "doc_id", "left")
-        .join(nov, "doc_id", "left")
+        .join(doc_stats, "doc_id", "left")
         .join(semdrop, "doc_id", "left")
         .select("lang", "n_tokens", verdict.alias("verdict"))
     )

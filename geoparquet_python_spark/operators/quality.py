@@ -642,3 +642,115 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "n_outliers", "med", "mad")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8: exact two-sample Kolmogorov-Smirnov drift over length
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ks_length_drift",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id % 2 = 0 AS is_old,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS x
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM x
+    ),
+    per_x AS (
+      SELECT x,
+             CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+             CAST(SUM(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_new
+      FROM x GROUP BY x
+    ),
+    cum AS (
+      SELECT x,
+             CAST(SUM(c_old) OVER (ORDER BY x) AS BIGINT) AS f_old,
+             CAST(SUM(c_new) OVER (ORDER BY x) AS BIGINT) AS f_new
+      FROM per_x
+    ),
+    dev AS (
+      SELECT x, abs(f_old * t.n_new - f_new * t.n_old) AS num,
+             t.n_old, t.n_new
+      FROM cum CROSS JOIN tot t
+    ),
+    best AS (
+      SELECT * FROM dev
+      ORDER BY num DESC, x
+      LIMIT 1
+    )
+    SELECT n_old, n_new,
+           CAST(num * 1000000 // (n_old * n_new) AS BIGINT) AS ks_ppm,
+           x AS ks_at_x,
+           (num * 1000000 > 100000 * (n_old * n_new)) AS drifted
+    FROM best
+    """,
+)
+def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between the
+    even-doc_id ("old") and odd-doc_id ("new") corpus halves over the
+    per-document token-count distribution — the distribution-free
+    ingest drift alarm (PSI needs binning choices; KS is the
+    max-ECDF-gap with none). INTEGER-exact throughout: the gap at x
+    is |F_old(x)·n_new − F_new(x)·n_old| over the common denominator
+    n_old·n_new, so the supremum, its location, and the 10%-threshold
+    flag are all int64 comparisons — no float CDFs, no engine drift.
+    Deterministic argmax: (gap DESC, x ASC).
+
+    Scale shape: one corpus pass to the (x, half) count aggregate
+    (map-side combined; the key domain is DISTINCT LENGTH VALUES,
+    bounded by max doc length, not corpus size), then the cumulative
+    window + argmax run on that values-sized frame — the
+    post-aggregation global-window pattern the plan guards allow.
+    Cross-multiplied int64s hold to ~3·10^9 docs per half
+    (cum·n < 2^63); past that, scale the ppm at the aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    x = d.select(
+        (F.col("doc_id") % 2 == 0).alias("is_old"),
+        F.size(F.split("text", " ")).cast("bigint").alias("x"),
+    )
+    per_x = x.groupBy("x").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_old"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_new"),
+    )
+    tot = per_x.agg(
+        F.sum("c_old").cast("bigint").alias("n_old"),
+        F.sum("c_new").cast("bigint").alias("n_new"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_x.select(
+        "x",
+        F.sum("c_old").over(w).cast("bigint").alias("f_old"),
+        F.sum("c_new").over(w).cast("bigint").alias("f_new"),
+    )
+    dev = cum.crossJoin(broadcast_narrow(tot)).select(
+        "x",
+        F.abs(
+            F.col("f_old") * F.col("n_new") - F.col("f_new") * F.col("n_old")
+        ).alias("num"),
+        "n_old",
+        "n_new",
+    )
+    best = dev.orderBy(F.col("num").desc(), "x").limit(1)
+    return best.select(
+        "n_old",
+        "n_new",
+        F.expr("CAST(num * 1000000 DIV (n_old * n_new) AS BIGINT)").alias(
+            "ks_ppm"
+        ),
+        F.col("x").alias("ks_at_x"),
+        F.expr("num * 1000000 > 100000 * (n_old * n_new)").alias("drifted"),
+    )

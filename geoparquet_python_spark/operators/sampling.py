@@ -724,3 +724,113 @@ def q_weighted_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rank", "doc_id", "n_chars", "priority_micro")
         .orderBy("lang", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8: epoch-aware repeat planning under a token budget
+# --------------------------------------------------------------------------
+
+_EPOCH_CAP_MICRO = 4_000_000  # max 4 epochs per source (micro-units)
+_EPOCH_BUDGET_X = 3  # train budget = 3x the corpus (forces repeats)
+
+
+@query(
+    "q_epoch_repeat_plan",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total FROM per_src),
+    s AS (
+      SELECT p.source, p.avail_tokens, t.total,
+             CAST(round(sqrt(p.avail_tokens * 1.0 / t.total) * 1000000)
+                  AS BIGINT) AS s_fp
+      FROM per_src p CROSS JOIN tot t
+    ),
+    den AS (SELECT CAST(SUM(s_fp) AS BIGINT) AS denom FROM s),
+    plan AS (
+      SELECT s.source, s.avail_tokens,
+             (s.s_fp * s.total * {_EPOCH_BUDGET_X}) // d.denom AS alloc_tokens
+      FROM s CROSS JOIN den d
+    )
+    SELECT source, avail_tokens, alloc_tokens,
+           CAST(LEAST(alloc_tokens * 1000000 // avail_tokens,
+                      {_EPOCH_CAP_MICRO}) AS BIGINT) AS epochs_micro,
+           CAST(LEAST(alloc_tokens,
+                      avail_tokens * {_EPOCH_CAP_MICRO} // 1000000)
+                AS BIGINT) AS effective_tokens,
+           CAST(alloc_tokens
+                - LEAST(alloc_tokens,
+                        avail_tokens * {_EPOCH_CAP_MICRO} // 1000000)
+                AS BIGINT) AS shortfall_tokens,
+           (alloc_tokens * 1000000 > avail_tokens * {_EPOCH_CAP_MICRO})
+             AS epoch_capped
+    FROM plan
+    ORDER BY source
+    """,
+)
+def q_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware mixture planning — the data-constrained accounting
+    (Muennighoff et al. 2023, "Scaling data-constrained language
+    models": repeating a source beyond ~4 epochs yields rapidly
+    decaying returns): allocate a {_EPOCH_BUDGET_X}x-corpus token
+    budget across SOURCES by temperature-scaled weights (T = 2 —
+    sqrt is IEEE-exact cross-engine, the q_mixture_temperature_weights
+    convention), then convert each source's allocation into a repeat
+    factor (micro-epochs), cap it at 4 epochs, and report the
+    effective tokens and the shortfall the cap leaves unfilled — the
+    number the mixture designer must re-spread over uncapped sources
+    or fresh data. Companion to q_mixture_temperature_weights (rates)
+    and q_token_budget_selection (which documents to keep): this is
+    the REPEAT dimension of the same planning problem.
+
+    Determinism: sqrt rounds to 1e-6 fixed point before the exact
+    int64 denominator sum; every downstream number is integer
+    multiply/DIV (== DuckDB //, all operands non-negative). Scale
+    shape: one source-keyed corpus aggregate with map-side combine,
+    then two one-row broadcasts over the |sources|-row frame —
+    nothing driver-sized beyond |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("avail_tokens")
+    )
+    tot = per_src.agg(F.sum("avail_tokens").cast("bigint").alias("total"))
+    s = per_src.crossJoin(broadcast_narrow(tot)).select(
+        "source",
+        "avail_tokens",
+        "total",
+        F.round(
+            F.sqrt(F.col("avail_tokens") * F.lit(1.0) / F.col("total")) * 1e6
+        )
+        .cast("bigint")
+        .alias("s_fp"),
+    )
+    den = s.agg(F.sum("s_fp").cast("bigint").alias("denom"))
+    plan = s.crossJoin(broadcast_narrow(den)).select(
+        "source",
+        "avail_tokens",
+        F.expr(f"s_fp * total * {_EPOCH_BUDGET_X} DIV denom").alias(
+            "alloc_tokens"
+        ),
+    )
+    cap_tokens = f"avail_tokens * {_EPOCH_CAP_MICRO} DIV 1000000"
+    return plan.select(
+        "source",
+        "avail_tokens",
+        "alloc_tokens",
+        F.expr(
+            f"CAST(LEAST(alloc_tokens * 1000000 DIV avail_tokens, "
+            f"{_EPOCH_CAP_MICRO}) AS BIGINT)"
+        ).alias("epochs_micro"),
+        F.expr(f"CAST(LEAST(alloc_tokens, {cap_tokens}) AS BIGINT)").alias(
+            "effective_tokens"
+        ),
+        F.expr(
+            f"CAST(alloc_tokens - LEAST(alloc_tokens, {cap_tokens}) AS BIGINT)"
+        ).alias("shortfall_tokens"),
+        F.expr(
+            f"alloc_tokens * 1000000 > avail_tokens * {_EPOCH_CAP_MICRO}"
+        ).alias("epoch_capped"),
+    ).orderBy("source")

@@ -48,7 +48,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.exact import materialize
@@ -283,6 +283,98 @@ def q_semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_members")
                 - F.coalesce("n_dropped", F.lit(0).cast("bigint"))
             ).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: ClusterClip — cluster-capped balanced sampling
+# ---------------------------------------------------------------------------
+
+# Per-cell quota: 1.5x the mean occupancy (3n / 2K, integer) — hot
+# semantic clusters are clipped to the cap while the long tail keeps
+# everything, the redundancy-aware rebalancing production curation
+# stacks run between dedup and mixing (cluster-level capping per
+# DeepSeekMath/Qwen data notes; the idea is public in the SemDeDup /
+# D4 lineage: over-dense embedding regions contribute diminishing
+# returns per extra document).
+_CLIP_NUM, _CLIP_DEN = 3, 2
+
+from geoparquet_python_spark.functions.text import SQL_MD5_LONG as _SQL_M5
+
+# Deterministic content-free shuffle rank, identical on both engines.
+_SQL_CCL_RANK = _SQL_M5.format(expr="CAST(vec_id AS VARCHAR) || '_ccl'")
+
+
+@query(
+    "q_cluster_clip_sample",
+    oracle=f"""
+    WITH {_SQL_KK},
+    {_sql_kmeans_ctes(k_sql="(SELECT k FROM kk)")},
+    quota AS (
+      SELECT GREATEST(1, ({_CLIP_NUM} * (SELECT COUNT(*) FROM embeddings))
+                         // ({_CLIP_DEN} * (SELECT k FROM kk))) AS q
+    ),
+    ranked AS (
+      SELECT cid AS cell, vec_id,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY {_SQL_CCL_RANK}, vec_id
+             ) AS rn
+      FROM a{_T}
+    )
+    SELECT r.cell AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(o.q) AS BIGINT) AS quota,
+           CAST(SUM(CASE WHEN r.rn <= o.q THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN r.rn > o.q THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped
+    FROM ranked r CROSS JOIN quota o
+    GROUP BY r.cell
+    ORDER BY r.cell
+    """,
+)
+def q_cluster_clip_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClusterClip: cap every k-means cell at 1.5x the mean occupancy,
+    electing survivors by a DETERMINISTIC content-free hash rank
+    (md5_long(vec_id || '_ccl') — reproducible shuffling, the repo's
+    sampling convention), so over-represented semantic regions stop
+    dominating the training mixture while sparse cells keep every
+    member. Reuses the SemDeDup assignment (same trained fixed-point
+    centroids, same unrolled-CTE oracle) — this is the density
+    REBALANCING layer that runs after the tau-duplicate layer.
+
+    Scale shape: cell assignment is the cached map-only centroid
+    projection; the rank is ONE window over the cell shuffle (the
+    same single corpus movement SemDeDup pays), spillable sort. At
+    100 TB the window sort is replaceable by the two-phase
+    hash-threshold cutoff (sampling.py's pattern) since ranks beyond
+    the quota are never needed — documented next gear, same plan
+    shape. Quota derives from footer row count + the K formula, zero
+    extra jobs, mirrored exactly in SQL."""
+    from geoparquet_python_spark.functions.text import md5_long
+    from geoparquet_python_spark.io import parquet_row_count
+
+    base = _assigned_base(spark, sf_dir)
+    n = parquet_row_count(spark, sf_dir, "embeddings")
+    k = _scaled_k(spark, sf_dir)
+    q = max(1, (_CLIP_NUM * n) // (_CLIP_DEN * k))
+    w = Window.partitionBy("cell").orderBy(
+        md5_long(F.concat(F.col("vec_id").cast("string"), F.lit("_ccl"))),
+        "vec_id",
+    )
+    ranked = base.select(
+        "cell", "vec_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.lit(q).cast("bigint").alias("quota"),
+            F.sum((F.col("rn") <= q).cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((F.col("rn") > q).cast("int")).cast("bigint").alias("n_clipped"),
         )
         .orderBy("cell")
     )

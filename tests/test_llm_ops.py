@@ -1977,3 +1977,73 @@ def test_two_level_rendezvous_balance_and_totals(spark, sf_dir_small):
     for r in rows:
         assert r.n_docs < 3 * uniform, f"shard {r.shard} overloaded"
     assert abs(sum(r.load_ppm for r in rows) - 1_000_000) <= 20
+
+
+def test_shingles_zipped_equals_indexed(spark):
+    """The round-8 zip-with-shifted-self shingle build must emit the
+    identical per-doc shingle SET as the original transform-with-index
+    form (guarded here so future edits can't silently change shingle
+    semantics), including the short-doc edge cases (n < k, n == k) and
+    repeated-token docs."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.functions.text import shingles, tokens
+
+    def indexed(name, k):
+        parts = ", ".join(f"{name}[i + {j}]" for j in range(k))
+        return F.expr(
+            f"array_distinct(filter(transform({name}, (x, i) -> "
+            f"CASE WHEN i <= size({name}) - {k} "
+            f"THEN concat_ws(' ', {parts}) END), s -> s IS NOT NULL))"
+        )
+
+    rows = [
+        ("a b c d e f",),
+        ("a b",),
+        ("a b c",),
+        ("x",),
+        ("a a a a a",),
+        ("w1 w2 w3 w4 w5 w6 w7 w1 w2 w3",),
+    ]
+    df = spark.createDataFrame(rows, "text string").select(
+        tokens("text").alias("toks")
+    )
+    for k in (2, 3, 5):
+        bad = (
+            df.select(
+                (
+                    F.array_sort(shingles("toks", k))
+                    == F.array_sort(indexed("toks", k))
+                ).alias("eq")
+            )
+            .where(~F.col("eq"))
+            .count()
+        )
+        assert bad == 0, f"shingle mismatch at k={k}"
+
+
+def test_cluster_clip_invariants(spark, sf_dir):
+    """ClusterClip structural guarantees: per cell, kept <= quota,
+    kept + clipped == members, and only over-quota cells clip."""
+    rows = registry.QUERIES["q_cluster_clip_sample"](spark, sf_dir).collect()
+    assert rows, "no cells"
+    for r in rows:
+        assert r["n_kept"] <= r["quota"]
+        assert r["n_kept"] + r["n_clipped"] == r["n_members"]
+        if r["n_members"] <= r["quota"]:
+            assert r["n_clipped"] == 0
+        else:
+            assert r["n_kept"] == r["quota"]
+
+
+def test_rag_chunk_coverage(spark, sf_dir):
+    """Sliding-window chunk accounting: every corpus token is covered
+    at least once (chunk tokens >= corpus tokens), the overlap tax is
+    non-negative, and there is at least one chunk per document."""
+    rows = registry.QUERIES["q_rag_window_chunks"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_chunk_tokens"] >= r["n_corpus_tokens"]
+        assert r["overlap_ppm"] >= 0
+        assert r["n_chunks"] >= r["n_docs"]
+        assert r["n_distinct_chunks"] <= r["n_chunks"]

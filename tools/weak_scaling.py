@@ -99,6 +99,14 @@ DEFAULT_QUERIES = [
     "q_session_top_paths",
     "q_bpe_encode_heldout",
     "q_curation_pipeline_v4",
+    # Round-8: robust trend (events-based), RAG chunking, positional
+    # phrase match, ClusterClip (embeddings-based), epoch planning.
+    "q_theil_sen_trend",
+    "q_rag_window_chunks",
+    "q_phrase_match_stats",
+    "q_cluster_clip_sample",
+    "q_epoch_repeat_plan",
+    "q_ks_length_drift",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
