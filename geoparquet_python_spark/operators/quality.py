@@ -754,3 +754,169 @@ def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("ks_at_x"),
         F.expr("num * 1000000 > 100000 * (n_old * n_new)").alias("drifted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8: exact tie-aware Mann-Whitney AUC — score/label separation
+# --------------------------------------------------------------------------
+
+_AUC_EVAL_MOD = 97  # contamination.py's eval carve-out rule
+_AUC_HITS = 2  # label: contaminated iff >= 2 distinct eval shingles
+
+
+@query(
+    "q_mannwhitney_auc_contam",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+      WHERE doc_id % {_AUC_EVAL_MOD} <> 0
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w,
+             len(ws) AS n
+      FROM tok
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+      FROM pos a
+      JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    bench AS (
+      SELECT DISTINCT t0.w || ' ' || t1.w || ' ' || t2.w AS s
+      FROM (SELECT doc_id, generate_subscripts(str_split(text, ' '), 1) AS i,
+                   unnest(str_split(text, ' ')) AS w
+            FROM documents WHERE doc_id % {_AUC_EVAL_MOD} = 0) t0
+      JOIN (SELECT doc_id, generate_subscripts(str_split(text, ' '), 1) AS i,
+                   unnest(str_split(text, ' ')) AS w
+            FROM documents WHERE doc_id % {_AUC_EVAL_MOD} = 0) t1
+        ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+      JOIN (SELECT doc_id, generate_subscripts(str_split(text, ' '), 1) AS i,
+                   unnest(str_split(text, ' ')) AS w
+            FROM documents WHERE doc_id % {_AUC_EVAL_MOD} = 0) t2
+        ON t2.doc_id = t0.doc_id AND t2.i = t0.i + 2
+    ),
+    hits AS (
+      SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM sh JOIN bench USING (s) GROUP BY 1
+    ),
+    scored AS (
+      SELECT t.doc_id, CAST(len(str_split(d.text, ' ')) AS BIGINT) AS x,
+             COALESCE(h.n_hits, 0) >= {_AUC_HITS} AS is_pos
+      FROM tok t
+      JOIN documents d ON d.doc_id = t.doc_id
+      LEFT JOIN hits h ON h.doc_id = t.doc_id
+    ),
+    per_x AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS pcnt
+      FROM scored GROUP BY x
+    ),
+    cum AS (
+      SELECT x, cnt, pcnt,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cbefore
+      FROM per_x
+    ),
+    tots AS (
+      SELECT CAST(SUM(pcnt) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt) - SUM(pcnt) AS BIGINT) AS n_neg,
+             CAST(SUM(pcnt * (2 * cbefore + cnt + 1)) AS BIGINT) AS r2_pos
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
+                          // (2 * n_pos * n_neg) AS BIGINT) END AS auc_ppm,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN (r2_pos - n_pos * (n_pos + 1)) * 2 > 2 * n_pos * n_neg
+           END AS longer_when_contaminated
+    FROM tots
+    """,
+)
+def q_mannwhitney_auc_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Mann-Whitney AUC: does document LENGTH separate
+    contamination? (Long documents carry more shingles, so any-overlap
+    decontamination rules fire on them disproportionately — this AUC
+    is the standard way to QUANTIFY that confound before trusting a
+    threshold; AUC is also the metric every learned quality classifier
+    in a curation stack reports, so the exact machinery generalizes to
+    any integer score column.)
+
+    Exactness: with ties handled by MIDRANKS, AUC = (ΣR_pos −
+    n_pos(n_pos+1)/2) / (n_pos·n_neg). Doubling removes the halves:
+    per tied score group, 2·midrank = 2·c_before + cnt + 1, so
+    2ΣR_pos is an int64 sum over the VALUES-sized frame and
+    auc_ppm = (2ΣR_pos − 2·n_pos(n_pos+1)/2)·1e6 DIV (2·n_pos·n_neg)
+    is an exact integer division — no float ranks, no engine drift.
+
+    Scale shape: the contamination label is the decontamination
+    pipeline's own semi-join (explode → eval-shingle join → per-doc
+    hit count); the AUC itself then needs only one (score, label)
+    aggregate whose key domain is DISTINCT SCORE VALUES — bounded by
+    max doc length, not corpus size — and a cumulative window +
+    one-row rollup on that values-sized frame (the q_ks_length_drift
+    pattern; the two share a scan shape because both are ECDF
+    functionals)."""
+    from pyspark.sql import Window
+
+    from geoparquet_python_spark.functions.exact import spread
+    from geoparquet_python_spark.functions.text import shingles, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _AUC_EVAL_MOD == 0
+    ex = spread(d.select("doc_id", tokens("text").alias("toks"))).select(
+        "doc_id", F.explode(shingles("toks", 3)).alias("s")
+    )
+    bench = ex.where(is_eval).select("s").distinct()
+    hits = (
+        ex.where(~is_eval)
+        .join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    scored = (
+        d.where(~is_eval)
+        .select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("x"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "x",
+            (F.coalesce("n_hits", F.lit(0)) >= _AUC_HITS).alias("is_pos"),
+        )
+    )
+    per_x = scored.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("is_pos").cast("int")).cast("bigint").alias("pcnt"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_x.select(
+        "x",
+        "cnt",
+        "pcnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias(
+            "cbefore"
+        ),
+    )
+    tots = cum.agg(
+        F.sum("pcnt").cast("bigint").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pcnt")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pcnt") * (2 * F.col("cbefore") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_pos"),
+    )
+    return tots.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+            "CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000 "
+            "DIV (2 * n_pos * n_neg) AS BIGINT) END"
+        ).alias("auc_ppm"),
+        F.expr(
+            "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+            "(r2_pos - n_pos * (n_pos + 1)) * 2 > 2 * n_pos * n_neg END"
+        ).alias("longer_when_contaminated"),
+    )

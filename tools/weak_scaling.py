@@ -107,6 +107,7 @@ DEFAULT_QUERIES = [
     "q_cluster_clip_sample",
     "q_epoch_repeat_plan",
     "q_ks_length_drift",
+    "q_mannwhitney_auc_contam",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
