@@ -942,3 +942,120 @@ def q_unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("o_orderstatus", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Round-8: strict ordered funnel — view -> click -> purchase
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "q_funnel_conversion",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    pop AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events)
+    SELECT p.n_users,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_step1,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_step2,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_step3,
+           CAST((SELECT COUNT(*) FROM s2) * 1000000
+                // GREATEST((SELECT COUNT(*) FROM s1), 1) AS BIGINT)
+             AS conv12_ppm,
+           CAST((SELECT COUNT(*) FROM s3) * 1000000
+                // GREATEST((SELECT COUNT(*) FROM s2), 1) AS BIGINT)
+             AS conv23_ppm,
+           CAST((SELECT CAST(SUM(epoch_us(s3.t3) - epoch_us(s1.t1))
+                             AS BIGINT)
+                 FROM s3 JOIN s1 ON s1.user_id = s3.user_id) AS BIGINT)
+             AS total_funnel_us
+    FROM pop p
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ORDERED funnel (the product-analytics staple this
+    engine's transition matrix and session paths do not answer):
+    users who viewed, then clicked strictly AFTER their first view,
+    then purchased strictly after that first qualifying click —
+    first-occurrence semantics per step, so a click before any view
+    does not count. Reports per-step populations, step conversion
+    rates (ppm, exact integer division), and the summed
+    first-view -> first-qualifying-purchase latency in exact
+    microseconds.
+
+    Plan shape: three user-keyed conditional MIN aggregates, each
+    consuming the previous step's (user, t) frame through an equi-join
+    on user_id — the same hash partitioning at every stage, so AQE
+    reuses the exchange; no windows over raw events, no ordered
+    collect per user (the collect_list sessionization shape would
+    carry whole event lists through the shuffle). Each stage's frame
+    is |users|-sized. Latency sums in epoch-us int64 (exact; both
+    engines' timestamp subtraction is integer microseconds)."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = e.where(F.col("event_type") == _FUNNEL_STEPS[0]).groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("t1"))
+    s2 = (
+        e.where(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    pop = e.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_step1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_step2"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_step3"))
+    lat = (
+        s3.join(s1, "user_id")
+        .agg(
+            F.sum(
+                F.unix_micros("t3") - F.unix_micros("t1")
+            )
+            .cast("bigint")
+            .alias("total_funnel_us")
+        )
+    )
+    return (
+        pop.crossJoin(n1)
+        .crossJoin(n2)
+        .crossJoin(n3)
+        .crossJoin(lat)
+        .select(
+            "n_users",
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            F.expr(
+                "CAST(n_step2 * 1000000 DIV GREATEST(n_step1, 1) AS BIGINT)"
+            ).alias("conv12_ppm"),
+            F.expr(
+                "CAST(n_step3 * 1000000 DIV GREATEST(n_step2, 1) AS BIGINT)"
+            ).alias("conv23_ppm"),
+            F.col("total_funnel_us").cast("bigint").alias("total_funnel_us"),
+        )
+    )

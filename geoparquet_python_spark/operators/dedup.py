@@ -1876,3 +1876,165 @@ def q_source_minhash_similarity(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8: normalization-aware exact dedup — trivial-variant collapse
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_normalized_exact_dedup",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(text) AS raw_hash,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      FROM documents
+    ),
+    raw_g AS (SELECT raw_hash, COUNT(*) AS c FROM n GROUP BY raw_hash),
+    norm_g AS (
+      SELECT norm_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+             CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
+      FROM n GROUP BY norm_hash
+    )
+    SELECT CAST((SELECT COUNT(*) FROM raw_g) AS BIGINT) AS n_raw_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_norm_distinct,
+           CAST((SELECT COUNT(*) FROM raw_g) - COUNT(*) AS BIGINT)
+             AS n_collapsed,
+           CAST(SUM(CASE WHEN n_raw_variants > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_variant_groups
+    FROM norm_g
+    """,
+)
+def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: hash the text AFTER casefold +
+    punctuation-strip + whitespace collapse, and count how many
+    raw-distinct documents the normalized key merges — the cheap layer
+    between byte-exact dedup (misses trivial reformatting) and
+    MinHash (overkill for it); production stacks (CCNet/Dolma lineage)
+    run exactly this normalize-then-hash pass first. Reported:
+    raw-distinct vs normalized-distinct counts, documents collapsed,
+    and groups containing >1 raw variant.
+
+    Determinism: lower/regexp_replace/trim/md5 behave identically on
+    both engines for this ASCII corpus (the regexes are anchored to
+    [a-z0-9 ] classes, no locale dependence). Scale: two hash
+    aggregates over one corpus scan — the q_exact_dedup shape with a
+    map-side normalization prepended; nothing pairwise."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    n = d.select(
+        "doc_id", F.md5("text").alias("raw_hash"), norm.alias("norm_hash")
+    )
+    raw_cnt = n.agg(
+        F.countDistinct("raw_hash").cast("bigint").alias("n_raw_distinct")
+    )
+    norm_g = n.groupBy("norm_hash").agg(
+        F.countDistinct("raw_hash").alias("n_raw_variants")
+    )
+    agg = norm_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_norm_distinct"),
+        F.sum((F.col("n_raw_variants") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_variant_groups"),
+    )
+    return raw_cnt.crossJoin(agg).select(
+        "n_raw_distinct",
+        "n_norm_distinct",
+        (F.col("n_raw_distinct") - F.col("n_norm_distinct"))
+        .cast("bigint")
+        .alias("n_collapsed"),
+        "n_variant_groups",
+    )
+
+
+
+# --------------------------------------------------------------------------
+# Round-8: dedup-layer agreement audit — Jaccard vs SimHash pair sets
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_layer_agreement",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    {_SQL_JACCARD_PAIRS},
+    {_sql_simhash_w240_cte()},
+    simp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigw a JOIN sigw b ON a.doc_id < b.doc_id
+      WHERE {_W240_HAMMING_SQL} <= {_HAMMING_T}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_jaccard,
+           CAST((SELECT COUNT(*) FROM simp) AS BIGINT) AS n_simhash,
+           CAST((SELECT COUNT(*) FROM pairs p
+                 JOIN simp s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b)
+                AS BIGINT) AS n_both,
+           CAST((SELECT COUNT(*) FROM pairs p
+                 JOIN simp s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b)
+                * 1000000
+                // GREATEST((SELECT COUNT(*) FROM pairs)
+                            + (SELECT COUNT(*) FROM simp)
+                            - (SELECT COUNT(*) FROM pairs p
+                               JOIN simp s ON s.doc_a = p.doc_a
+                                          AND s.doc_b = p.doc_b), 1)
+                AS BIGINT) AS pair_jaccard_ppm
+    """,
+)
+def q_dedup_layer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-LAYER agreement audit: how much do the two lexical
+    near-dup definitions — shingle-Jaccard >= {_JACCARD_T} and 240-bit
+    SimHash Hamming <= {_HAMMING_T} — agree on this corpus? Reported
+    as both pair-set sizes, the intersection, and the Jaccard of the
+    PAIR SETS themselves. Every multi-layer dedup stack should ship
+    this number: if two layers agree near-totally one is redundant
+    cost; if they agree near-zero the thresholds define different
+    notions of "duplicate" and the stack's recall claims need both.
+
+    Plan shape: both pair sets are the REGISTERED queries' own
+    blocked plans (prefix-filtered Jaccard candidates, pigeonhole
+    SimHash chunks — nothing all-pairs on the Spark side; the
+    oracle's brute forms are the semantic spec); the agreement is one
+    equi-join on the (doc_a, doc_b) key over two pair-graph-sized
+    frames plus three one-row counts."""
+    jac = materialize(
+        _exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    sim = materialize(
+        _blocked_hamming_pairs(
+            _simhash_w240_signatures(spark, sf_dir),
+            _W240_COLS,
+            _W240_CHUNKS,
+            _HAMMING_T,
+        ).select("doc_a", "doc_b")
+    )
+    nj = jac.agg(F.count(F.lit(1)).cast("bigint").alias("n_jaccard"))
+    ns = sim.agg(F.count(F.lit(1)).cast("bigint").alias("n_simhash"))
+    nb = (
+        jac.join(sim, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        nj.crossJoin(ns)
+        .crossJoin(nb)
+        .select(
+            "n_jaccard",
+            "n_simhash",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 1000000 DIV "
+                "GREATEST(n_jaccard + n_simhash - n_both, 1) AS BIGINT)"
+            ).alias("pair_jaccard_ppm"),
+        )
+    )

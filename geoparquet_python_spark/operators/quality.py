@@ -920,3 +920,81 @@ def q_mannwhitney_auc_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(r2_pos - n_pos * (n_pos + 1)) * 2 > 2 * n_pos * n_neg END"
         ).alias("longer_when_contaminated"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8: k-anonymity audit over quasi-identifier combinations
+# --------------------------------------------------------------------------
+
+_KANON_K = 5  # minimum safe group size
+_KANON_LEN_BUCKET = 50  # token-count generalization width
+
+
+@query(
+    "q_k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT lang, source,
+             (len(str_split(text, ' ')) // {_KANON_LEN_BUCKET})
+               * {_KANON_LEN_BUCKET} AS len_bucket
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS grp
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(grp) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN grp < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_groups,
+           CAST(SUM(CASE WHEN grp < {_KANON_K} THEN grp ELSE 0 END)
+                AS BIGINT) AS n_risky_rows,
+           CAST(MIN(grp) AS BIGINT) AS min_group,
+           CAST(SUM(CASE WHEN grp < {_KANON_K} THEN grp ELSE 0 END) * 1000000
+                // SUM(grp) AS BIGINT) AS risky_ppm
+    FROM g
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the documents table's
+    quasi-identifier combination (lang, source, {_KANON_LEN_BUCKET}-
+    token length bucket): a row is re-identification-risky when fewer
+    than k = {_KANON_K} rows share its full quasi-identifier tuple.
+    Reports group/row counts, the risky slice (groups, rows, ppm),
+    and the minimum group size — the number a release gate compares
+    against k. Companion to the redaction operator (which scrubs
+    direct identifiers; THIS audits the indirect ones redaction
+    cannot see).
+
+    Scale shape: one corpus scan → one aggregate on the
+    quasi-identifier key (map-side combined; the key domain is the
+    PRODUCT OF GENERALIZED DOMAINS — langs × sources × length
+    buckets — bounded by design, which is the entire point of
+    generalization) → a one-row rollup. Nothing pairwise, nothing
+    driver-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "lang",
+        "source",
+        (
+            (F.size(F.split("text", " ")) / _KANON_LEN_BUCKET).cast("bigint")
+            * _KANON_LEN_BUCKET
+        ).alias("len_bucket"),
+    )
+    g = q.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp")
+    )
+    risky = F.when(F.col("grp") < _KANON_K, F.col("grp")).otherwise(F.lit(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("grp").cast("bigint").alias("n_rows"),
+        F.sum((F.col("grp") < _KANON_K).cast("int"))
+        .cast("bigint")
+        .alias("n_risky_groups"),
+        F.sum(risky).cast("bigint").alias("n_risky_rows"),
+        F.min("grp").cast("bigint").alias("min_group"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN grp < {_KANON_K} THEN grp ELSE 0 END) "
+            "* 1000000 DIV SUM(grp) AS BIGINT)"
+        ).alias("risky_ppm"),
+    )

@@ -799,3 +799,161 @@ def q_phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phrase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: exact nDCG@10 — ranking-quality metric for the BM25 stack
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+# Integer discount table: round(1e6 / log2(i + 1)) for ranks 1..10,
+# computed ONCE in Python and inlined as the SAME literals in both
+# engines — the only transcendental in nDCG reduced to ten shared
+# constants, so DCG/IDCG/nDCG are pure int64 arithmetic.
+_NDCG_GAIN = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+_SQL_GAIN_CASE = "CASE " + " ".join(
+    f"WHEN {{r}} = {i + 1} THEN {g}" for i, g in enumerate(_NDCG_GAIN)
+) + " ELSE 0 END"
+# Graded relevance from shared distinct 3-gram shingles between the
+# query doc and the candidate: 0 shared -> 0, 1-2 -> 1, 3-5 -> 2,
+# 6+ -> 3 (a deterministic corpus-derived label in place of human
+# judgments — the METRIC machinery is the deliverable).
+_SQL_REL = (
+    "CASE WHEN shared >= 6 THEN 3 WHEN shared >= 3 THEN 2 "
+    "WHEN shared >= 1 THEN 1 ELSE 0 END"
+)
+
+
+@query(
+    "q_bm25_ndcg_audit",
+    oracle=f"""
+    WITH {_SQL_BM25_CORE},
+    {sql_shingles_cte(k=3)},
+    qsh AS (
+      SELECT doc_id AS query_id, s FROM sh WHERE {_QUERY_PRED}
+    ),
+    overlap AS (
+      SELECT q.query_id, c.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM qsh q JOIN sh c ON c.s = q.s AND c.doc_id <> q.query_id
+      GROUP BY q.query_id, c.doc_id
+    ),
+    rel AS (
+      SELECT query_id, doc_id, {_SQL_REL} AS rel FROM overlap
+    ),
+    dcg AS (
+      SELECT r.query_id,
+             CAST(SUM(COALESCE(l.rel, 0)
+                      * {_SQL_GAIN_CASE.format(r="r.rank")}) AS BIGINT)
+               AS dcg_fp
+      FROM ranked r
+      LEFT JOIN rel l ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+      WHERE r.rank <= {_NDCG_K}
+      GROUP BY r.query_id
+    ),
+    ideal AS (
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, doc_id
+             ) AS irank
+      FROM rel
+    ),
+    idcg AS (
+      SELECT query_id,
+             CAST(SUM(rel * {_SQL_GAIN_CASE.format(r="irank")}) AS BIGINT)
+               AS idcg_fp
+      FROM ideal WHERE irank <= {_NDCG_K}
+      GROUP BY query_id
+    )
+    SELECT d.query_id,
+           d.dcg_fp,
+           COALESCE(i.idcg_fp, 0) AS idcg_fp,
+           CASE WHEN COALESCE(i.idcg_fp, 0) > 0
+                THEN CAST(d.dcg_fp * 1000000 // i.idcg_fp AS BIGINT)
+           END AS ndcg_ppm
+    FROM dcg d LEFT JOIN idcg i ON i.query_id = d.query_id
+    ORDER BY d.query_id
+    """,
+)
+def q_bm25_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nDCG@{k}: the ranking-quality audit for the BM25 stack —
+    DCG of the retrieved list against graded relevance labels,
+    normalized by the IDEAL DCG over the FULL corpus-wide label set
+    (not just the retrieved list — so a ranker that misses relevant
+    docs entirely is penalized, the property the retrieved-set-only
+    nDCG variant silently loses). Labels are corpus-derived graded
+    shingle-overlap (0/1/2/3) — deterministic stand-ins for human
+    judgments; the exact-metric machinery is the deliverable and
+    works for any integer label column.
+
+    Exactness: the rank discount 1/log2(i+1) is the only
+    transcendental, reduced to TEN shared integer constants
+    (round(1e6/log2(i+1)) computed once, inlined identically in both
+    engines), so DCG, IDCG, and ndcg_ppm are pure int64 sums and one
+    integer division.
+
+    Scale shape: the label join is shingle-keyed (query shingles ×
+    corpus shingles — the decontamination semi-join shape, pair-graph
+    sized output); DCG is a {k}-row-per-query join; IDCG is one
+    window over the per-query label set. Queries are the held-out
+    slice (|corpus|/101), so every query-keyed frame is
+    corpus/101-bounded."""
+    from geoparquet_python_spark.functions.exact import spread
+    from geoparquet_python_spark.functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = materialize(
+        spread(d.select("doc_id", tokens("text").alias("toks"))).select(
+            "doc_id", F.explode(shingles("toks", 3)).alias("s")
+        )
+    )
+    qsh = ex.where(F.expr(_QUERY_PRED)).select(
+        F.col("doc_id").alias("query_id"), "s"
+    )
+    overlap = (
+        qsh.join(ex, "s")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    rel = materialize(
+        overlap.select("query_id", "doc_id", F.expr(_SQL_REL).alias("rel"))
+    )
+    ranked = _bm25_ranked(spark, sf_dir).where(F.col("rank") <= _NDCG_K)
+    gain_rank = _SQL_GAIN_CASE.format(r="rank")
+    dcg = (
+        ranked.join(rel, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce("rel", F.lit(0)) * F.expr(gain_rank)
+            )
+            .cast("bigint")
+            .alias("dcg_fp")
+        )
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), "doc_id"
+    )
+    ideal = rel.select(
+        "query_id", "rel", F.row_number().over(wi).alias("irank")
+    ).where(F.col("irank") <= _NDCG_K)
+    gain_irank = _SQL_GAIN_CASE.format(r="irank")
+    idcg = ideal.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.expr(gain_irank)).cast("bigint").alias("idcg_fp")
+    )
+    return (
+        dcg.join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            "dcg_fp",
+            F.coalesce("idcg_fp", F.lit(0)).cast("bigint").alias("idcg_fp"),
+            F.expr(
+                "CASE WHEN COALESCE(idcg_fp, 0) > 0 THEN "
+                "CAST(dcg_fp * 1000000 DIV idcg_fp AS BIGINT) END"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -219,7 +219,15 @@ def q_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     mate in its k-means cell, with the lowest such mate as `dup_of`
     and the cosine to it (micro-units). Keep-first rule: the corpus
     minus this list is the semantically-deduped corpus."""
-    hits = _cell_pairs(spark, sf_dir).where(F.col("cosine") >= _TAU)
+    # materialize: hits feeds BOTH the min-mate verdict and the
+    # cosine join-back below; without the barrier the whole cell-pair
+    # stream (shuffle + Arrow dot refine) executes twice (measured
+    # ~1.8 s of the 4.7 s wall at sf0.1, round 8). The surviving edge
+    # set is tau-filtered — pair-graph sized, not corpus² — so the
+    # checkpoint is small by construction.
+    hits = materialize(
+        _cell_pairs(spark, sf_dir).where(F.col("cosine") >= _TAU)
+    )
     verdict = hits.groupBy("cell", F.col("vec_b").alias("vec_id")).agg(
         F.min("vec_a").alias("dup_of")
     )

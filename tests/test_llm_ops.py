@@ -2047,3 +2047,36 @@ def test_rag_chunk_coverage(spark, sf_dir):
         assert r["overlap_ppm"] >= 0
         assert r["n_chunks"] >= r["n_docs"]
         assert r["n_distinct_chunks"] <= r["n_chunks"]
+
+
+def test_metric_queries_bounded(spark, sf_dir):
+    """Range invariants for the round-8 exact-metric queries: KS and
+    nDCG are ppm fractions in [0, 1e6]; AUC in [0, 1e6]; epoch plan
+    never allocates effective tokens past the cap or the allocation."""
+    ks = registry.QUERIES["q_ks_length_drift"](spark, sf_dir).collect()[0]
+    assert 0 <= ks["ks_ppm"] <= 1_000_000
+
+    auc = registry.QUERIES["q_mannwhitney_auc_contam"](spark, sf_dir).collect()[0]
+    if auc["auc_ppm"] is not None:
+        assert 0 <= auc["auc_ppm"] <= 1_000_000
+
+    for r in registry.QUERIES["q_bm25_ndcg_audit"](spark, sf_dir).collect():
+        if r["ndcg_ppm"] is not None:
+            assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        assert r["dcg_fp"] >= 0 and r["idcg_fp"] >= 0
+
+    for r in registry.QUERIES["q_epoch_repeat_plan"](spark, sf_dir).collect():
+        assert r["effective_tokens"] <= r["alloc_tokens"]
+        assert r["epochs_micro"] <= 4_000_000
+        assert r["shortfall_tokens"] >= 0
+        if r["epoch_capped"]:
+            assert r["epochs_micro"] == 4_000_000
+
+
+def test_dedup_layer_agreement_consistency(spark, sf_dir):
+    """n_both can exceed neither side; the pair-set Jaccard is a ppm
+    fraction consistent with the three counts."""
+    r = registry.QUERIES["q_dedup_layer_agreement"](spark, sf_dir).collect()[0]
+    assert r["n_both"] <= min(r["n_jaccard"], r["n_simhash"])
+    union = max(r["n_jaccard"] + r["n_simhash"] - r["n_both"], 1)
+    assert r["pair_jaccard_ppm"] == r["n_both"] * 1_000_000 // union

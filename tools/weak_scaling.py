@@ -108,6 +108,11 @@ DEFAULT_QUERIES = [
     "q_epoch_repeat_plan",
     "q_ks_length_drift",
     "q_mannwhitney_auc_contam",
+    "q_bm25_ndcg_audit",
+    "q_normalized_exact_dedup",
+    "q_dedup_layer_agreement",
+    "q_k_anonymity_audit",
+    "q_funnel_conversion",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
