@@ -105,6 +105,12 @@ HEADLINE = [
     "q_theil_sen_trend",
     "q_rag_window_chunks",
     "q_phrase_match_stats",
+    # Round-8 (late): the exact-statistics/governance family's two
+    # cheapest representatives (sub-second; the heavier nDCG/AUC stay
+    # correctness-registered — their shingle-label stage is already
+    # timed via the decontamination headline path).
+    "q_ks_length_drift",
+    "q_k_anonymity_audit",
 ]
 
 
