@@ -29,7 +29,7 @@ pandas; SURVEY.md §0) — BASELINE.json north-star scope.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.text import (
@@ -39,7 +39,9 @@ from geoparquet_python_spark.functions.text import (
     sql_shingles_cte,
     tokens,
 )
+from geoparquet_python_spark.functions.exact import materialize, spread
 from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.operators.dedup import _sql_minhash, minhash_bands
 from geoparquet_python_spark.registry import query
 
 _BATCH_MOD = 10  # doc_id % 10 == 0 -> "new batch", else "corpus"
@@ -134,5 +136,147 @@ def q_crosscorpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near_dup.withColumn("is_near", F.lit(True)), "doc_id", "left")
         .fillna(False, ["is_exact", "is_near"])
         .select("doc_id", verdict.alias("verdict"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: banded-LSH index probe — incremental dedup against a frozen index
+# ---------------------------------------------------------------------------
+
+_IDX_PRED = "doc_id % 2 = 0"  # frozen "already indexed" half
+
+
+@query(
+    "q_lsh_index_probe",
+    oracle=f"""
+    WITH {sql_shingles_cte(k=3)},
+    {_sql_minhash()},
+    candp AS (
+      SELECT n.doc_id AS new_id, f.doc_id AS frozen_id
+      FROM bands n
+      JOIN bands f ON f.band = n.band AND f.sig = n.sig
+      WHERE n.doc_id % 2 = 1 AND f.doc_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.frozen_id, COUNT(*) AS i
+      FROM candp c
+      JOIN sh a ON a.doc_id = c.new_id
+      JOIN sh b ON b.doc_id = c.frozen_id AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    scoredp AS (
+      SELECT x.new_id, x.frozen_id,
+             x.i * 1.0 / (sa.sz + sb.sz - x.i) AS jaccard
+      FROM inter x
+      JOIN sizes sa ON sa.doc_id = x.new_id
+      JOIN sizes sb ON sb.doc_id = x.frozen_id
+      WHERE x.i * 1.0 / (sa.sz + sb.sz - x.i) >= {_JACCARD_T}
+    ),
+    best AS (
+      SELECT new_id, frozen_id, jaccard,
+             row_number() OVER (
+               PARTITION BY new_id ORDER BY jaccard DESC, frozen_id
+             ) AS rn
+      FROM scoredp
+    )
+    SELECT d.doc_id,
+           CASE WHEN b.frozen_id IS NOT NULL THEN 'dup' ELSE 'new' END
+             AS verdict,
+           b.frozen_id AS match_id,
+           b.jaccard AS jaccard
+    FROM documents d
+    LEFT JOIN best b ON b.new_id = d.doc_id AND b.rn = 1
+    WHERE d.doc_id % 2 = 1
+    ORDER BY d.doc_id
+    """,
+)
+def q_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup via a banded-LSH INDEX PROBE: the frozen half
+    of the corpus (doc_id % 2 = 0) is the already-indexed store; each
+    NEW document (odd half) probes ONLY the band buckets its own
+    signature lands in — the bipartite candidate join (new x frozen,
+    never new x new or frozen x frozen) that makes continuous-crawl
+    dedup incremental: per ingest batch the work is
+    |batch| x bucket-collision rate, never a re-scan of the corpus.
+    The scalable sibling of q_crosscorpus_dedup's exact-hash +
+    all-shingle screen — THIS is the variant that survives when the
+    new batch is itself large. Verdict per new doc: 'dup' with its
+    best frozen match (max exact Jaccard >= {_JACCARD_T}, ties to the
+    lowest frozen id) or 'new'.
+
+    Plan shape: one signature pass over both halves (in production
+    the frozen bands are PERSISTED — the one-pass build here stands
+    in for reading them); candidates from the (band, sig) equi-join
+    restricted bipartite by parity predicates pushed below the join;
+    the exact-Jaccard refine touches candidates only (array_intersect
+    on the in-row distinct shingle sets); best-match is a window over
+    the match-graph-sized frame. No broadcast hints — AQE sizes the
+    joins.
+
+    Determinism: signatures are the md5 double-hash (Kirsch-
+    Mitzenmacher) the MinHash family shares; jaccard is IEEE double
+    division of exact ints; tie order (jaccard DESC, frozen_id) is
+    total."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = materialize(
+        spread(d.select("doc_id", tokens("text").alias("toks"))).select(
+            "doc_id", shingles("toks", k=3).alias("sh")
+        )
+    )
+    bands = minhash_bands(docs)
+    newb = bands.where(F.expr("doc_id % 2 = 1")).select(
+        F.col("doc_id").alias("new_id"), "band", "sig"
+    )
+    frob = bands.where(F.expr(_IDX_PRED)).select(
+        F.col("doc_id").alias("frozen_id"), "band", "sig"
+    )
+    cand = (
+        newb.join(frob, ["band", "sig"])
+        .select("new_id", "frozen_id")
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sha"))
+    b = docs.select(
+        F.col("doc_id").alias("frozen_id"), F.col("sh").alias("shb")
+    )
+    scored = (
+        cand.join(a, "new_id")
+        .join(b, "frozen_id")
+        .select(
+            "new_id",
+            "frozen_id",
+            (
+                F.size(F.array_intersect("sha", "shb"))
+                * F.lit(1.0)
+                / (
+                    F.size("sha")
+                    + F.size("shb")
+                    - F.size(F.array_intersect("sha", "shb"))
+                )
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_T)
+    )
+    wb = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), "frozen_id"
+    )
+    best = scored.select(
+        "new_id", "frozen_id", "jaccard", F.row_number().over(wb).alias("rn")
+    ).where(F.col("rn") == 1)
+    return (
+        d.where(F.expr("doc_id % 2 = 1"))
+        .select("doc_id")
+        .join(best, d["doc_id"] == best["new_id"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("frozen_id").isNotNull(), "dup")
+            .otherwise("new")
+            .alias("verdict"),
+            F.col("frozen_id").alias("match_id"),
+            "jaccard",
+        )
         .orderBy("doc_id")
     )

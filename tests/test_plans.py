@@ -61,6 +61,11 @@ ONE_ROW_BNLJ_BUDGET = {
     # the one-row LM-totals aggregate (n_t, n_r, V) crossJoined onto
     # the vocab-sized ratio frame
     "q_dsir_importance_selection": 1,
+    # the one-row (n_old, n_new) totals aggregate crossJoined onto the
+    # distinct-lengths ECDF frame (round 8; the established
+    # one-row-broadcast class — the "nested loop" side is 1 row by
+    # construction)
+    "q_ks_length_drift": 1,
 }
 
 

@@ -113,6 +113,7 @@ DEFAULT_QUERIES = [
     "q_dedup_layer_agreement",
     "q_k_anonymity_audit",
     "q_funnel_conversion",
+    "q_lsh_index_probe",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
