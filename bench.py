@@ -254,27 +254,39 @@ def main() -> None:
     # queries dict is dropped from the tail (never the headline value)
     # — the full detail always survives in BENCH_LAST_FULL.json.
     # deltas_vs_prev must survive in the PARSED record too (VERDICT r7
-    # item 5: cross-round per-query deltas were only recoverable from
-    # the front-truncated tail). A name-keyed delta dict would double
-    # the line (~2.7 KB > the 2000-byte capture), so the compact form
-    # aligns a ratio ARRAY to the queries dict's key order (JSON keeps
-    # object order; null = no previous time for that query).
+    # item 5 / r8 item 2: at 47 queries the verbose wrapper pushed the
+    # line past the cap and the old fallback deleted the deltas first —
+    # exactly the field the fallback existed to protect). The compact
+    # form therefore carries deltas as "d": a ratio ARRAY aligned to
+    # the queries dict's key order (JSON keeps object order; null = no
+    # previous time), 1-decimal — the regressions list is computed from
+    # full precision above, so the array is for reading trends, not for
+    # thresholding. If the suite outgrows the cap anyway, degrade the
+    # DENSEST fields first and the deltas LAST: 1-decimal times, then
+    # a leading-"q_" key strip (marked by "key_prefix" so readers can
+    # restore names), then — only then — the old drop-fields ladder.
     compact = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "n_queries": len(times),
         "queries": {n: round(t, 2) for n, t in times.items()},
-        "deltas_vs_prev": {
-            "order": "queries",
-            "ratios": [deltas.get(n) for n in times],
-        },
+        "d": [None if n not in deltas else round(deltas[n], 1) for n in times],
         "regressions": regressions,
     }
     line = json.dumps(compact)
     if len(line) > 1900:
-        del compact["deltas_vs_prev"]
+        compact["queries"] = {n: round(t, 1) for n, t in times.items()}
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        compact["key_prefix"] = "q_"
+        compact["queries"] = {
+            (n[2:] if n.startswith("q_") else n): t
+            for n, t in compact["queries"].items()
+        }
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        del compact["d"]
         line = json.dumps(compact)
     if len(line) > 1900:
         del compact["queries"]

@@ -11,6 +11,7 @@ footprint of the query and reading the table.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,10 +110,15 @@ def register_scratch(path: str) -> str:
     process's own paths — atexit rather than a SparkContext stop hook
     because bench/driver sessions are stopped and restarted within one
     process while the paths are still reused across those sessions;
-    (b) an age-gated sweep (> 24 h mtime) clears dirs whose owning
-    process died before its hook ran. The age gate keeps the sweep
-    race-free against concurrent LIVE runs, whose dirs are by
-    construction freshly written."""
+    (b) a sweep clears dirs whose owning process died before its hook
+    ran — gated on BOTH age (> 24 h mtime) and owner liveness (ADVICE
+    r8: a live session can legitimately hold scratch written > 24 h
+    ago — e.g. a bucketed table registered early in a long run — so
+    mtime alone could delete it out from under that session). The
+    owner's pid rides in the dir name (`..._p<pid>` suffix,
+    run_scratch_dir); a dir is swept only when that pid no longer
+    exists. Pid-reuse false-negatives just defer cleanup to a later
+    sweep; legacy dirs without the suffix stay age-only."""
     import atexit
     import shutil
     import tempfile as _tempfile
@@ -137,13 +143,33 @@ def register_scratch(path: str) -> str:
                     continue
                 full = os.path.join(tmp, name)
                 try:
-                    if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
-                        shutil.rmtree(full, ignore_errors=True)
+                    if not (
+                        os.path.isdir(full) and os.path.getmtime(full) < cutoff
+                    ):
+                        continue
+                    m = re.search(r"_p(\d+)$", name)
+                    if m and _pid_alive(int(m.group(1))):
+                        continue  # owner still running — not stale
+                    shutil.rmtree(full, ignore_errors=True)
                 except OSError:
                     continue
         except OSError:
             pass
     return path
+
+
+def _pid_alive(pid: int) -> bool:
+    """True when a process with this pid exists (signal-0 probe;
+    EPERM counts as alive — it exists, just isn't ours)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True
+    return True
 
 
 def run_scratch_dir(spark: SparkSession, label: str, sf_dir: str = "") -> str:
@@ -158,13 +184,16 @@ def run_scratch_dir(spark: SparkSession, label: str, sf_dir: str = "") -> str:
     hazard). applicationId is unique per SparkContext, so concurrent
     drivers never collide and repeated calls within one session still
     reuse/overwrite their own path (bench best-of-N friendly).
-    Registered for end-of-process cleanup (register_scratch)."""
+    Registered for end-of-process cleanup (register_scratch); the
+    trailing `_p<pid>` marks the owner for the liveness-gated stale
+    sweep."""
     import tempfile as _tempfile
 
     sfl = os.path.basename(os.path.normpath(sf_dir)) if sf_dir else ""
     app = spark.sparkContext.applicationId
     return register_scratch(
         os.path.join(
-            _tempfile.gettempdir(), f"spark_graft_{label}_{app}_{sfl}"
+            _tempfile.gettempdir(),
+            f"spark_graft_{label}_{app}_{sfl}_p{os.getpid()}",
         )
     )

@@ -34,13 +34,30 @@ literal is ~2–4 bytes/key: a 10M-key budget is a ~30 MB broadcast —
 the point where a real deployment hands the probe to Spark's own
 injected runtime filter instead.
 
-Determinism: h_i(key) = md5_long("bf{i}_" || key) % m — 60-bit md5
-prefix, reproducible in DuckDB; m itself is derived from COUNT(*) of
+Determinism: ONE 60-bit md5_long evaluation per key, expanded to the
+k=3 bit positions by Kirsch–Mitzenmacher double hashing (public:
+"Less Hashing, Same Performance", 2006) — pos_i = (h_lo30 + i·stride)
+% m with h_lo30 = h % 2^30 and stride = (h >> 30) | 1 (odd, so for the
+power-of-two m the stride is coprime and the three positions are
+distinct mod m). Through round 8 each position evaluated its own
+salted md5; at 3 hashes that tripled the dominant per-fact-row cost of
+the probe (VERDICT r8 item 3). The 30-bit lo/stride split supports m
+up to 2^30 bits (~67M keys at 16 bits/key) — past that a real
+deployment is in Spark-injected-runtime-filter territory anyway (see
+the broadcast-size note above). m itself is derived from COUNT(*) of
 the same qualifying-key predicate on BOTH engines (Spark counts the
 dim frame driver-side; the oracle computes the identical next-pow-2
 with integer shifts in a scalar CTE), so the filter bits and even the
 false-positive COUNT stay oracle-exact integers at every scale.
 bit_or aggregation is order-independent.
+
+Expression-binding note (the repo's measured no-CSE trap): the single
+md5 must be evaluated ONCE per row on both engines. Spark gets a
+singleton-array lambda binding — transform(array(H), h -> ...) — since
+a lambda VARIABLE is bound data the optimizer cannot re-inline,
+whereas a projected alias gets substituted into every reference when a
+filter pushes through the project. DuckDB gets a subquery column
+(SELECT ..., H AS h FROM ...), which it evaluates once per row.
 """
 
 from __future__ import annotations
@@ -87,23 +104,52 @@ def _sql_msize_cte(count_sql: str) -> str:
     )"""
 
 
-def _positions_expr(
-    template: str, key_expr: str, m_expr, arr_fn: str = "array", salt: str = "bf"
-) -> str:
-    """SQL array expression of the _N_HASH bit positions for a key.
-    ``template``: the engine's md5_long template ({expr} placeholder);
-    ``m_expr``: the filter size — a Python int (Spark side, known at
-    build time) or a SQL scalar-subquery string (oracle side);
-    ``arr_fn``: the engine's array constructor (Spark `array`,
-    DuckDB `list_value`)."""
-    hashes = ", ".join(
-        template.format(
-            expr=f"concat('{salt}{i}_', CAST({key_expr} AS STRING))"
-        )
-        + f" % {m_expr}"
-        for i in range(_N_HASH)
+# Kirsch–Mitzenmacher split point: lo 30 bits seed, hi 30 bits stride.
+_B30 = 1 << 30
+
+
+def _h_expr(template: str, key_expr: str, salt: str = "bf") -> str:
+    """THE one salted 60-bit md5_long evaluation for a key.
+    ``template``: the engine's md5_long SQL ({expr} placeholder)."""
+    return template.format(expr=f"concat('{salt}_', CAST({key_expr} AS STRING))")
+
+
+def _km_terms(h_var: str, m_expr, div: str) -> list[str]:
+    """The _N_HASH Kirsch–Mitzenmacher bit positions in terms of an
+    already-bound hash variable/column ``h_var`` — pure integer
+    arithmetic identical across engines (``div``: Spark `DIV`,
+    DuckDB `//`). ``m_expr`` is a Python int (Spark side, known at
+    build time) or a SQL scalar-subquery string (oracle side)."""
+    lo = f"({h_var} % {_B30})"
+    st = f"((({h_var} {div} {_B30})) | 1)"
+    return [f"((({lo}) + {i} * {st}) % {m_expr})" for i in range(_N_HASH)]
+
+
+def _spark_positions_arr(key_expr: str, m: int, salt: str = "bf") -> str:
+    """Spark array of the 3 positions, md5 bound once via the
+    singleton-transform lambda (see module docstring)."""
+    h = _h_expr(_SPARK_MD5_LONG, key_expr, salt)
+    inner = ", ".join(_km_terms("h", m, "DIV"))
+    return f"flatten(transform(array({h}), h -> array({inner})))"
+
+
+def _spark_pass_expr(key_expr: str, m: int, words_lit: str, salt: str = "bf") -> str:
+    """Spark boolean: all 3 filter bits set for the key — the map-only
+    probe, one md5 per row (the words literal repeats textually but is
+    constant-folded to a single plan Literal)."""
+    h = _h_expr(_SPARK_MD5_LONG, key_expr, salt)
+    checks = " AND ".join(
+        f"((shiftright(element_at({words_lit}, CAST({p} DIV 63 AS INT) + 1), "
+        f"CAST({p} % 63 AS INT)) & 1) = 1)"
+        for p in _km_terms("h", m, "DIV")
     )
-    return f"{arr_fn}({hashes})"
+    return f"element_at(transform(array({h}), h -> ({checks})), 1)"
+
+
+def _sql_positions_list(m_expr: str = "(SELECT m FROM msize)") -> str:
+    """DuckDB list of the 3 positions in terms of a bound column ``h``
+    (the caller computes h once in a subquery projection)."""
+    return "list_value(" + ", ".join(_km_terms("h", m_expr, "//")) + ")"
 
 
 def _dense_words(rows, m: int) -> list[int]:
@@ -127,7 +173,7 @@ def _build_filter_words(
     words = (
         keys.select(
             F.explode(
-                F.expr(_positions_expr(_SPARK_MD5_LONG, "p_partkey", m))
+                F.expr(_spark_positions_arr("p_partkey", m))
             ).alias("pos")
         )
         .select(
@@ -143,10 +189,6 @@ def _build_filter_words(
     return _dense_words(words, m), m
 
 
-_SQL_M = "(SELECT m FROM msize)"
-_SQL_POSITIONS = _positions_expr(
-    SQL_MD5_LONG, "{key}", _SQL_M, arr_fn="list_value"
-)
 
 
 @query(
@@ -157,8 +199,9 @@ _SQL_POSITIONS = _positions_expr(
     ),
     {_sql_msize_cte("SELECT COUNT(*) FROM keys")},
     hp AS (
-      SELECT p_partkey, unnest({_SQL_POSITIONS.format(key="p_partkey")}) AS pos
-      FROM keys
+      SELECT p_partkey, unnest({_sql_positions_list()}) AS pos
+      FROM (SELECT p_partkey, {_h_expr(SQL_MD5_LONG, "p_partkey")} AS h
+            FROM keys)
     ),
     words AS (
       SELECT pos // 63 AS word,
@@ -170,8 +213,9 @@ _SQL_POSITIONS = _positions_expr(
       FROM lineitem GROUP BY 1
     ),
     pp AS (
-      SELECT k, n_rows, unnest({_SQL_POSITIONS.format(key="k")}) AS pos
-      FROM probe_keys
+      SELECT k, n_rows, unnest({_sql_positions_list()}) AS pos
+      FROM (SELECT k, n_rows, {_h_expr(SQL_MD5_LONG, "k")} AS h
+            FROM probe_keys)
     ),
     tested AS (
       SELECT p.k, MIN(p.n_rows) AS n_rows,
@@ -224,11 +268,7 @@ def q_bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_keys = li.groupBy(F.col("l_partkey").alias("k")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    pass_expr = F.expr(
-        f"forall(transform({_positions_expr(_SPARK_MD5_LONG, 'k', m)}, "
-        f"pos -> shiftright(element_at({words_lit}, CAST(pos DIV 63 AS INT) + 1), "
-        f"                  CAST(pos % 63 AS INT)) & 1 = 1), x -> x)"
-    )
+    pass_expr = F.expr(_spark_pass_expr("k", m, words_lit))
     part = load_table(spark, sf_dir, "part")
     keys = part.where(F.col("p_size") >= _P_SIZE_MIN).select(
         F.col("p_partkey").alias("k"), F.lit(True).alias("exact_member")
@@ -292,13 +332,7 @@ def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     words, m = _build_filter_words(spark, sf_dir)
     words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
     li = load_table(spark, sf_dir, "lineitem")
-    pruned = li.where(
-        F.expr(
-            f"forall(transform({_positions_expr(_SPARK_MD5_LONG, 'l_partkey', m)}, "
-            f"pos -> shiftright(element_at({words_lit}, CAST(pos DIV 63 AS INT) + 1), "
-            f"                  CAST(pos % 63 AS INT)) & 1 = 1), x -> x)"
-        )
-    )
+    pruned = li.where(F.expr(_spark_pass_expr("l_partkey", m, words_lit)))
     part = load_table(spark, sf_dir, "part")
     keys = part.where(F.col("p_size") >= _P_SIZE_MIN).select("p_partkey")
     joined = pruned.join(

@@ -689,7 +689,7 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_old, n_new,
            CAST(num * 1000000 // (n_old * n_new) AS BIGINT) AS ks_ppm,
            x AS ks_at_x,
-           (num * 1000000 > 100000 * (n_old * n_new)) AS drifted
+           (num > (n_old * n_new) // 10) AS drifted
     FROM best
     """,
 )
@@ -709,8 +709,20 @@ def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by max doc length, not corpus size), then the cumulative
     window + argmax run on that values-sized frame — the
     post-aggregation global-window pattern the plan guards allow.
-    Cross-multiplied int64s hold to ~3·10^9 docs per half
-    (cum·n < 2^63); past that, scale the ppm at the aggregate."""
+
+    Overflow bounds (ADVICE r8): the gap numerator num = |F_old·n_new −
+    F_new·n_old| <= n_old·n_new, so the DECISION flag uses the
+    multiplication-free form `num > (n_old·n_new) DIV 10` — exactly
+    equivalent to num·10 > n_old·n_new for integers (num·10 is a
+    multiple of 10, so it exceeds P iff it reaches the next multiple
+    above 10·(P DIV 10)) and int64-safe to ~3·10^9 docs per half (the
+    point where n_old·n_new itself caps out). The REPORTING field
+    ks_ppm multiplies num by 10^6 and therefore holds int64-exact only
+    to ~3·10^6 docs per half in the worst-drift case (num ≈ n_old·n_new
+    ≈ 9.2·10^12 = 2^63/10^6); past that compute the ppm in 128-bit
+    (DuckDB HUGEINT / Spark decimal(38,0)) or report num and the
+    denominator as the exact rational — the drift alarm itself never
+    overflows."""
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -752,7 +764,7 @@ def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_ppm"
         ),
         F.col("x").alias("ks_at_x"),
-        F.expr("num * 1000000 > 100000 * (n_old * n_new)").alias("drifted"),
+        F.expr("num > (n_old * n_new) DIV 10").alias("drifted"),
     )
 
 

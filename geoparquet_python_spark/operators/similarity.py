@@ -290,6 +290,16 @@ def _capped_bucket_pairs(
     (the r7 bench's one flagged regression, ~1.4 s constant at
     sf0.1). The guard stays armed: any oversized bucket flips the
     run onto the sub-bucketed path unchanged.
+
+    CONTRACT (ADVICE r8): the precheck is an EAGER collect at
+    plan-BUILD time — constructing a query through this helper
+    executes the narrow size aggregate once, and the fast/guarded
+    branch choice is frozen from the data observed then. The returned
+    plan is therefore valid only for that snapshot: build-then-run-
+    once callers (every registered query; bench re-CONSTRUCTS per
+    run) are exactly right, but a caller composing this into a
+    long-lived pipeline over changing data must rebuild the plan per
+    run, or an under-cap decision could meet over-cap data.
     """
     sizes = narrow.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
     # Two scalars, one job: the max drives the fast/guarded branch,

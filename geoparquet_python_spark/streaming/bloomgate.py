@@ -14,11 +14,12 @@ projection (no state store, no watermark, append mode), and the
 expensive hash-keyed corpus join runs only for the sliver the filter
 could not clear.
 
-Determinism: content key = md5(text) hex; bit positions =
-md5_long("bfs{i}_" || key) % m — both engines compute identical bits
-(operators/bloomjoin.py's convention, 63 usable bits per int64 word
-so neither engine shifts into the sign bit), so bloom_hit and even
-the false-positive flags are oracle-exact booleans.
+Determinism: content key = md5(text) hex; bit positions come from ONE
+salted md5_long("bfs_" || key) evaluation expanded by Kirsch–
+Mitzenmacher double hashing (operators/bloomjoin.py's convention — one
+md5 per probed row instead of three since r9; 63 usable bits per int64
+word so neither engine shifts into the sign bit), so bloom_hit and
+even the false-positive flags are oracle-exact booleans.
 
 Batch≡stream: availableNow drains the whole documents table through
 the same stateless plan, so the drained result equals the batch SQL
@@ -33,11 +34,13 @@ from pyspark.sql import functions as F
 from geoparquet_python_spark.functions.text import SQL_MD5_LONG
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.operators.bloomjoin import (
-    _SPARK_MD5_LONG,
     _dense_words,
+    _h_expr,
     _m_bits,
-    _positions_expr,
+    _spark_pass_expr,
+    _spark_positions_arr,
     _sql_msize_cte,
+    _sql_positions_list,
 )
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
@@ -49,25 +52,20 @@ _HALF_PRED = "doc_id % 2 = 0"
 _N_HASH = 3
 
 
-def _positions(template: str, key_expr: str, m_expr, arr_fn: str) -> str:
-    # bloomjoin's position builder with this gate's 'bfs' hash salt; m
-    # auto-sizes from the frozen-half row count (16-32 bits/key) like
-    # the batch filter — the round-7 fixed-65536 constant was sized
-    # for the toy corpus only (ADVICE r7).
-    return _positions_expr(template, key_expr, m_expr, arr_fn, salt="bfs")
-
-
 def _filter_words(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
     """(dense word list, m) of the Bloom filter over the frozen half's
     md5(text) content keys — one narrow count sizes m, one narrow
     aggregate builds the bits; <= m/63 rows collected (key-count
-    bounded by construction)."""
+    bounded by construction). m auto-sizes from the frozen-half row
+    count (16-32 bits/key) like the batch filter — the round-7
+    fixed-65536 constant was sized for the toy corpus only (ADVICE r7).
+    Positions use bloomjoin's KM expansion with this gate's 'bfs' salt."""
     d = load_table(spark, sf_dir, "documents").where(F.expr(_HALF_PRED))
     m = _m_bits(d.count())
     words = (
         d.select(
             F.explode(
-                F.expr(_positions(_SPARK_MD5_LONG, "md5(text)", m, "array"))
+                F.expr(_spark_positions_arr("md5(text)", m, salt="bfs"))
             ).alias("pos")
         )
         .select(
@@ -83,15 +81,14 @@ def _filter_words(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
     return _dense_words(words, m), m
 
 
-_SQL_M = "(SELECT m FROM msize)"
 _SQL_GATE = f"""
     WITH frozen AS (
       SELECT md5(text) AS k FROM documents WHERE {_HALF_PRED}
     ),
     {_sql_msize_cte("SELECT COUNT(*) FROM frozen")},
     hp AS (
-      SELECT k, unnest({_positions(SQL_MD5_LONG, "k", _SQL_M, "list_value")}) AS pos
-      FROM frozen
+      SELECT k, unnest({_sql_positions_list()}) AS pos
+      FROM (SELECT k, {_h_expr(SQL_MD5_LONG, "k", salt="bfs")} AS h FROM frozen)
     ),
     words AS (
       SELECT pos // 63 AS word,
@@ -102,9 +99,9 @@ _SQL_GATE = f"""
       SELECT doc_id, md5(text) AS k FROM documents
     ),
     pp AS (
-      SELECT doc_id, k,
-             unnest({_positions(SQL_MD5_LONG, "k", _SQL_M, "list_value")}) AS pos
-      FROM probe
+      SELECT doc_id, k, unnest({_sql_positions_list()}) AS pos
+      FROM (SELECT doc_id, k, {_h_expr(SQL_MD5_LONG, "k", salt="bfs")} AS h
+            FROM probe)
     ),
     tested AS (
       SELECT p.doc_id, MIN(p.k) AS k,
@@ -145,11 +142,9 @@ def q_stream_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = stream_docs.select(
         "doc_id",
         F.md5("text").alias("k"),
-        F.expr(
-            f"forall(transform({_positions(_SPARK_MD5_LONG, 'md5(text)', m, 'array')}, "
-            f"pos -> shiftright(element_at({words_lit}, CAST(pos DIV 63 AS INT) + 1), "
-            f"                  CAST(pos % 63 AS INT)) & 1 = 1), x -> x)"
-        ).alias("bloom_hit"),
+        F.expr(_spark_pass_expr("md5(text)", m, words_lit, salt="bfs")).alias(
+            "bloom_hit"
+        ),
     )
     name = run_to_memory_table(probed, output_mode="append")
     drained = spark.table(name)

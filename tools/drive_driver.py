@@ -17,7 +17,11 @@ spec.loader.exec_module(mod)
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from geoparquet_python_spark.testing import compare_frames, duckdb_connect  # noqa: E402
+from geoparquet_python_spark.testing import (  # noqa: E402
+    compare_frames,
+    duckdb_connect,
+    run_compare_engine_side,
+)
 
 # Vanilla session for everything that affects QUERY SEMANTICS — the
 # whole point is catching anything that silently depends on our
@@ -27,25 +31,23 @@ from geoparquet_python_spark.testing import compare_frames, duckdb_connect  # no
 # full-suite session at sf0.1 accumulated past the vanilla 1g heap
 # (r7: the JVM died at query #207, alphabetical position). Retention
 # caps change what the UI remembers, never what a query computes, so
-# the semantics-vanilla contract holds. Measured residual (r8): with
-# the caps, a 1g sf0.1 run gets further but still dies on
-# q_simhash_blocked_pairs_loose — whose RESULT is 5.5M pair rows that
-# this comparator materializes driver-side (toPandas) to diff against
-# DuckDB; that is an evidence-protocol cost (the driver's real sf0.01
-# gate has small results), so the sf0.1 evidence pass sets
-# SPARK_GRAFT_DRIVER_MEM=2g for the collect spike (was 8g pre-caps).
-_builder = (
+# the semantics-vanilla contract holds. Since r9 the comparator
+# decides equality from engine-side scalars (testing.run_compare_
+# engine_side) instead of materializing both result sets driver-side,
+# so even the 5.5M-row q_simhash_blocked_pairs_loose at sf0.1 fits
+# the vanilla 1g heap — no SPARK_GRAFT_DRIVER_MEM knob remains.
+# SPARK_GRAFT_COMPARE=pandas forces the row-level path everywhere
+# (the debugging mode; also what the hash path falls back to for
+# float/timestamp/array result columns).
+spark = (
     SparkSession.builder.master("local[8]")
     .appName("driver-sim")
     .config("spark.sql.ui.retainedExecutions", "8")
     .config("spark.ui.retainedJobs", "64")
     .config("spark.ui.retainedStages", "64")
     .config("spark.ui.enabled", "false")
+    .getOrCreate()
 )
-_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-if _mem:
-    _builder = _builder.config("spark.driver.memory", _mem)
-spark = _builder.getOrCreate()
 
 t0 = time.time()
 rows = mod.entry(spark).collect()
@@ -60,18 +62,25 @@ only = os.environ.get("SPARK_GRAFT_ONLY")  # comma-separated subset filter
 if only:
     keep = set(only.split(","))
     qs = {k: v for k, v in qs.items() if k in keep}
+force_pandas = os.environ.get("SPARK_GRAFT_COMPARE") == "pandas"
 failed = []
 for name, fn in sorted(qs.items()):
     try:
         t0 = time.time()
-        sdf = fn(spark, sf).toPandas()
-        dt = time.time() - t0
-        if name in os_:
-            odf = con.execute(os_[name]).df()
-            compare_frames(sdf, odf, name=name)
-            print(f"  {name}: rows={len(sdf)} MATCH ({dt:.1f}s)")
+        if force_pandas:
+            sdf = fn(spark, sf).toPandas()
+            if name in os_:
+                odf = con.execute(os_[name]).df()
+                compare_frames(sdf, odf, name=name)
+                mode = "MATCH[pandas]"
+            else:
+                mode = "rows-only"
+            n = len(sdf)
         else:
-            print(f"  {name}: rows-only rows={len(sdf)} ({dt:.1f}s)")
+            n, m = run_compare_engine_side(spark, con, name, fn, os_.get(name), sf)
+            mode = {"hash": "MATCH[hash]", "pandas": "MATCH[pandas]"}.get(m, m)
+        dt = time.time() - t0
+        print(f"  {name}: rows={n} {mode} ({dt:.1f}s)")
     except Exception as e:
         failed.append(name)
         print(f"  {name}: FAIL {str(e)[:300]}")

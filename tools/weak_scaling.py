@@ -13,6 +13,8 @@ Usage:
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import shutil
 import sys
@@ -205,12 +207,34 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
     return best
 
 
+def _previous_walls() -> dict[str, float]:
+    """Nx walls from the newest committed WEAK record, so each full run
+    flags 8x-WALL regressions mechanically. Ratios deliberately do NOT
+    participate (VERDICT r8 item 4 / SCALE.md r8 caveat: removing a
+    CONSTANT shrinks the 1x denominator, so a ratio can RISE while both
+    absolute walls improve — walls are the auditable quantity)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(here, "WEAK_r*.json")))
+    paths.append(os.path.join(here, "WEAK_LAST.json"))
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            qs = prev.get("queries") or {}
+            if qs:
+                return {n: float(v["tN"]) for n, v in qs.items() if "tN" in v}
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+    return {}
+
+
 def main() -> None:
     names = sys.argv[1:] or DEFAULT_QUERIES
     registry.load_all()
     spark = get_spark("weak-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = tempfile.mkdtemp(prefix="weak8_")
+    results: dict[str, dict[str, float]] = {}
     try:
         build_corpus(spark, out_dir)
         spark.range(1_000_000).selectExpr("sum(id) AS s").write.mode(
@@ -219,12 +243,40 @@ def main() -> None:
         for name in names:
             t1 = time_query(spark, name, SF_DIR)
             t8 = time_query(spark, name, out_dir)
+            results[name] = {"t1": round(t1, 2), "tN": round(t8, 2)}
             print(
                 f"{name}: 1x={t1:.1f}s {COPIES}x={t8:.1f}s "
                 f"ratio={t8 / t1:.1f}x"
             )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+    # Machine-readable record (VERDICT r8 item 4): per-query 1x/Nx
+    # WALLS plus a regression list on the Nx wall — same two-sided rule
+    # as bench.py (>1.3x AND >0.5s absolute) so sub-second Python-task
+    # dispersion can't flap the list.
+    prev = _previous_walls()
+    regressions = sorted(
+        n
+        for n, r in results.items()
+        if n in prev and r["tN"] > prev[n] * 1.3 and r["tN"] - prev[n] > 0.5
+    )
+    record = {
+        "metric": "weak_scaling_walls",
+        "unit": "sec",
+        "copies": COPIES,
+        "sf_dir": SF_DIR,
+        "queries": results,
+        "regressions_vs_prev": regressions,
+    }
+    print(json.dumps(record))
+    # Full runs persist the record (next run's regression baseline;
+    # committed per-round as WEAK_r{N}.json). Subset runs never
+    # overwrite it — a partial baseline would null the other walls.
+    if not sys.argv[1:]:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "WEAK_LAST.json"), "w") as f:
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":
