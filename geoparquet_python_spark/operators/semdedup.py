@@ -86,9 +86,12 @@ _CELL_TARGET = 250
 # corpus" cannot hold unboundedly under the trainer-literal contract.
 # 4096 cells × 64 dims ≈ 262k int64 literals is the measured comfort
 # ceiling for plan build; past it (corpora > ~1M vectors at the 250
-# target) the assignment must switch to a broadcast-join centroid
-# table instead of a literal — documented here as the next gear, not
-# silently entered.
+# target) cell occupancy grows linearly again and the |c|^2 in-cell
+# pair term returns. The registered next gear is the TWO-LEVEL cell
+# key (q_semdedup_two_level below, VERDICT r8 item 6): composite
+# (k-means cell × hyperplane fine key), where the fine splitter is
+# training-free and corpus-size-independent, so total cell count
+# K_CAP × 2^f keeps growing without growing the centroid literal.
 _K_CAP = 4096
 # SQL twin of _scaled_k — the oracle derives k from the same corpus
 # count so both engines compute the identical cluster count.
@@ -293,6 +296,203 @@ def q_semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_kept"),
         )
         .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: two-level SemDeDup — the registered gear past the K cap
+# ---------------------------------------------------------------------------
+
+# Fine-key width: composite cells = K × 2^_FINE_BITS. At the harness
+# scales 4 bits keeps per-composite-cell occupancy in the same band the
+# single-level K-scaling targets; at 100 TB f grows like
+# log2(n / (_K_CAP · _CELL_TARGET)) — each extra bit halves occupancy
+# with ZERO growth in trained state (the planes are md5-derived
+# constants, not a corpus artifact).
+_FINE_BITS = 4
+
+
+def _fine_key_expr() -> str:
+    """Training-free fine cell key: _FINE_BITS hyperplane sign bits
+    packed little-endian. Planes are similarity._plane_components()'s
+    deterministic ±1 md5-parity family (the first _FINE_BITS rows), so
+    both engines derive identical keys from constants. The sign sums
+    run over the SAME floor(x·1e6) fixed points the k-means assignment
+    uses — int64-exact, order-independent."""
+    from geoparquet_python_spark.operators.similarity import (
+        _plane_components,
+    )
+
+    planes = _plane_components()[:_FINE_BITS]
+    planes_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{c}L" for c in row) + ")" for row in planes
+        )
+        + ")"
+    )
+    # bits[p] = 1 iff <xfix, plane_p> >= 0; fine = sum bits[p] << p.
+    return (
+        f"aggregate(zip_with(transform({planes_lit}, pl -> "
+        "CASE WHEN aggregate(zip_with(xfix, pl, (x, c) -> x * c), 0L, "
+        "(acc, x) -> acc + x) >= 0 THEN 1L ELSE 0L END), "
+        f"sequence(0, {_FINE_BITS - 1}, 1), "
+        "(b, p) -> b * shiftleft(1L, CAST(p AS INT))), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
+def _sql_fine_ctes() -> str:
+    """DuckDB mirror of _fine_key_expr over the flat embeddings:
+    fplanes (±1 md5 parity) → per-dim fixed points → sign bits →
+    packed fine key."""
+    return f"""fplanes AS (
+      SELECT p, i,
+             CASE WHEN (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1
+                  THEN 1 ELSE -1 END AS c
+      FROM range({_FINE_BITS}) t(p) CROSS JOIN range(1, 65) u(i)
+    ),
+    fqint AS (
+      SELECT vec_id, i, CAST(floor(x * 1000000) AS BIGINT) AS xi FROM flat
+    ),
+    fbits AS (
+      SELECT q.vec_id, pl.p,
+             CASE WHEN SUM(q.xi * pl.c) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM fqint q JOIN fplanes pl ON pl.i = q.i
+      GROUP BY 1, 2
+    ),
+    fine AS (
+      SELECT vec_id,
+             CAST(SUM(bit * CAST(power(2, p) AS BIGINT)) AS BIGINT) AS fine
+      FROM fbits GROUP BY 1
+    )"""
+
+
+@query(
+    "q_semdedup_two_level",
+    oracle=f"""
+    WITH {_SQL_KK},
+    {_sql_kmeans_ctes(k_sql="(SELECT k FROM kk)")},
+    flat AS ({SQL_FLAT_EMBEDDINGS}),
+    norms AS ({SQL_NORMS}),
+    {_sql_fine_ctes()},
+    cells AS (
+      SELECT a.vec_id, a.cid AS cell, f.fine
+      FROM a{_T} a JOIN fine f USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.cell, a.fine, a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.fine = b.fine AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT p.cell, p.fine, p.vec_a, p.vec_b,
+             {sql_pair_dot_scaled("fa", "fb")} AS d
+      FROM pairs p
+      JOIN flat fa ON fa.vec_id = p.vec_a
+      JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
+      GROUP BY p.cell, p.fine, p.vec_a, p.vec_b
+    ),
+    hits AS (
+      SELECT cell, fine, vec_a, vec_b,
+             {SQL_COSINE.format(dot="d", na="na.n2", nb="nb.n2")} AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+      WHERE {SQL_COSINE.format(dot="d", na="na.n2", nb="nb.n2")} >= {_TAU}
+    ),
+    verdict AS (
+      SELECT cell, fine, vec_b AS vec_id, MIN(vec_a) AS dup_of
+      FROM hits GROUP BY cell, fine, vec_b
+    )
+    SELECT v.cell AS cell, v.fine AS fine, v.vec_id AS vec_id,
+           v.dup_of AS dup_of,
+           CAST(floor(h.cosine * 1e6) AS BIGINT) AS cos_micro
+    FROM verdict v
+    JOIN hits h ON h.cell = v.cell AND h.fine = v.fine
+               AND h.vec_b = v.vec_id AND h.vec_a = v.dup_of
+    ORDER BY cell, fine, vec_id
+    """,
+)
+def q_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level SemDeDup drop list: pairs compare only within the
+    COMPOSITE (k-means cell, hyperplane fine key) — the registered
+    scale gear for corpora past the K cap (_K_CAP docstring), where
+    single-level K-scaling stalls and per-cell |c|² work would return.
+
+    Why this shape survives 100 TB: the coarse level keeps the trained
+    K ≤ _K_CAP (bounded centroid literal, bounded Lloyd collects); the
+    fine level is TRAINING-FREE — _FINE_BITS deterministic hyperplane
+    sign bits over the same fixed-point embedding, a map-only
+    projection off constants — so total cell count K·2^f scales with
+    the corpus while the trained state does not. Each fine bit halves
+    expected occupancy; f is a config constant, not a trained
+    artifact, so growing it costs nothing at plan-build time. The pair
+    machinery is the shared occupancy-capped expansion
+    (similarity._capped_bucket_pairs) on the composite key — the
+    "capped pairs handle a composite key" property the single-level
+    path already established.
+
+    Semantics trade (documented, inherent to every multi-level ANN
+    split — IVF coarse×fine is the same deal): a tau-similar pair
+    whose members land in DIFFERENT fine cells is missed. Hyperplane
+    sign bits make that unlikely for true semantic duplicates — bit
+    disagreement probability is θ/π per plane (θ the pair's angle), so
+    a cosine≥0.35 pair agrees on all 4 bits with p ≥ (1−0.39)^... ≈
+    0.86-per-bit compounding to ~0.55 worst-case at the tau boundary
+    and → 1 as cosine → 1 (the near-exact duplicates SemDeDup exists
+    to drop). Recall against the single-level drop list is auditable
+    by diffing this query against q_semdedup_dropped — same oracle
+    convention, same keys."""
+    # One corpus pass computes BOTH levels: the Arrow-batched centroid
+    # argmin (coarse) and the sign-bit fine key share the xfix column
+    # in a single projection — _assigned_base's shape plus one column.
+    cents = _train(spark, sf_dir, k=_scaled_k(spark, sf_dir))
+    base = materialize(
+        _fixed_points(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            norm2_scaled("embedding").alias("n2"),
+            _assign_expr(cents).alias("cell"),
+            F.expr(_fine_key_expr()).alias("fine"),
+        )
+    )
+    from geoparquet_python_spark.operators.similarity import (
+        _capped_bucket_pairs,
+    )
+
+    narrow = base.select("vec_id", "cell", "fine")
+    payload = base.select(
+        "vec_id", F.struct("vec_id", "embedding", "n2").alias("m")
+    )
+    pairs = _capped_bucket_pairs(narrow, payload, ["cell", "fine"]).select(
+        "cell",
+        "fine",
+        "p.vec_a",
+        "p.vec_b",
+        cosine_from_scaled(
+            dot_scaled_arrow("p.a_emb", "p.b_emb"),
+            F.col("p.a_n2"),
+            F.col("p.b_n2"),
+        ).alias("cosine"),
+    )
+    hits = materialize(pairs.where(F.col("cosine") >= _TAU))
+    verdict = hits.groupBy(
+        "cell", "fine", F.col("vec_b").alias("vec_id")
+    ).agg(F.min("vec_a").alias("dup_of"))
+    return (
+        verdict.join(
+            hits.select(
+                "cell",
+                "fine",
+                F.col("vec_b").alias("vec_id"),
+                F.col("vec_a").alias("dup_of"),
+                F.floor(F.col("cosine") * 1e6).cast("bigint").alias("cos_micro"),
+            ),
+            ["cell", "fine", "vec_id", "dup_of"],
+        )
+        .select("cell", "fine", "vec_id", "dup_of", "cos_micro")
+        .orderBy("cell", "fine", "vec_id")
     )
 
 

@@ -2080,3 +2080,24 @@ def test_dedup_layer_agreement_consistency(spark, sf_dir):
     assert r["n_both"] <= min(r["n_jaccard"], r["n_simhash"])
     union = max(r["n_jaccard"] + r["n_simhash"] - r["n_both"], 1)
     assert r["pair_jaccard_ppm"] == r["n_both"] * 1_000_000 // union
+
+
+def test_semdedup_two_level_subset_of_single_level(spark, sf_dir):
+    """Structural containment of the two-level gear (r9, VERDICT r8
+    item 6): a vector dropped under the composite (cell, fine) key has
+    a tau-mate with a lower id in the SAME coarse cell a fortiori, so
+    the two-level drop set must be a subset of the single-level one —
+    the recall trade only ever SHRINKS the drop list, never invents
+    drops. Also: every reported cosine must clear tau, and dup_of must
+    be a lower id."""
+    two = registry.QUERIES["q_semdedup_two_level"](spark, sf_dir).collect()
+    one = registry.QUERIES["q_semdedup_dropped"](spark, sf_dir).collect()
+    dropped_two = {r["vec_id"] for r in two}
+    dropped_one = {r["vec_id"] for r in one}
+    assert dropped_two <= dropped_one, (
+        f"two-level invented drops: {sorted(dropped_two - dropped_one)[:5]}"
+    )
+    assert len(two) > 0, "two-level found nothing at test scale"
+    for r in two:
+        assert r["dup_of"] < r["vec_id"]
+        assert r["cos_micro"] >= 350_000  # tau = 0.35 in micro-units

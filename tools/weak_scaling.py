@@ -116,6 +116,9 @@ DEFAULT_QUERIES = [
     "q_k_anonymity_audit",
     "q_funnel_conversion",
     "q_lsh_index_probe",
+    # Round-9: the two-level (coarse x fine) SemDeDup gear — the
+    # registered shape for corpora past the K cap.
+    "q_semdedup_two_level",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
