@@ -64,7 +64,22 @@ if only:
     qs = {k: v for k, v in qs.items() if k in keep}
 force_pandas = os.environ.get("SPARK_GRAFT_COMPARE") == "pandas"
 failed = []
-for name, fn in sorted(qs.items()):
+for qi, (name, fn) in enumerate(sorted(qs.items())):
+    # Session-lifetime hygiene, BETWEEN queries only (semantics-neutral):
+    # materialize() = localCheckpoint stores RDD blocks in the local-mode
+    # JVM; they free when the ContextCleaner sees the JVM GC collect the
+    # RDD handles, which a long single session may not do before the
+    # block manager fills a vanilla 1g heap (~250 queries in at sf0.1 —
+    # the r9 crash signature: every heavy query passes ALONE at 1g).
+    # Drop the Python-side py4j refs, then poke the JVM collector.
+    if qi and qi % 16 == 0:
+        import gc
+
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
     try:
         t0 = time.time()
         if force_pandas:
