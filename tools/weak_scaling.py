@@ -243,7 +243,23 @@ def main() -> None:
         spark.range(1_000_000).selectExpr("sum(id) AS s").write.mode(
             "overwrite"
         ).format("noop").save()
-        for name in names:
+        for qi, name in enumerate(names):
+            # Between-query gc (same hygiene as tools/drive_driver.py,
+            # round 9): a 64-query single session accumulates
+            # localCheckpoint/broadcast blocks the local-mode JVM only
+            # frees after a GC notices the dropped handles; under that
+            # heap pressure heavy queries DEGRADE before anything
+            # crashes (measured: hyperplane 8x read 43.7 s mid-suite
+            # vs 7.3 s fresh-process — a 6x phantom). Poking the
+            # collector between queries keeps walls honest.
+            if qi:
+                import gc
+
+                gc.collect()
+                try:
+                    spark._jvm.System.gc()
+                except Exception:
+                    pass
             t1 = time_query(spark, name, SF_DIR)
             t8 = time_query(spark, name, out_dir)
             results[name] = {"t1": round(t1, 2), "tN": round(t8, 2)}
