@@ -179,6 +179,18 @@ def main() -> None:
         else HEADLINE
     )
 
+    # Session-accumulation note (round 9): localCheckpoint/broadcast
+    # blocks pile up across a 47-query × best-of-5 session and can
+    # inflate MID-SUITE queries vs their isolated walls (measured:
+    # q_bloom_pruned_revenue 2.8 s mid-suite vs 2.2 s in a subset run
+    # on the same idle box). The correctness/weak-scaling harnesses
+    # fix this with a between-query System.gc() poke — but HERE the
+    # poke measurably backfired (+4 s suite wall, broad 1.1-1.8×
+    # drifts: 47 forced full GCs bleed concurrent-cycle work into the
+    # timed runs), so bench accepts the mid-suite inflation and the
+    # regressions double-guard absorbs the dispersion. Judge bench
+    # numbers per-query against BENCH history, and isolated walls via
+    # SPARK_GRAFT_BENCH_ONLY subset runs.
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in headline:

@@ -303,54 +303,71 @@ def q_semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-9: two-level SemDeDup — the registered gear past the K cap
 # ---------------------------------------------------------------------------
 
-# Fine-key width: composite cells = K × 2^_FINE_BITS. At the harness
-# scales 4 bits keeps per-composite-cell occupancy in the same band the
-# single-level K-scaling targets; at 100 TB f grows like
-# log2(n / (_K_CAP · _CELL_TARGET)) — each extra bit halves occupancy
-# with ZERO growth in trained state (the planes are md5-derived
-# constants, not a corpus artifact).
-_FINE_BITS = 4
+# Fine key = BANDED hyperplane signature: _FINE_BANDS independent bands
+# of _FINE_BITS sign bits each (16 planes total, the first rows of
+# similarity._plane_components()'s deterministic md5-parity family).
+# Composite cells per band = K x 2^_FINE_BITS; a pair is a candidate if
+# it agrees on the coarse cell AND on ANY band — the same
+# recall-by-union structure as every banded LSH in this repo. Per-bit
+# agreement is 1 - theta/pi, so single-band recall at the tau=0.35
+# boundary is ~0.61^4 ~= 0.14 and the B=4 union lifts it to
+# 1-(1-0.14)^4 ~= 0.46, reaching ~0.95 at cosine 0.9 — tunable by B
+# (bands buy recall linearly in cost) and f (bits buy occupancy
+# halving). All of it is TRAINING-FREE: growing f or B at 100 TB costs
+# zero trained state, zero plan-build growth beyond constants.
+_FINE_BITS = 4  # bits per band
+_FINE_BANDS = 4
+_N_FINE_PLANES = _FINE_BITS * _FINE_BANDS
 
 
-def _fine_key_expr() -> str:
-    """Training-free fine cell key: _FINE_BITS hyperplane sign bits
-    packed little-endian. Planes are similarity._plane_components()'s
-    deterministic ±1 md5-parity family (the first _FINE_BITS rows), so
-    both engines derive identical keys from constants. The sign sums
-    run over the SAME floor(x·1e6) fixed points the k-means assignment
-    uses — int64-exact, order-independent."""
+def _fine_planes_lit() -> str:
+    """The 16x64 ±1 plane matrix as one parsed SQL array literal
+    (constant-folded by Catalyst — the similarity.py lesson: never
+    build thousands of F.lit nodes through py4j)."""
     from geoparquet_python_spark.operators.similarity import (
         _plane_components,
     )
 
-    planes = _plane_components()[:_FINE_BITS]
-    planes_lit = (
+    planes = _plane_components()[:_N_FINE_PLANES]
+    return (
         "array("
         + ",".join(
             "array(" + ",".join(f"{c}L" for c in row) + ")" for row in planes
         )
         + ")"
     )
-    # bits[p] = 1 iff <xfix, plane_p> >= 0; fine = sum bits[p] << p.
+
+
+def _fine_bits_expr() -> str:
+    """array<long> of the _N_FINE_PLANES sign bits over the SAME
+    floor(x*1e6) fixed points (xfix) the k-means assignment uses —
+    int64-exact, order-independent, identical in the SQL mirror."""
     return (
-        f"aggregate(zip_with(transform({planes_lit}, pl -> "
+        f"transform({_fine_planes_lit()}, pl -> "
         "CASE WHEN aggregate(zip_with(xfix, pl, (x, c) -> x * c), 0L, "
-        "(acc, x) -> acc + x) >= 0 THEN 1L ELSE 0L END), "
-        f"sequence(0, {_FINE_BITS - 1}, 1), "
-        "(b, p) -> b * shiftleft(1L, CAST(p AS INT))), "
-        "0L, (acc, v) -> acc + v)"
+        "(acc, x) -> acc + x) >= 0 THEN 1L ELSE 0L END)"
     )
 
 
+# Explode of (band, bval) structs from a bound `fbits` column — the
+# hyperplane band-packing shape (one parsed expr, no py4j tree).
+_FINE_BAND_EXPR = (
+    f"explode(transform(sequence(0, {_FINE_BANDS - 1}, 1), "
+    "b -> struct(CAST(b AS BIGINT) AS band, "
+    f"aggregate(sequence(0, {_FINE_BITS - 1}, 1), 0L, (acc, r) -> "
+    f"acc + element_at(fbits, CAST(b * {_FINE_BITS} + r + 1 AS INT)) "
+    "* shiftleft(1L, CAST(r AS INT))) AS bval)))"
+)
+
+
 def _sql_fine_ctes() -> str:
-    """DuckDB mirror of _fine_key_expr over the flat embeddings:
-    fplanes (±1 md5 parity) → per-dim fixed points → sign bits →
-    packed fine key."""
+    """DuckDB mirror: fplanes (±1 md5 parity) → per-dim fixed points →
+    per-plane sign bits → per-band packed values."""
     return f"""fplanes AS (
       SELECT p, i,
              CASE WHEN (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1
                   THEN 1 ELSE -1 END AS c
-      FROM range({_FINE_BITS}) t(p) CROSS JOIN range(1, 65) u(i)
+      FROM range({_N_FINE_PLANES}) t(p) CROSS JOIN range(1, 65) u(i)
     ),
     fqint AS (
       SELECT vec_id, i, CAST(floor(x * 1000000) AS BIGINT) AS xi FROM flat
@@ -361,10 +378,93 @@ def _sql_fine_ctes() -> str:
       FROM fqint q JOIN fplanes pl ON pl.i = q.i
       GROUP BY 1, 2
     ),
-    fine AS (
-      SELECT vec_id,
-             CAST(SUM(bit * CAST(power(2, p) AS BIGINT)) AS BIGINT) AS fine
-      FROM fbits GROUP BY 1
+    fbands AS (
+      SELECT vec_id, p // {_FINE_BITS} AS band,
+             CAST(SUM(bit * CAST(power(2, p % {_FINE_BITS}) AS BIGINT))
+                  AS BIGINT) AS bval
+      FROM fbits GROUP BY 1, 2
+    )"""
+
+
+def _two_level_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (vec_id, embedding, n2, cell, fbits): ONE corpus
+    pass computes both levels — the Arrow-batched centroid argmin
+    (coarse) and the 16 sign bits (fine) share the xfix column in a
+    single projection."""
+    cents = _train(spark, sf_dir, k=_scaled_k(spark, sf_dir))
+    return materialize(
+        _fixed_points(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            norm2_scaled("embedding").alias("n2"),
+            _assign_expr(cents).alias("cell"),
+            F.expr(_fine_bits_expr()).alias("fbits"),
+        )
+    )
+
+
+def _two_level_hits(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
+    """Materialized tau-hit pair set (cell, vec_a, vec_b, cosine) of
+    the banded two-level candidate structure, pair-DISTINCT (a pair
+    agreeing on several bands refines once per band — the hyperplane
+    convention — and dedupes here where the surviving set is tiny)."""
+    if base is None:
+        base = _two_level_base(spark, sf_dir)
+    from geoparquet_python_spark.operators.similarity import (
+        _capped_bucket_pairs,
+    )
+
+    banded = base.select("vec_id", "cell", F.expr(_FINE_BAND_EXPR).alias("bb"))
+    narrow = banded.select(
+        "vec_id", "cell", F.col("bb.band").alias("band"),
+        F.col("bb.bval").alias("bval"),
+    )
+    payload = base.select(
+        "vec_id", F.struct("vec_id", "embedding", "n2").alias("m")
+    )
+    pairs = _capped_bucket_pairs(narrow, payload, ["cell", "band", "bval"])
+    return materialize(
+        pairs.select(
+            "cell",
+            "p.vec_a",
+            "p.vec_b",
+            cosine_from_scaled(
+                dot_scaled_arrow("p.a_emb", "p.b_emb"),
+                F.col("p.a_n2"),
+                F.col("p.b_n2"),
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= _TAU)
+        .distinct()
+    )
+
+
+_SQL_TWO_LEVEL_HITS = f"""cells AS MATERIALIZED (
+      SELECT a.vec_id, a.cid AS cell, b.band, b.bval
+      FROM a{_T} a JOIN fbands b USING (vec_id)
+    ),
+    cand AS (
+      SELECT DISTINCT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.band = b.band AND a.bval = b.bval
+       AND a.vec_id < b.vec_id
+    ),
+    tdots AS (
+      SELECT c.cell, c.vec_a, c.vec_b, {sql_pair_dot_scaled("fa", "fb")} AS d
+      FROM cand c
+      JOIN flat fa ON fa.vec_id = c.vec_a
+      JOIN flat fb ON fb.vec_id = c.vec_b AND fb.i = fa.i
+      GROUP BY c.cell, c.vec_a, c.vec_b
+    ),
+    thits AS MATERIALIZED (
+      SELECT cell, vec_a, vec_b,
+             {SQL_COSINE.format(dot="d", na="na.n2", nb="nb.n2")} AS cosine
+      FROM tdots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+      WHERE {SQL_COSINE.format(dot="d", na="na.n2", nb="nb.n2")} >= {_TAU}
     )"""
 
 
@@ -374,125 +474,202 @@ def _sql_fine_ctes() -> str:
     WITH {_SQL_KK},
     {_sql_kmeans_ctes(k_sql="(SELECT k FROM kk)")},
     flat AS ({SQL_FLAT_EMBEDDINGS}),
-    norms AS ({SQL_NORMS}),
+    norms AS MATERIALIZED ({SQL_NORMS}),
     {_sql_fine_ctes()},
-    cells AS (
-      SELECT a.vec_id, a.cid AS cell, f.fine
-      FROM a{_T} a JOIN fine f USING (vec_id)
-    ),
-    pairs AS (
-      SELECT a.cell, a.fine, a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM cells a JOIN cells b
-        ON a.cell = b.cell AND a.fine = b.fine AND a.vec_id < b.vec_id
-    ),
-    dots AS (
-      SELECT p.cell, p.fine, p.vec_a, p.vec_b,
-             {sql_pair_dot_scaled("fa", "fb")} AS d
-      FROM pairs p
-      JOIN flat fa ON fa.vec_id = p.vec_a
-      JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
-      GROUP BY p.cell, p.fine, p.vec_a, p.vec_b
-    ),
-    hits AS (
-      SELECT cell, fine, vec_a, vec_b,
-             {SQL_COSINE.format(dot="d", na="na.n2", nb="nb.n2")} AS cosine
-      FROM dots
-      JOIN norms na ON na.vec_id = vec_a
-      JOIN norms nb ON nb.vec_id = vec_b
-      WHERE {SQL_COSINE.format(dot="d", na="na.n2", nb="nb.n2")} >= {_TAU}
-    ),
+    {_SQL_TWO_LEVEL_HITS},
     verdict AS (
-      SELECT cell, fine, vec_b AS vec_id, MIN(vec_a) AS dup_of
-      FROM hits GROUP BY cell, fine, vec_b
+      SELECT cell, vec_b AS vec_id, MIN(vec_a) AS dup_of
+      FROM thits GROUP BY cell, vec_b
     )
-    SELECT v.cell AS cell, v.fine AS fine, v.vec_id AS vec_id,
-           v.dup_of AS dup_of,
+    SELECT v.cell AS cell, v.vec_id AS vec_id, v.dup_of AS dup_of,
            CAST(floor(h.cosine * 1e6) AS BIGINT) AS cos_micro
     FROM verdict v
-    JOIN hits h ON h.cell = v.cell AND h.fine = v.fine
-               AND h.vec_b = v.vec_id AND h.vec_a = v.dup_of
-    ORDER BY cell, fine, vec_id
+    JOIN thits h ON h.cell = v.cell AND h.vec_b = v.vec_id
+                AND h.vec_a = v.dup_of
+    ORDER BY cell, vec_id
     """,
 )
 def q_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level SemDeDup drop list: pairs compare only within the
-    COMPOSITE (k-means cell, hyperplane fine key) — the registered
-    scale gear for corpora past the K cap (_K_CAP docstring), where
-    single-level K-scaling stalls and per-cell |c|² work would return.
+    """Two-level SemDeDup drop list: candidates compare only within
+    the COMPOSITE (k-means cell, hyperplane band, band value) — the
+    registered scale gear for corpora past the K cap (_K_CAP
+    docstring), where single-level K-scaling stalls and per-cell |c|²
+    work would return.
 
     Why this shape survives 100 TB: the coarse level keeps the trained
     K ≤ _K_CAP (bounded centroid literal, bounded Lloyd collects); the
-    fine level is TRAINING-FREE — _FINE_BITS deterministic hyperplane
-    sign bits over the same fixed-point embedding, a map-only
-    projection off constants — so total cell count K·2^f scales with
-    the corpus while the trained state does not. Each fine bit halves
-    expected occupancy; f is a config constant, not a trained
-    artifact, so growing it costs nothing at plan-build time. The pair
-    machinery is the shared occupancy-capped expansion
-    (similarity._capped_bucket_pairs) on the composite key — the
-    "capped pairs handle a composite key" property the single-level
-    path already established.
+    fine level is TRAINING-FREE — _FINE_BANDS independent bands of
+    _FINE_BITS deterministic hyperplane sign bits over the same
+    fixed-point embedding, a map-only projection off md5-derived
+    constants. Each band splits every coarse cell ~2^f ways (expected
+    in-bucket pair work falls 2^f per band, 2^f/B overall), and f/B
+    are config constants: growing them costs nothing at plan-build or
+    train time. Pair machinery is the shared occupancy-capped
+    expansion on the composite key; a pair agreeing on several bands
+    refines once per band and dedupes after the tau gate (the
+    hyperplane-LSH convention — the surviving set is near-dup-graph
+    sized).
 
-    Semantics trade (documented, inherent to every multi-level ANN
-    split — IVF coarse×fine is the same deal): a tau-similar pair
-    whose members land in DIFFERENT fine cells is missed. Hyperplane
-    sign bits make that unlikely for true semantic duplicates — bit
-    disagreement probability is θ/π per plane (θ the pair's angle), so
-    a cosine≥0.35 pair agrees on all 4 bits with p ≥ (1−0.39)^... ≈
-    0.86-per-bit compounding to ~0.55 worst-case at the tau boundary
-    and → 1 as cosine → 1 (the near-exact duplicates SemDeDup exists
-    to drop). Recall against the single-level drop list is auditable
-    by diffing this query against q_semdedup_dropped — same oracle
-    convention, same keys."""
-    # One corpus pass computes BOTH levels: the Arrow-batched centroid
-    # argmin (coarse) and the sign-bit fine key share the xfix column
-    # in a single projection — _assigned_base's shape plus one column.
-    cents = _train(spark, sf_dir, k=_scaled_k(spark, sf_dir))
-    base = materialize(
-        _fixed_points(spark, sf_dir).select(
-            "vec_id",
-            "embedding",
-            norm2_scaled("embedding").alias("n2"),
-            _assign_expr(cents).alias("cell"),
-            F.expr(_fine_key_expr()).alias("fine"),
-        )
+    Semantics trade (inherent to every banded LSH): a tau-pair missing
+    ALL bands is missed. Per-bit agreement is 1−θ/π — ~0.61 at the
+    tau=0.35 boundary, ~0.86 at cosine 0.9 — so B=4 × f=4 recall runs
+    ~0.46 at the boundary and ~0.95 at cosine 0.9, → 1 for the
+    near-exact duplicates SemDeDup exists to drop; bands buy recall
+    (1−(1−r)^B), bits buy occupancy. The MEASURED recall at each scale
+    is a registered audit (q_semdedup_two_level_recall), not a prose
+    claim. Drop set is provably ⊆ the single-level drop set (same
+    coarse cell required) — pytest-pinned containment."""
+    hits = _two_level_hits(spark, sf_dir)
+    verdict = hits.groupBy("cell", F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dup_of")
     )
-    from geoparquet_python_spark.operators.similarity import (
-        _capped_bucket_pairs,
-    )
-
-    narrow = base.select("vec_id", "cell", "fine")
-    payload = base.select(
-        "vec_id", F.struct("vec_id", "embedding", "n2").alias("m")
-    )
-    pairs = _capped_bucket_pairs(narrow, payload, ["cell", "fine"]).select(
-        "cell",
-        "fine",
-        "p.vec_a",
-        "p.vec_b",
-        cosine_from_scaled(
-            dot_scaled_arrow("p.a_emb", "p.b_emb"),
-            F.col("p.a_n2"),
-            F.col("p.b_n2"),
-        ).alias("cosine"),
-    )
-    hits = materialize(pairs.where(F.col("cosine") >= _TAU))
-    verdict = hits.groupBy(
-        "cell", "fine", F.col("vec_b").alias("vec_id")
-    ).agg(F.min("vec_a").alias("dup_of"))
     return (
         verdict.join(
             hits.select(
                 "cell",
-                "fine",
                 F.col("vec_b").alias("vec_id"),
                 F.col("vec_a").alias("dup_of"),
                 F.floor(F.col("cosine") * 1e6).cast("bigint").alias("cos_micro"),
             ),
-            ["cell", "fine", "vec_id", "dup_of"],
+            ["cell", "vec_id", "dup_of"],
         )
-        .select("cell", "fine", "vec_id", "dup_of", "cos_micro")
-        .orderBy("cell", "fine", "vec_id")
+        .select("cell", "vec_id", "dup_of", "cos_micro")
+        .orderBy("cell", "vec_id")
+    )
+
+
+@query(
+    "q_semdedup_two_level_recall",
+    oracle=f"""
+    WITH {_SQL_KK},
+    {_sql_kmeans_ctes(k_sql="(SELECT k FROM kk)")},
+    flat AS ({SQL_FLAT_EMBEDDINGS}),
+    norms AS MATERIALIZED ({SQL_NORMS}),
+    {_sql_fine_ctes()},
+    am AS MATERIALIZED (SELECT vec_id, cid AS cell FROM a{_T}),
+    p1 AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM am a JOIN am b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    h1 AS MATERIALIZED (
+      SELECT d.vec_a, d.vec_b
+      FROM (
+        SELECT p.vec_a, p.vec_b, {sql_pair_dot_scaled("fa", "fb")} AS d
+        FROM p1 p
+        JOIN flat fa ON fa.vec_id = p.vec_a
+        JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
+        GROUP BY p.vec_a, p.vec_b
+      ) d
+      JOIN norms na ON na.vec_id = d.vec_a
+      JOIN norms nb ON nb.vec_id = d.vec_b
+      WHERE {SQL_COSINE.format(dot="d.d", na="na.n2", nb="nb.n2")} >= {_TAU}
+    ),
+    {_SQL_TWO_LEVEL_HITS.replace("cells AS MATERIALIZED", "tcells AS MATERIALIZED").replace("FROM cells a JOIN cells b", "FROM tcells a JOIN tcells b")},
+    h2 AS (SELECT vec_a, vec_b FROM thits),
+    np_one AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h1),
+    np_two AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h2),
+    np_both AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                FROM h1 JOIN h2 USING (vec_a, vec_b)),
+    nd_one AS (SELECT CAST(COUNT(DISTINCT vec_b) AS BIGINT) AS n FROM h1),
+    nd_two AS (SELECT CAST(COUNT(DISTINCT vec_b) AS BIGINT) AS n FROM h2),
+    nd_both AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+                (SELECT DISTINCT vec_b FROM h1) x
+                JOIN (SELECT DISTINCT vec_b FROM h2) y USING (vec_b))
+    SELECT np_one.n AS n_pairs_single, np_two.n AS n_pairs_two,
+           np_both.n AS n_pairs_common,
+           nd_one.n AS n_dropped_single, nd_two.n AS n_dropped_two,
+           nd_both.n AS n_dropped_common,
+           CAST(np_both.n * 1000000 // GREATEST(np_one.n, 1) AS BIGINT)
+             AS pair_recall_ppm,
+           CAST(nd_both.n * 1000000 // GREATEST(nd_one.n, 1) AS BIGINT)
+             AS drop_recall_ppm
+    FROM np_one, np_two, np_both, nd_one, nd_two, nd_both
+    """,
+)
+def q_semdedup_two_level_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the two-level gear against the single-level
+    definition — the sketch-quality-gate convention every
+    probabilistic layer in this repo ships (LSH recall audit,
+    hyperplane recall audit, Matryoshka audit): the approximation's
+    loss is a NUMBER in the registry, not a docstring claim. Reports
+    tau-pair and dropped-vector counts under both keys, their
+    intersections, and integer-ppm recalls. By the containment
+    theorem (any shared band ⇒ same coarse cell) common == two on
+    both measures — the oracle COUNTS the intersections rather than
+    assuming them, so a fine-key implementation bug that invented
+    pairs would show up as common < two, not pass silently.
+
+    Scale: both pair streams are the occupancy-capped in-cell
+    expansions (each linear under its own contract); the audit adds
+    only pair-key joins on the tau-filtered HIT sets — near-dup-graph
+    sized, tiny by construction. One trained-centroid literal and one
+    assignment pass are shared by both levels."""
+    base = _two_level_base(spark, sf_dir)
+    from geoparquet_python_spark.operators.similarity import (
+        _capped_bucket_pairs,
+    )
+
+    narrow1 = base.select("vec_id", "cell")
+    payload = base.select(
+        "vec_id", F.struct("vec_id", "embedding", "n2").alias("m")
+    )
+    h1 = materialize(
+        _capped_bucket_pairs(narrow1, payload, ["cell"])
+        .select(
+            "p.vec_a",
+            "p.vec_b",
+            cosine_from_scaled(
+                dot_scaled_arrow("p.a_emb", "p.b_emb"),
+                F.col("p.a_n2"),
+                F.col("p.b_n2"),
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= _TAU)
+        .select("vec_a", "vec_b")
+    )
+    h2 = _two_level_hits(spark, sf_dir, base=base).select("vec_a", "vec_b")
+    one = (
+        h1.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_single"))
+        .crossJoin(
+            h2.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_two"))
+        )
+        .crossJoin(
+            h1.join(h2, ["vec_a", "vec_b"]).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs_common")
+            )
+        )
+        .crossJoin(
+            h1.select("vec_b")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped_single"))
+        )
+        .crossJoin(
+            h2.select("vec_b")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped_two"))
+        )
+        .crossJoin(
+            h1.select("vec_b")
+            .distinct()
+            .join(h2.select("vec_b").distinct(), "vec_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped_common"))
+        )
+    )
+    return one.select(
+        "n_pairs_single",
+        "n_pairs_two",
+        "n_pairs_common",
+        "n_dropped_single",
+        "n_dropped_two",
+        "n_dropped_common",
+        F.expr(
+            "CAST(n_pairs_common * 1000000 DIV GREATEST(n_pairs_single, 1)"
+            " AS BIGINT)"
+        ).alias("pair_recall_ppm"),
+        F.expr(
+            "CAST(n_dropped_common * 1000000 DIV GREATEST(n_dropped_single, 1)"
+            " AS BIGINT)"
+        ).alias("drop_recall_ppm"),
     )
 
 

@@ -382,12 +382,20 @@ def test_bloom_probe_is_map_only_on_fact_rows(spark, sf_dir):
     the pruning happens."""
     plan = plan_of(spark, sf_dir, "q_bloom_pruned_revenue")
     # the dim confirm-join exists, but the fact scan itself must sit
-    # under a Filter containing the bloom probe (forall over md5 hash
-    # positions), not under any exchange-before-filter shape
+    # under a Filter containing the bloom probe (the KM singleton-
+    # transform binding since r9), not under any exchange-before-filter
+    # shape
     import re
 
-    m = re.search(r"Filter [^\n]*forall[^\n]*", plan)
+    m = re.search(r"Filter [^\n]*transform\(array\(cast\(conv[^\n]*", plan)
     assert m, "bloom probe filter not found in the fact scan stage"
+    # The r9 probe contract: ONE md5 evaluation per fact row (Kirsch-
+    # Mitzenmacher positions derive from a single bound hash). A
+    # regression to per-position hashing would show as multiple md5
+    # calls in the probe filter line.
+    assert m.group(0).count("md5(") == 1, (
+        "bloom probe evaluates md5 more than once per row:\n" + m.group(0)
+    )
 
 
 def test_ivfpq_store_scan_is_partition_pruned(spark, sf_dir):
