@@ -467,7 +467,11 @@ def q_daily_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
-    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+    # to_date, not date_trunc: DuckDB's date_trunc('day') yields DATE
+    # while Spark's yields TIMESTAMP — same grouping and order, but the
+    # DATE form lets the engine-side hash comparator cover this query
+    # (round 11; a ts-vs-date family split was its one blocked column).
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events")
     )
     tot = daily.agg(

@@ -109,8 +109,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle ever meet (at corpus scale add a stop-shingle cutoff on
     pathologically frequent shingles; the skew join is AQE-split).
     Jaccard = i/(|A|+|B|−i): integer counts, exact double division.
+
+    This query's CONTRACT is the exact uncapped pair set (it is the
+    semantic spec the capped consumers and the LSH recall audits are
+    measured against), so it alone opts out of the default
+    _STOP_SHINGLE_DF candidate cap.
     """
-    return _exact_jaccard_pairs(spark, sf_dir)
+    return _exact_jaccard_pairs(spark, sf_dir, stop_shingle_df=None)
 
 
 _CONTAIN_T_MICRO = 800_000  # containment >= 0.8
@@ -196,22 +201,35 @@ def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("contained_doc", "container_doc")
 
 
+# Default stop-shingle document-frequency cap for _exact_jaccard_pairs
+# consumers (VERDICT r10 item 3). Measured on the driver corpora: over
+# every true Jaccard>=0.3 pair, the MINIMUM df among its shared shingles
+# maxes out at 4 / 3 / 10 (sf0.001 / 0.01 / 0.1), and no shingle at any
+# scale exceeds df=25 — so 64 filters NOTHING at test scale (bit-identical
+# pair sets, oracle stays exact) while bounding the index join's hot
+# buckets at O(64^2) pairs per shingle at any corpus size. At 100 TB a
+# boilerplate shingle with df=10^6 would otherwise contribute 5*10^11
+# candidate pairs through one key.
+_STOP_SHINGLE_DF = 64
+
+
 def _exact_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, stop_shingle_df: int | None = None
+    spark: SparkSession, sf_dir: str, stop_shingle_df: int | None = _STOP_SHINGLE_DF
 ) -> DataFrame:
     """Jaccard ≥ t pairs via the inverted-index join.
 
     ``stop_shingle_df``: document-frequency cutoff for the index. A
     boilerplate shingle present in d documents contributes O(d²) pairs
     to the index join — the quadratic hot-bucket at corpus scale. With
-    the cap set, shingles with df > cap are dropped from CANDIDATE
-    GENERATION only; the Jaccard itself is then recomputed exactly from
-    the full shingle sets (array_intersect refine), so any pair that
-    still shares one sub-cap shingle gets its exact, uncapped score.
-    Recall loss is confined to pairs whose entire overlap is stop
-    shingles — by construction not near-duplicates of each other but of
-    the boilerplate. Default None = exact uncapped semantics (mirrors
-    the oracle; driver data has no mega-bucket).
+    the cap set (the default — see _STOP_SHINGLE_DF), shingles with
+    df > cap are dropped from CANDIDATE GENERATION only; the Jaccard
+    itself is then recomputed exactly from the full shingle sets
+    (array_intersect refine), so any pair that still shares one sub-cap
+    shingle gets its exact, uncapped score. Recall loss is confined to
+    pairs whose entire overlap is stop shingles — by construction not
+    near-duplicates of each other but of the boilerplate. Pass None for
+    the exact uncapped semantics (q_ngram_jaccard_pairs, whose contract
+    IS the exact pair set).
     """
     d = load_table(spark, sf_dir, "documents")
     sh = (

@@ -131,20 +131,139 @@ def run_compare(spark, duck_con, name: str, fn, oracle: str | None, sf_dir: str,
 #
 # SUM is order-insensitive and multiset-faithful; BIT_XOR adds an
 # independent check (XOR alone would let even-multiplicity duplicates
-# cancel). Only type families whose CAST-to-string forms are identical
-# across Spark and DuckDB participate (ints, boolean, string, date);
-# anything else — floats, timestamps, arrays, binary — falls back to the
+# cancel). A type family participates only when both engines can emit a
+# PROVABLY identical canonical string for every value:
+#
+#   int/bool/string/date — the CAST-to-string forms are identical.
+#   double (round 11)    — the canonical string is the IEEE-754 bit
+#       pattern as a signed int64 (Java Double.doubleToLongBits). Spark
+#       computes it via reflect('java.lang.Double','doubleToLongBits',·);
+#       DuckDB reconstructs the identical integer arithmetically (sign /
+#       exponent / mantissa — see the _DUCK_DBITS macros; every step is
+#       an IEEE-exact power-of-two scale, validated over 28k doubles
+#       incl. all 2^e boundaries, denormals, ±max). −0.0 normalizes to
+#       +0.0 via `+ 0.0` on BOTH sides (matching the row-level compare,
+#       where -0.0 == 0.0 passes); NaN canonicalizes to the Java
+#       canonical-NaN bit pattern on both sides (matching both_nan).
+#       Decimal-formatted strings were rejected: Java 17's %.16e pads
+#       Double.toString's digits with zeros instead of rounding the
+#       exact binary expansion, so no shared decimal form exists.
+#   timestamp (round 11) — canonical string is epoch MICROS as int64:
+#       Spark unix_micros (instant; micros are the internal value, tz-
+#       independent) / timestampdiff-from-epoch for TIMESTAMP_NTZ
+#       (wall-clock); DuckDB epoch_us (naive wall-clock treated as
+#       UTC). Instant-vs-naive equality holds exactly when the Spark
+#       session timezone is UTC — the same precondition the row-level
+#       path (toPandas localizes to session tz) already relies on, so
+#       the hash path adds no new assumption.
+#   DECIMAL(p<=15, s) oracle columns (DuckDB only) map into the double
+#       family via an exact CAST AS DOUBLE (<=15 significant digits
+#       round-trip); wider decimals fall back.
+#
+# Anything else — arrays, binary, wide decimals — falls back to the
 # row-level path, which stays the debugging tool for mismatches.
 # ---------------------------------------------------------------------------
 
 _SPARK_FAMILY = {
     "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
     "boolean": "bool", "string": "str", "date": "date",
+    "double": "dbl", "float": "dbl",
+    "timestamp": "ts", "timestamp_ntz": "ts",
 }
 _DUCK_FAMILY = {
     "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
     "BOOLEAN": "bool", "VARCHAR": "str", "DATE": "date",
+    "DOUBLE": "dbl", "REAL": "dbl", "FLOAT": "dbl",
+    "TIMESTAMP": "ts",
 }
+
+# Java Double.doubleToLongBits(NaN) — the canonical quiet-NaN pattern.
+_NAN_BITS = 9221120237041090560
+
+# DuckDB mirror of Double.doubleToLongBits, reconstructed arithmetically.
+# __graft_e brackets the binary exponent (libm log2 is <=1 ulp, so floor
+# can be off by one — the two comparisons against exact powers of two
+# correct it); the mantissa recovery (a / 2^e - 1) * 2^52 is exact because
+# scaling by a power of two and subtracting 1 from m in [1,2) are
+# IEEE-exact. Denormals (|d| < 2^-1022) scale up by 2^537 twice (each
+# exact) so the 52-bit fraction lands as an exact integer. power(2.0, e)
+# is exact for every e in [-1074, 1024] (validated exhaustively in
+# tests/test_comparator.py).
+_DUCK_DBITS_MACROS = """
+CREATE OR REPLACE TEMP MACRO __graft_e(a) AS (
+  CASE WHEN a < power(2.0, CAST(floor(log2(a)) AS BIGINT))
+       THEN CAST(floor(log2(a)) AS BIGINT) - 1
+       WHEN a >= power(2.0, CAST(floor(log2(a)) AS BIGINT) + 1)
+       THEN CAST(floor(log2(a)) AS BIGINT) + 1
+       ELSE CAST(floor(log2(a)) AS BIGINT) END
+);
+CREATE OR REPLACE TEMP MACRO __graft_dbits(c) AS (
+  CASE
+    WHEN isnan(c) THEN 9221120237041090560
+    WHEN c = 'infinity'::DOUBLE THEN 9218868437227405312
+    WHEN c = '-infinity'::DOUBLE THEN -4503599627370496
+    WHEN c = 0 THEN 0
+    ELSE
+      (CASE WHEN c < 0 THEN -9223372036854775808 ELSE 0 END)
+      + (CASE WHEN abs(c) < 2.2250738585072014e-308
+              THEN CAST(abs(c) * power(2.0, 537) * power(2.0, 537) AS BIGINT)
+              ELSE (__graft_e(abs(c)) + 1023) * 4503599627370496
+                   + CAST((abs(c) / power(2.0, __graft_e(abs(c))) - 1.0)
+                          * 4503599627370496.0 AS BIGINT) END)
+  END
+);
+"""
+
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _spark_canonical(name: str, simple: str):
+    """(family, canonical-string Column) for one result column, or
+    (None, None) when the type is outside the hash-safe set."""
+    from pyspark.sql import functions as F
+
+    fam = _SPARK_FAMILY.get(simple)
+    if fam is None:
+        return None, None
+    q = name.replace("`", "``")
+    if fam == "dbl":
+        # + 0.0 sends -0.0 to +0.0; doubleToLongBits canonicalizes NaN.
+        return fam, F.expr(
+            f"CASE WHEN `{q}` IS NULL THEN NULL ELSE "
+            f"reflect('java.lang.Double','doubleToLongBits', "
+            f"CAST(`{q}` AS DOUBLE) + CAST(0.0 AS DOUBLE)) END"
+        )
+    if fam == "ts":
+        if simple == "timestamp_ntz":
+            return fam, F.expr(
+                f"CAST(timestampdiff(MICROSECOND, {_NTZ_EPOCH}, `{q}`) AS STRING)"
+            )
+        return fam, F.expr(f"CAST(unix_micros(`{q}`) AS STRING)")
+    return fam, F.col(name).cast("string")
+
+
+def _duck_canonical(name: str, dtype: str):
+    """(family, canonical-string SQL) for one oracle column, or
+    (None, None). ``dtype`` is the upper-cased DESCRIBE type."""
+    fam = _DUCK_FAMILY.get(dtype)
+    if fam is None and dtype.startswith("DECIMAL(") and dtype.endswith(")"):
+        try:
+            prec = int(dtype[len("DECIMAL("):].split(",")[0])
+        except ValueError:
+            prec = 99
+        if prec <= 15:  # <=15 significant digits round-trip a double
+            fam = "dbl"
+    if fam is None:
+        return None, None
+    n = name.replace('"', '""')
+    if fam == "dbl":
+        return fam, (
+            f'CASE WHEN "{n}" IS NULL THEN NULL ELSE '
+            f'CAST(__graft_dbits(CAST("{n}" AS DOUBLE) + 0.0) AS VARCHAR) END'
+        )
+    if fam == "ts":
+        return fam, f'CAST(epoch_us("{n}") AS VARCHAR)'
+    return fam, f'CAST("{n}" AS VARCHAR)'
 
 
 def spark_hash_summary(sdf):
@@ -158,11 +277,11 @@ def spark_hash_summary(sdf):
 
     fams, pieces = {}, []
     for fld in sorted(sdf.schema.fields, key=lambda f: f.name):
-        fam = _SPARK_FAMILY.get(fld.dataType.simpleString())
+        fam, canon = _spark_canonical(fld.name, fld.dataType.simpleString())
         if fam is None:
             return None
         fams[fld.name] = fam
-        pieces.append(F.coalesce(F.md5(F.col(fld.name).cast("string")), F.lit("null")))
+        pieces.append(F.coalesce(F.md5(canon), F.lit("null")))
     h = F.conv(F.substring(F.md5(F.concat(*pieces)), 1, 15), 16, 10).cast("long")
     row = (
         sdf.select(h.alias("h"))
@@ -186,14 +305,17 @@ def duck_hash_summary(con, oracle: str):
     """
     con.execute("CREATE OR REPLACE TEMP VIEW __graft_oracle AS " + oracle)
     desc = con.execute("DESCRIBE __graft_oracle").fetchall()
-    fams, pieces = {}, []
+    fams, pieces, need_dbits = {}, [], False
     for row in sorted(desc, key=lambda r: r[0]):
         name, dtype = row[0], row[1].upper()
-        fam = _DUCK_FAMILY.get(dtype)
+        fam, canon = _duck_canonical(name, dtype)
         if fam is None:
             return None
         fams[name] = fam
-        pieces.append(f"COALESCE(md5(CAST(\"{name}\" AS VARCHAR)), 'null')")
+        need_dbits = need_dbits or fam == "dbl"
+        pieces.append(f"COALESCE(md5({canon}), 'null')")
+    if need_dbits:
+        con.execute(_DUCK_DBITS_MACROS)
     concat = " || ".join(pieces)
     c, hs, hx = con.execute(
         "SELECT COUNT(*), "
@@ -206,7 +328,8 @@ def duck_hash_summary(con, oracle: str):
 
 
 def run_compare_engine_side(spark, duck_con, name: str, fn, oracle: str | None,
-                            sf_dir: str, row_level_limit: int = 200_000):
+                            sf_dir: str, row_level_limit: int = 200_000,
+                            float_rtol: float = 0.0):
     """Scale-safe oracle compare: scalars by default, rows for debugging.
 
     Returns (row_count, mode) with mode in {'hash', 'pandas', 'rows-only'}.
@@ -214,16 +337,21 @@ def run_compare_engine_side(spark, duck_con, name: str, fn, oracle: str | None,
     to produce a readable diff; large results raise with the scalar
     summary (materializing them driver-side is exactly what this path
     exists to avoid).
+
+    ``float_rtol`` (ADVICE r10): a nonzero tolerance is incompatible
+    with bit-pattern hashing — the caller is declaring the floats NOT
+    bit-exact — so the compare drops to the row-level path with the
+    tolerance threaded through instead of silently hashing exactly.
     """
     sdf = fn(spark, sf_dir)
     if oracle is None:
         return sdf.count(), "rows-only"
-    s = spark_hash_summary(sdf)
+    s = spark_hash_summary(sdf) if float_rtol == 0.0 else None
     d = duck_hash_summary(duck_con, oracle) if s is not None else None
     if s is None or d is None:
         pdf = sdf.toPandas()
         opdf = duck_con.execute(oracle).df()
-        compare_frames(pdf, opdf, name=name)
+        compare_frames(pdf, opdf, name=name, float_rtol=float_rtol)
         return len(pdf), "pandas"
     sc, ss, sx, sfam = s
     dc, ds, dx, dfam = d
