@@ -290,12 +290,13 @@ def main() -> None:
     if len(line) > 1900:
         compact["queries"] = {n: round(t, 1) for n, t in times.items()}
         line = json.dumps(compact)
-    if len(line) > 1900:
+    if len(line) > 1900 and all(n.startswith("q_") for n in compact["queries"]):
+        # ADVICE r10: the strip is all-or-nothing — if ANY key lacked
+        # the prefix, a reader restoring names by prepending "q_" to
+        # every key would corrupt the exceptions, so the rung only
+        # fires when the marker's inverse is exact for every key.
         compact["key_prefix"] = "q_"
-        compact["queries"] = {
-            (n[2:] if n.startswith("q_") else n): t
-            for n, t in compact["queries"].items()
-        }
+        compact["queries"] = {n[2:]: t for n, t in compact["queries"].items()}
         line = json.dumps(compact)
     if len(line) > 1900:
         del compact["d"]

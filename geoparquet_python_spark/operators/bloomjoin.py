@@ -86,9 +86,24 @@ def _m_bits(n_keys: int) -> int:
     """Filter size for n qualifying keys: smallest power of two >=
     max(_BITS_PER_KEY * n, 64) — the bits/key ratio lands in [16, 32)
     for any n >= 4 (asserted across scale factors in
-    tests/test_llm_ops.py). Mirrored exactly by _sql_msize_cte."""
+    tests/test_llm_ops.py). Mirrored exactly by _sql_msize_cte.
+
+    Hard-capped at 2^30 (ADVICE r10): the Kirsch–Mitzenmacher probe
+    seeds from the LOW 30 BITS of the salted hash (h % 2^30 — see
+    _km_terms), so a filter wider than 2^30 could never have its upper
+    bits addressed and would silently degenerate to a sparser, weaker
+    filter. ~67M keys at 16 bits/key is the documented ceiling; past
+    it, fail LOUDLY — the fix is a wider seed split, not a bigger m.
+    """
     x = max(_BITS_PER_KEY * n_keys, 64)
-    return 1 << (x - 1).bit_length() if x & (x - 1) else x
+    m = 1 << (x - 1).bit_length() if x & (x - 1) else x
+    if m > _B30:
+        raise ValueError(
+            f"_m_bits: {n_keys} keys need m={m} > 2^30 — beyond the "
+            f"30-bit KM seed's addressable range; widen the seed/stride "
+            f"split before raising the cap"
+        )
+    return m
 
 
 def _sql_msize_cte(count_sql: str) -> str:

@@ -1298,7 +1298,17 @@ def _blocked_hamming_pairs(
     """,
 )
 def q_simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming <= 12 near-pairs on the 120-bit SimHash via 13-chunk
+    """SATURATION DEMONSTRATOR — NOT THE PRODUCTION SCALE PATH.
+    This query is kept REGISTERED precisely to exhibit the 8-10-bit
+    block-saturation ceiling with a measured number attached (23.1 s /
+    3.6x at the 8x weak-scaling leg — SCALE.md, COVERAGE.md): once
+    distinct signatures >> 2^block_bits, candidates grow ~quadratically
+    no matter how correct the pigeonhole is. Ship
+    q_simhash_wide240_blocked_pairs (15-20-bit blocks, 1.9x at 8x) for
+    real corpora; read this one as the documented failure mode it
+    guards against.
+
+    Hamming <= 12 near-pairs on the 120-bit SimHash via 13-chunk
     pigeonhole — the widened-signature fix that makes the loose
     threshold sub-quadratic on random data (candidates ~n^2/39 vs
     ~0.28 n^2 for 60-bit chunks; q_simhash_blocked_pairs_loose

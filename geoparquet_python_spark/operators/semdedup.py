@@ -304,19 +304,21 @@ def q_semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Fine key = BANDED hyperplane signature: _FINE_BANDS independent bands
-# of _FINE_BITS sign bits each (16 planes total, the first rows of
+# of _FINE_BITS sign bits each (32 planes total, the first rows of
 # similarity._plane_components()'s deterministic md5-parity family).
 # Composite cells per band = K x 2^_FINE_BITS; a pair is a candidate if
 # it agrees on the coarse cell AND on ANY band — the same
 # recall-by-union structure as every banded LSH in this repo. Per-bit
 # agreement is 1 - theta/pi, so single-band recall at the tau=0.35
-# boundary is ~0.61^4 ~= 0.14 and the B=4 union lifts it to
-# 1-(1-0.14)^4 ~= 0.46, reaching ~0.95 at cosine 0.9 — tunable by B
-# (bands buy recall linearly in cost) and f (bits buy occupancy
-# halving). All of it is TRAINING-FREE: growing f or B at 100 TB costs
-# zero trained state, zero plan-build growth beyond constants.
+# boundary is ~0.61^4 ~= 0.14 and the band union lifts it as
+# 1-(1-0.14)^B: B=4 gave ~0.46 predicted / 0.494 measured pair recall
+# at sf0.1; the B=8 gear registered in round 11 (VERDICT r10 item 4)
+# predicts ~0.70 at the boundary and ~0.99 at cosine 0.9. Bands buy
+# recall linearly in candidate volume; f bits buy occupancy halving.
+# All of it is TRAINING-FREE: growing f or B at 100 TB costs zero
+# trained state, zero plan-build growth beyond constants.
 _FINE_BITS = 4  # bits per band
-_FINE_BANDS = 4
+_FINE_BANDS = 8
 _N_FINE_PLANES = _FINE_BITS * _FINE_BANDS
 
 

