@@ -377,10 +377,29 @@ def test_stop_shingle_cap_keeps_planted_neardups(spark, tmp_path):
         for r in _exact_jaccard_pairs(spark, sf, stop_shingle_df=10).collect()
     }
     assert (40, 41) in uncapped and (40, 41) in capped
-    # exact score preserved under capping (refine uses FULL sets)
+    # exact score preserved under capping: i_exact = i_kept + shared
+    # stop shingles reconstructs the uncapped integer count, so the
+    # division is bit-identical (the pair shares boilerplate AND
+    # unique shingles — both terms exercised)
     assert abs(capped[(40, 41)] - uncapped[(40, 41)]) < 1e-15
     # capping must not invent pairs
     assert set(capped) <= set(uncapped)
+    # the fast/guarded probe (round 11): the planted boilerplate is a
+    # hot shingle at cap 10 (guarded plan above), but not at cap 64 —
+    # there the capped call provably takes the lean uncapped plan
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.functions.text import tokens, shingles
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.dedup import _has_hot_shingles
+
+    sh = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(shingles("toks", k=3)).alias("s"))
+    )
+    assert _has_hot_shingles(spark, sh, sf, 10) is True
+    assert _has_hot_shingles(spark, sh, sf, 64) is False
 
 
 def test_minhash_bucket_cap_keeps_planted_neardups(spark, tmp_path):
