@@ -666,8 +666,7 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _assigned_base(spark, sf_dir)
     semdrop = (
-        _cell_pairs(spark, sf_dir, base=base)
-        .where(F.col("cosine") >= _TAU)
+        _cell_pairs(spark, sf_dir, base=base, min_cosine=_TAU)
         .select(F.col("vec_b").alias("doc_id"))
         .distinct()
         .withColumn("__semdup", F.lit(True))

@@ -127,33 +127,202 @@ def _assigned_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cell_pairs(
-    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
-) -> DataFrame:
-    """In-cell (vec_a < vec_b) candidate pairs with embeddings+norms
-    attached: one corpus shuffle on the cell id, then MAP-SIDE pair
-    expansion from the per-cell (vec_id, embedding, n2) struct list.
+# Kernel row-block for the per-cell pair pass: peak chunk memory is
+# _PAIR_CHUNK x |c| x dim x 8 B (~16 MB at the 250-member cell target,
+# ~67 MB at the occupancy cap) per Python worker — bounded regardless
+# of how many pairs a cell contributes.
+_PAIR_CHUNK = 128
 
-    No joins and no broadcasts anywhere: an earlier form expanded
-    id-only pairs and joined the embeddings back with a broadcast
-    hint on the pair frame — but the pair count is sum over cells of
-    |c|^2, corpus-proportional, not driver-sized, so the hint would
-    OOM the driver at scale (and the hint-free shuffle join is slow
-    at any scale). Carrying the embeddings through the cell shuffle
-    instead costs one pass of the corpus — which the shuffle moves
-    anyway — and the per-cell aggregation buffer holds |c|
-    embeddings, bounded by SemDeDup's K-grows-with-corpus contract
-    (module docstring). The |c|^2 pair structs stream through the
-    explode within the stage and never hit a shuffle."""
+
+def _cell_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    base: DataFrame | None = None,
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """In-cell (vec_a < vec_b) pairs as (cell, vec_a, vec_b, cosine).
+
+    With ``min_cosine`` set (every registered consumer — they all gate
+    at tau), the stream comes from ONE per-cell numpy pass
+    (applyInPandas): each cell's |c| x dim matrix crosses Arrow once
+    (~|c|·550 B), all |c|^2 fixed-point dots evaluate as chunked
+    vectorized ops, and only the pairs at or above the threshold are
+    ever MATERIALIZED AS ROWS. The round-11 64x weak-scaling super-leg
+    measured why this matters: the previous form (collect_list struct
+    explode + per-pair Arrow dot refine) built 16M pair rows each
+    carrying BOTH 64-float embeddings — ~17 GB streamed through the
+    stage and ~8 GB across Arrow for a tau-hit set of a few thousand
+    rows (217 s; the kernel: ~7 s). Arithmetic is bit-identical to the
+    row form, term by term: per-dim floor(x·y·1e12) summed as int64
+    (products < 2^53, so float64 is exact — the dot_scaled contract),
+    cosine as (d/1e12)/(sqrt(na/1e12)·sqrt(nb/1e12)) in the same IEEE
+    op order, and the tau compare against the same float literal, so
+    the emitted pair set and every cosine hash-match the unchanged
+    DuckDB oracles.
+
+    Scale shape: one corpus shuffle on the cell id (the groupBy under
+    applyInPandas), then map-side kernel work; per-worker memory is
+    O(|c|·dim) for the group plus the _PAIR_CHUNK block — never
+    O(|c|^2). The K-grows-with-corpus contract bounds |c| at the cell
+    target; a semantically-hot cell past the occupancy cap flips the
+    WHOLE call onto the capped explode machinery below (sub-bucketed,
+    spill-safe at any occupancy) with the same tau filter applied
+    after — identical rows, degraded wall, never a memory cliff. The
+    one-aggregate occupancy probe that decides the branch is the
+    _capped_bucket_pairs precheck contract: eager at plan-build time,
+    frozen from the data observed then.
+
+    With ``min_cosine=None`` the full unfiltered pair stream is
+    returned via the capped explode machinery (no registered consumer;
+    kept as the exact-semantics spec the kernel is measured against in
+    tests)."""
     if base is None:
         base = _assigned_base(spark, sf_dir)
-    # Occupancy-capped pair expansion (shared with the hyperplane LSH
-    # path — similarity._capped_bucket_pairs): the K-scaling contract
-    # bounds the TYPICAL cell, but one semantically-hot cell can still
-    # exceed any fixed target, and the plain collect_list form would
-    # concentrate its whole embedding payload into a single aggregation
-    # row (round-6 ADVICE). The cap makes the worst-case row O(cap)
-    # while leaving the emitted pair set bit-identical.
+    if min_cosine is not None:
+        occ = (
+            base.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .agg(F.max("__bn").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        from geoparquet_python_spark.operators.similarity import _BUCKET_CAP
+
+        if occ is not None and int(occ) <= _BUCKET_CAP:
+            return _tau_pairs_kernel(base, float(min_cosine))
+    full = _cell_pairs_full(base)
+    if min_cosine is not None:
+        full = full.where(F.col("cosine") >= float(min_cosine))
+    return full
+
+
+def _max_cell_occupancy(base: DataFrame) -> int:
+    """One aggregate over the (materialized) assignment frame — the
+    eager plan-build-time probe that picks kernel vs capped machinery
+    (the _capped_bucket_pairs precheck contract)."""
+    mx = (
+        base.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .agg(F.max("__bn").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    return int(mx or 0)
+
+
+def _tau_pairs_kernel(
+    base: DataFrame, tau: float, fine_bands: bool = False
+) -> DataFrame:
+    """The vectorized per-cell pair pass (see _cell_pairs). Emits
+    (cell, vec_a, vec_b, cosine) rows with cosine >= tau, vec_a <
+    vec_b by vec_id sort — the array_sort(collect_list) convention.
+
+    With ``fine_bands`` (the two-level gear), a pair must also agree
+    on at least one of the _FINE_BANDS hyperplane fine-key bands; the
+    32 sign bits are recomputed inside the kernel from the embeddings
+    (one m x 32 integer matmul against the same md5-parity planes —
+    xfix = floor(x·1e6) products are < 2^53, so the float64 signs are
+    the _fine_bits_expr int64 signs, bit for bit), and the OR-combined
+    band mask already emits each candidate pair ONCE, so the old
+    per-band-duplicate distinct disappears for free."""
+    import numpy as np
+    import pandas as pd
+
+    from geoparquet_python_spark.functions.vector import FIXED_POINT
+
+    if fine_bands:
+        from geoparquet_python_spark.operators.similarity import (
+            _plane_components,
+        )
+
+        fine_planes = np.array(
+            _plane_components()[:_N_FINE_PLANES], dtype=np.float64
+        )  # 32 x 64
+        band_w = (1 << np.arange(_FINE_BITS, dtype=np.int64))
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = {
+            "cell": pd.Series([], dtype="int64"),
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+        if m < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # sqrt(n2/1e12) once per member — cosine_from_scaled's to_d
+        # + sqrt, hoisted out of the pair loop (same IEEE value).
+        rootn = np.sqrt(pdf["n2"].to_numpy(dtype=np.int64) / FIXED_POINT)
+        cell = np.int64(pdf["cell"].iloc[0])
+        if fine_bands:
+            # m x _FINE_BANDS packed band values from the sign bits
+            # (exact: |xfix| <= ~1e6·max|x|, 64-term sums << 2^53).
+            bits = (np.floor(E * 1e6) @ fine_planes.T) >= 0  # m x 32
+            bvals = np.stack(
+                [
+                    bits[:, _FINE_BITS * b:_FINE_BITS * (b + 1)].astype(
+                        np.int64
+                    )
+                    @ band_w
+                    for b in range(_FINE_BANDS)
+                ],
+                axis=1,
+            )  # m x _FINE_BANDS
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        for i0 in range(0, m - 1, _PAIR_CHUNK):
+            i1 = min(i0 + _PAIR_CHUNK, m - 1)
+            c0 = i0 + 1  # columns j in (i0, m); mask enforces j > i
+            # (x*y)*1e12, floor, int64, sum — dot_scaled's exact op
+            # order (dot_scaled_arrow does the identical sequence).
+            terms = np.floor(
+                (E[i0:i1, None, :] * E[None, c0:, :]) * FIXED_POINT
+            ).astype(np.int64)
+            d = terms.sum(axis=2)
+            cos = (d.astype(np.float64) / FIXED_POINT) / (
+                rootn[i0:i1, None] * rootn[None, c0:]
+            )
+            jcol = np.arange(c0, m)[None, :]
+            irow = np.arange(i0, i1)[:, None]
+            keep = (cos >= tau) & (jcol > irow)
+            if fine_bands:
+                keep &= (
+                    bvals[i0:i1, None, :] == bvals[None, c0:, :]
+                ).any(axis=2)
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                out_a.append(ids[ii + i0])
+                out_b.append(ids[jj + c0])
+                out_c.append(cos[ii, jj])
+        if not out_a:
+            return pd.DataFrame(empty)
+        va = np.concatenate(out_a)
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(va), cell, dtype=np.int64),
+                "vec_a": va,
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        base.select("vec_id", "embedding", "n2", "cell")
+        .groupBy("cell")
+        .applyInPandas(
+            _pairs, "cell bigint, vec_a bigint, vec_b bigint, cosine double"
+        )
+    )
+
+
+def _cell_pairs_full(base: DataFrame) -> DataFrame:
+    """The unfiltered pair stream: occupancy-capped collect_list
+    expansion (similarity._capped_bucket_pairs — sub-bucketed past the
+    cap, round-6 ADVICE) + per-pair Arrow dot refine. Safe at any cell
+    occupancy; pays O(pairs) row materialization, so tau-gated
+    consumers should go through _cell_pairs(min_cosine=...)."""
     from geoparquet_python_spark.operators.similarity import (
         _capped_bucket_pairs,
     )
@@ -228,9 +397,7 @@ def q_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1.8 s of the 4.7 s wall at sf0.1, round 8). The surviving edge
     # set is tau-filtered — pair-graph sized, not corpus² — so the
     # checkpoint is small by construction.
-    hits = materialize(
-        _cell_pairs(spark, sf_dir).where(F.col("cosine") >= _TAU)
-    )
+    hits = materialize(_cell_pairs(spark, sf_dir, min_cosine=_TAU))
     verdict = hits.groupBy("cell", F.col("vec_b").alias("vec_id")).agg(
         F.min("vec_a").alias("dup_of")
     )
@@ -277,8 +444,7 @@ def q_semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members")
     )
     dropped = (
-        _cell_pairs(spark, sf_dir, base=base)
-        .where(F.col("cosine") >= _TAU)
+        _cell_pairs(spark, sf_dir, base=base, min_cosine=_TAU)
         .select("cell", "vec_b")
         .distinct()
         .groupBy("cell")
@@ -389,20 +555,15 @@ def _sql_fine_ctes() -> str:
 
 
 def _two_level_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized (vec_id, embedding, n2, cell, fbits): ONE corpus
-    pass computes both levels — the Arrow-batched centroid argmin
-    (coarse) and the 16 sign bits (fine) share the xfix column in a
-    single projection."""
-    cents = _train(spark, sf_dir, k=_scaled_k(spark, sf_dir))
-    return materialize(
-        _fixed_points(spark, sf_dir).select(
-            "vec_id",
-            "embedding",
-            norm2_scaled("embedding").alias("n2"),
-            _assign_expr(cents).alias("cell"),
-            F.expr(_fine_bits_expr()).alias("fbits"),
-        )
-    )
+    """Materialized (vec_id, embedding, n2, cell) assignment frame for
+    the two-level gear — since round 11 the SAME frame as
+    _assigned_base. The fine-key sign bits (`fbits`) are no longer
+    materialized here: the kernel fast path recomputes them inside its
+    per-cell numpy pass (one m x 32 matmul — cheaper than one
+    interpreted zip_with/aggregate HOF ROW, let alone a corpus of
+    them), and only the guarded over-cap branch of _two_level_hits
+    derives the column, lazily, from xfix."""
+    return _assigned_base(spark, sf_dir)
 
 
 def _two_level_hits(
@@ -415,10 +576,25 @@ def _two_level_hits(
     if base is None:
         base = _two_level_base(spark, sf_dir)
     from geoparquet_python_spark.operators.similarity import (
+        _BUCKET_CAP,
         _capped_bucket_pairs,
     )
 
-    banded = base.select("vec_id", "cell", F.expr(_FINE_BAND_EXPR).alias("bb"))
+    # Kernel fast path (round 11, same routing as _cell_pairs): when
+    # no COARSE cell exceeds the occupancy cap, the banded candidate
+    # join + per-pair Arrow refine collapses into the per-cell numpy
+    # pass with the band-agreement mask — identical pair set and
+    # cosines (the OR-combined mask emits each candidate once, so the
+    # per-band-duplicate distinct is structural, not a plan node).
+    if _max_cell_occupancy(base) <= _BUCKET_CAP:
+        return materialize(_tau_pairs_kernel(base, _TAU, fine_bands=True))
+    from geoparquet_python_spark.operators.kmeans import _XFIX
+
+    banded = (
+        base.withColumn("xfix", F.expr(_XFIX))
+        .withColumn("fbits", F.expr(_fine_bits_expr()))
+        .select("vec_id", "cell", F.expr(_FINE_BAND_EXPR).alias("bb"))
+    )
     narrow = banded.select(
         "vec_id", "cell", F.col("bb.band").alias("band"),
         F.col("bb.bval").alias("bval"),
@@ -607,27 +783,10 @@ def q_semdedup_two_level_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized, tiny by construction. One trained-centroid literal and one
     assignment pass are shared by both levels."""
     base = _two_level_base(spark, sf_dir)
-    from geoparquet_python_spark.operators.similarity import (
-        _capped_bucket_pairs,
-    )
-
-    narrow1 = base.select("vec_id", "cell")
-    payload = base.select(
-        "vec_id", F.struct("vec_id", "embedding", "n2").alias("m")
-    )
     h1 = materialize(
-        _capped_bucket_pairs(narrow1, payload, ["cell"])
-        .select(
-            "p.vec_a",
-            "p.vec_b",
-            cosine_from_scaled(
-                dot_scaled_arrow("p.a_emb", "p.b_emb"),
-                F.col("p.a_n2"),
-                F.col("p.b_n2"),
-            ).alias("cosine"),
+        _cell_pairs(spark, sf_dir, base=base, min_cosine=_TAU).select(
+            "vec_a", "vec_b"
         )
-        .where(F.col("cosine") >= _TAU)
-        .select("vec_a", "vec_b")
     )
     h2 = _two_level_hits(spark, sf_dir, base=base).select("vec_a", "vec_b")
     one = (
