@@ -1,0 +1,484 @@
+"""Distributed model fitting via exact aggregated moments (the
+"sufficient statistics" pattern): OLS / ridge regression and
+chi-square feature selection over the `documents` corpus.
+
+Reference parity: the reference engine (SURVEY.md §0.2 — nil surface
+beyond GeoParquet I/O) has no modeling layer; these queries are part
+of the mandated LLM-training-pipeline extension surface (quality
+modeling / feature selection before classifier-based filtering, the
+step between heuristic gates and a learned quality model).
+
+Why this shape wins at 100 TB: a linear model with k features needs
+only the O(k^2) moment matrix (X'X, X'y) — ONE map-side-combinable
+aggregation pass over the corpus, no gradient iterations, no driver
+residency beyond a k x k solve. All moments accumulate as int64 /
+DECIMAL(38,0) (exact, order-independent — the registry determinism
+contract), so the normal-equation solve runs on bit-identical inputs
+in Spark and the DuckDB oracle; the solve itself is a fixed-order
+chain of IEEE +-*/ ops, textually shared between both engines via the
+formula templates below, so every coefficient hash-matches at the
+comparator's doubleToLongBits level.
+
+Feature/target choice (documents table): y = n_chars, x1 = whitespace
+token count, x2 = distinct token count — integers derived identically
+in both engines (functions/text.py tokens() convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoparquet_python_spark.functions.exact import broadcast_narrow
+from geoparquet_python_spark.io import load_table
+from geoparquet_python_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Shared formula templates: instantiated as Spark `F.expr` AND spliced
+# into the DuckDB oracle SQL, so the double-precision op ORDER is
+# textually identical on both sides (the bit-exactness contract).
+# Inputs are double-cast moment columns named: nn sx1 sx2 sy c11 c12
+# c22 s1y s2y syy (+ lam for ridge).
+# ---------------------------------------------------------------------------
+
+_DET = (
+    "(nn * (c11 * c22 - c12 * c12) - sx1 * (sx1 * c22 - c12 * sx2)"
+    " + sx2 * (sx1 * c12 - c11 * sx2))"
+)
+_DET0 = (
+    "(sy * (c11 * c22 - c12 * c12) - sx1 * (s1y * c22 - c12 * s2y)"
+    " + sx2 * (s1y * c12 - c11 * s2y))"
+)
+_DET1 = (
+    "(nn * (s1y * c22 - c12 * s2y) - sy * (sx1 * c22 - c12 * sx2)"
+    " + sx2 * (sx1 * s2y - s1y * sx2))"
+)
+_DET2 = (
+    "(nn * (c11 * s2y - s1y * c12) - sx1 * (sx1 * s2y - s1y * sx2)"
+    " + sy * (sx1 * c12 - c11 * sx2))"
+)
+_B0 = f"({_DET0} / {_DET})"
+_B1 = f"({_DET1} / {_DET})"
+_B2 = f"({_DET2} / {_DET})"
+# SSE = y'y - b'X'y (exact OLS identity); SST about the mean.
+_SSE = f"(syy - ({_B0} * sy + {_B1} * s1y + {_B2} * s2y))"
+_SST = "(syy - sy * sy / nn)"
+_R2 = f"(1.0 - {_SSE} / {_SST})"
+
+# Ridge: penalize the two slope diagonals (not the intercept) —
+# substitute c11 -> (c11 + lam), c22 -> (c22 + lam) everywhere.
+
+
+def _ridge(expr: str) -> str:
+    return expr.replace("c11", "(c11 + lam)").replace("c22", "(c22 + lam)")
+
+
+# Single-feature (per-group) OLS on exact moments nn sx sy sxx sxy syy.
+_SLOPE1 = "((nn * sxy - sx * sy) / (nn * sxx - sx * sx))"
+_ICEPT1 = f"((sy - {_SLOPE1} * sx) / nn)"
+_R2_1 = (
+    "((nn * sxy - sx * sy) * (nn * sxy - sx * sy)"
+    " / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)))"
+)
+
+# DuckDB-side exact-moment CTE over documents (int64 + DECIMAL(38,0)).
+_SQL_MOMENTS = """
+    feats AS (
+      SELECT CAST(n_chars AS BIGINT) AS y,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS x1,
+             CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS x2
+      FROM documents
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS sx1_i,
+             CAST(SUM(x2) AS BIGINT) AS sx2_i,
+             CAST(SUM(y) AS BIGINT) AS sy_i,
+             CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS DECIMAL(38,0)) AS c11_i,
+             CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS c12_i,
+             CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS c22_i,
+             CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS s1y_i,
+             CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS s2y_i,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy_i
+      FROM feats
+    ),
+    momd AS (
+      SELECT n,
+             CAST(n AS DOUBLE) AS nn,
+             CAST(sx1_i AS DOUBLE) AS sx1, CAST(sx2_i AS DOUBLE) AS sx2,
+             CAST(sy_i AS DOUBLE) AS sy,
+             CAST(c11_i AS DOUBLE) AS c11, CAST(c12_i AS DOUBLE) AS c12,
+             CAST(c22_i AS DOUBLE) AS c22,
+             CAST(s1y_i AS DOUBLE) AS s1y, CAST(s2y_i AS DOUBLE) AS s2y,
+             CAST(syy_i AS DOUBLE) AS syy
+      FROM mom
+    )
+"""
+
+
+def _moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact-moment aggregation pass (Spark mirror of _SQL_MOMENTS):
+    map-side partial aggregation does almost all the work; the shuffle
+    moves one partial-moment row per task."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = d.select(
+        F.col("n_chars").cast("bigint").alias("y"),
+        F.size(toks).cast("bigint").alias("x1"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("x2"),
+    )
+
+    def dsum(a: str, b: str):
+        return F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).cast(
+            "decimal(38,0)"
+        )
+
+    mom = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1_i"),
+        F.sum("x2").cast("bigint").alias("sx2_i"),
+        F.sum("y").cast("bigint").alias("sy_i"),
+        dsum("x1", "x1").alias("c11_i"),
+        dsum("x1", "x2").alias("c12_i"),
+        dsum("x2", "x2").alias("c22_i"),
+        dsum("x1", "y").alias("s1y_i"),
+        dsum("x2", "y").alias("s2y_i"),
+        dsum("y", "y").alias("syy_i"),
+    )
+    return mom.select(
+        "n",
+        F.col("n").cast("double").alias("nn"),
+        F.col("sx1_i").cast("double").alias("sx1"),
+        F.col("sx2_i").cast("double").alias("sx2"),
+        F.col("sy_i").cast("double").alias("sy"),
+        F.col("c11_i").cast("double").alias("c11"),
+        F.col("c12_i").cast("double").alias("c12"),
+        F.col("c22_i").cast("double").alias("c22"),
+        F.col("s1y_i").cast("double").alias("s1y"),
+        F.col("s2y_i").cast("double").alias("s2y"),
+        F.col("syy_i").cast("double").alias("syy"),
+    )
+
+
+@query(
+    "q_quality_linear_model",
+    oracle=f"""
+    WITH {_SQL_MOMENTS}
+    SELECT n AS n_docs,
+           {_B0} AS beta0,
+           {_B1} AS beta1,
+           {_B2} AS beta2,
+           {_R2} AS r2
+    FROM momd
+    """,
+)
+def q_quality_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of n_chars on (token count, distinct token count) via
+    normal equations on exact moments — the closed-form quality-model
+    fit. Plan: ONE corpus aggregation (map-side combine to a 10-number
+    moment vector per task, then a single-row reduce) + a constant-time
+    Cramer solve expressed in SQL. At 100 TB the corpus pass is the
+    entire cost and it is embarrassingly parallel; nothing downstream
+    of the one-row moment frame ever sees the corpus again."""
+    momd = _moments(spark, sf_dir)
+    return momd.select(
+        F.col("n").alias("n_docs"),
+        F.expr(_B0).alias("beta0"),
+        F.expr(_B1).alias("beta1"),
+        F.expr(_B2).alias("beta2"),
+        F.expr(_R2).alias("r2"),
+    )
+
+
+_LAMBDAS = [0.0, 100000.0, 1000000.0]
+
+
+@query(
+    "q_ridge_shrinkage_path",
+    oracle=f"""
+    WITH {_SQL_MOMENTS},
+    lams AS (SELECT unnest([{", ".join(str(v) for v in _LAMBDAS)}]) AS lam)
+    SELECT lam,
+           {_ridge(_B0)} AS beta0,
+           {_ridge(_B1)} AS beta1,
+           {_ridge(_B2)} AS beta2
+    FROM momd CROSS JOIN lams
+    ORDER BY lam
+    """,
+)
+def q_ridge_shrinkage_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regularization path (slope-diagonal penalty, intercept
+    unpenalized) for three lambdas FROM THE SAME moment pass: the
+    hyperparameter sweep costs zero additional corpus scans — the k x k
+    moment matrix is re-solved per lambda on a one-row frame. This is
+    the scale argument for moment-space model selection: at 100 TB you
+    pay one pass for the whole lambda grid."""
+    momd = _moments(spark, sf_dir)
+    lams = momd.sparkSession.createDataFrame(
+        [(v,) for v in _LAMBDAS], "lam double"
+    )
+    return (
+        momd.crossJoin(broadcast_narrow(lams))
+        .select(
+            "lam",
+            F.expr(_ridge(_B0)).alias("beta0"),
+            F.expr(_ridge(_B1)).alias("beta1"),
+            F.expr(_ridge(_B2)).alias("beta2"),
+        )
+        .orderBy("lam")
+    )
+
+
+_RESID = "(CAST(y AS DOUBLE) - (beta0 + beta1 * CAST(x1 AS DOUBLE) + beta2 * CAST(x2 AS DOUBLE)))"
+
+
+@query(
+    "q_model_residual_outliers",
+    oracle=f"""
+    WITH {_SQL_MOMENTS},
+    model AS (
+      SELECT {_B0} AS beta0, {_B1} AS beta1, {_B2} AS beta2 FROM momd
+    ),
+    feats2 AS (
+      SELECT doc_id, lang,
+             CAST(n_chars AS BIGINT) AS y,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS x1,
+             CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS x2
+      FROM documents
+    )
+    SELECT doc_id, lang, y AS n_chars_y, x1 AS n_tokens,
+           {_RESID} AS residual,
+           abs({_RESID}) AS abs_residual
+    FROM feats2 CROSS JOIN model
+    ORDER BY abs_residual DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_model_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model APPLY at corpus scale: broadcast the one-row fitted model
+    onto every document, score residuals, keep the top-20 worst-fit
+    docs (the classic "what does the quality model not explain" audit
+    feeding manual review). Plan: the moment pass (one corpus scan) +
+    a broadcast cross join (one-row frame of atomic doubles — safe at
+    any scale) + TakeOrderedAndProject for the top-k; the second
+    corpus scan is map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("y"),
+        F.size(toks).cast("bigint").alias("x1"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("x2"),
+    )
+    model = _moments(spark, sf_dir).select(
+        F.expr(_B0).alias("beta0"),
+        F.expr(_B1).alias("beta1"),
+        F.expr(_B2).alias("beta2"),
+    )
+    return (
+        feats.crossJoin(broadcast_narrow(model))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("y").alias("n_chars_y"),
+            F.col("x1").alias("n_tokens"),
+            F.expr(_RESID).alias("residual"),
+            F.expr(f"abs({_RESID})").alias("abs_residual"),
+        )
+        .orderBy(F.col("abs_residual").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_per_lang_token_char_model",
+    oracle=f"""
+    WITH feats AS (
+      SELECT lang,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS x,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents
+    ),
+    mom AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx_i,
+             CAST(SUM(y) AS BIGINT) AS sy_i,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx_i,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy_i,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy_i
+      FROM feats GROUP BY lang
+    ),
+    momd AS (
+      SELECT lang, n, CAST(n AS DOUBLE) AS nn,
+             CAST(sx_i AS DOUBLE) AS sx, CAST(sy_i AS DOUBLE) AS sy,
+             CAST(sxx_i AS DOUBLE) AS sxx, CAST(sxy_i AS DOUBLE) AS sxy,
+             CAST(syy_i AS DOUBLE) AS syy
+      FROM mom
+    )
+    SELECT lang, n AS n_docs,
+           {_SLOPE1} AS chars_per_token,
+           {_ICEPT1} AS intercept,
+           {_R2_1} AS r2
+    FROM momd
+    ORDER BY lang
+    """,
+)
+def q_per_lang_token_char_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED closed-form OLS: an independent chars-per-token model
+    per language from one grouped moment aggregation (the shape of
+    per-domain / per-source calibration models at scale: the shuffle
+    key is the group, the state per group is the O(1) moment vector,
+    and group count — languages, sources — is bounded, so the reduce
+    side is trivially small no matter the corpus size)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = d.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("x"),
+        F.col("n_chars").cast("bigint").alias("y"),
+    )
+
+    def dsum(a: str, b: str):
+        return F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).cast(
+            "decimal(38,0)"
+        )
+
+    momd = (
+        feats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx_i"),
+            F.sum("y").cast("bigint").alias("sy_i"),
+            dsum("x", "x").alias("sxx_i"),
+            dsum("x", "y").alias("sxy_i"),
+            dsum("y", "y").alias("syy_i"),
+        )
+        .select(
+            "lang",
+            "n",
+            F.col("n").cast("double").alias("nn"),
+            F.col("sx_i").cast("double").alias("sx"),
+            F.col("sy_i").cast("double").alias("sy"),
+            F.col("sxx_i").cast("double").alias("sxx"),
+            F.col("sxy_i").cast("double").alias("sxy"),
+            F.col("syy_i").cast("double").alias("syy"),
+        )
+    )
+    return momd.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.expr(_SLOPE1).alias("chars_per_token"),
+        F.expr(_ICEPT1).alias("intercept"),
+        F.expr(_R2_1).alias("r2"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square term/label association (feature selection for a quality
+# or language classifier): presence-based 2x2 contingency per term.
+# ---------------------------------------------------------------------------
+
+_MIN_DF = 20
+_CHI2 = (
+    "(tot * (a * d - b * c) / (a + b) * ((a * d - b * c) / (c + d))"
+    " / (a + c) / (b + d))"
+)
+
+
+@query(
+    "q_chi2_term_label_assoc",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id,
+             unnest(str_split(text, ' ')) AS term
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS is_en FROM documents
+    ),
+    tot AS (
+      SELECT CAST(SUM(is_en) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(is_en) AS BIGINT) AS n0
+      FROM lab
+    ),
+    cont AS (
+      SELECT p.term,
+             CAST(SUM(l.is_en) AS BIGINT) AS a_i,
+             CAST(COUNT(*) - SUM(l.is_en) AS BIGINT) AS b_i
+      FROM pres p JOIN lab l ON p.doc_id = l.doc_id
+      GROUP BY p.term
+      HAVING COUNT(*) >= {_MIN_DF}
+    ),
+    chi AS (
+      SELECT term, a_i AS df_en, b_i AS df_rest,
+             CAST(a_i AS DOUBLE) AS a, CAST(b_i AS DOUBLE) AS b,
+             CAST(n1 - a_i AS DOUBLE) AS c, CAST(n0 - b_i AS DOUBLE) AS d,
+             CAST(n1 + n0 AS DOUBLE) AS tot
+      FROM cont CROSS JOIN tot
+    )
+    SELECT term, df_en, df_rest, {_CHI2} AS chi2
+    FROM chi
+    WHERE c + d > 0
+    ORDER BY chi2 DESC, term
+    LIMIT 30
+    """,
+)
+def q_chi2_term_label_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: which terms are most associated
+    with the lang='en' label (presence-based 2x2 contingency per term,
+    df >= 20 support floor; terms present in EVERY document carry no
+    signal and would 0/0 — excluded by the c + d > 0 guard on both
+    sides). The standard vocabulary-selection
+    step before training a cheap quality/language classifier.
+
+    Plan: one explode to distinct (doc, term) pairs, one term-keyed
+    aggregation carrying the per-doc label (conditional count — no
+    second join against the corpus), one two-number global total
+    broadcast onto the vocab-sized frame, TakeOrderedAndProject for
+    the top-k. Shuffle volume is the distinct doc-term pair set (the
+    same pass TF-IDF pays) and the reduce side is vocab-bounded; the
+    chi-square arithmetic mirrors the oracle's double op order
+    exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("is_en")
+    )
+    pres = (
+        d.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("is_en"),
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias(
+                "term"
+            ),
+        )
+    )
+    tot = lab.agg(
+        F.sum("is_en").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("is_en")).cast("bigint").alias("n0"),
+    )
+    cont = (
+        pres.groupBy("term")
+        .agg(
+            F.sum("is_en").cast("bigint").alias("a_i"),
+            (F.count(F.lit(1)) - F.sum("is_en")).cast("bigint").alias("b_i"),
+        )
+        .where(F.col("a_i") + F.col("b_i") >= _MIN_DF)
+    )
+    chi = cont.crossJoin(broadcast_narrow(tot)).select(
+        "term",
+        F.col("a_i").alias("df_en"),
+        F.col("b_i").alias("df_rest"),
+        F.col("a_i").cast("double").alias("a"),
+        F.col("b_i").cast("double").alias("b"),
+        (F.col("n1") - F.col("a_i")).cast("double").alias("c"),
+        (F.col("n0") - F.col("b_i")).cast("double").alias("d"),
+        (F.col("n1") + F.col("n0")).cast("double").alias("tot"),
+    )
+    return (
+        chi.where(F.col("c") + F.col("d") > 0)
+        .select("term", "df_en", "df_rest", F.expr(_CHI2).alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "term")
+        .limit(30)
+    )

@@ -1,0 +1,111 @@
+"""Closed-form regression / feature-selection operators
+(operators/regression.py): semantic checks beyond the oracle gate —
+the oracle proves Spark==DuckDB; these prove both equal the MATH
+(numpy lstsq on the same features) and that the moment-space solve is
+numerically sane.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from geoparquet_python_spark.operators.regression import (
+    q_chi2_term_label_assoc,
+    q_model_residual_outliers,
+    q_per_lang_token_char_model,
+    q_quality_linear_model,
+    q_ridge_shrinkage_path,
+)
+
+
+def _feats(duck):
+    return duck.execute(
+        """
+        SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS x1,
+               CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS x2,
+               CAST(n_chars AS BIGINT) AS y
+        FROM documents
+        """
+    ).df()
+
+
+def test_linear_model_matches_numpy_lstsq(spark, duck, sf_dir):
+    row = q_quality_linear_model(spark, sf_dir).collect()[0]
+    f = _feats(duck)
+    X = np.column_stack([np.ones(len(f)), f.x1.values, f.x2.values])
+    beta, *_ = np.linalg.lstsq(X, f.y.values.astype(float), rcond=None)
+    assert row.n_docs == len(f)
+    np.testing.assert_allclose(
+        [row.beta0, row.beta1, row.beta2], beta, rtol=1e-8
+    )
+    pred = X @ beta
+    ss_res = float(((f.y.values - pred) ** 2).sum())
+    ss_tot = float(((f.y.values - f.y.values.mean()) ** 2).sum())
+    np.testing.assert_allclose(row.r2, 1 - ss_res / ss_tot, rtol=1e-6)
+    assert 0.0 < row.r2 <= 1.0
+
+
+def test_ridge_path_shrinks_toward_zero_slopes(spark, sf_dir):
+    rows = q_ridge_shrinkage_path(spark, sf_dir).collect()
+    assert [r.lam for r in rows] == [0.0, 100000.0, 1000000.0]
+    # Slope magnitude is non-increasing along the penalty path.
+    norms = [r.beta1 * r.beta1 + r.beta2 * r.beta2 for r in rows]
+    assert norms[0] >= norms[1] >= norms[2]
+    # lambda=0 row IS the OLS solution.
+    ols = q_quality_linear_model(spark, sf_dir).collect()[0]
+    assert rows[0].beta1 == ols.beta1 and rows[0].beta2 == ols.beta2
+
+
+def test_residual_outliers_are_the_argmax_rows(spark, duck, sf_dir):
+    out = q_model_residual_outliers(spark, sf_dir).toPandas()
+    assert len(out) == 20
+    assert (out.abs_residual.values[:-1] >= out.abs_residual.values[1:]).all()
+    # Every reported residual really is y - X beta for the OLS fit.
+    ols = q_quality_linear_model(spark, sf_dir).collect()[0]
+    f = duck.execute(
+        """
+        SELECT doc_id,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS x1,
+               CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS x2,
+               CAST(n_chars AS BIGINT) AS y
+        FROM documents
+        """
+    ).df().set_index("doc_id")
+    for r in out.itertuples():
+        fr = f.loc[r.doc_id]
+        expect = fr.y - (ols.beta0 + ols.beta1 * fr.x1 + ols.beta2 * fr.x2)
+        np.testing.assert_allclose(r.residual, expect, rtol=1e-9)
+
+
+def test_per_lang_model_covers_all_langs(spark, duck, sf_dir):
+    out = q_per_lang_token_char_model(spark, sf_dir).toPandas()
+    langs = duck.execute(
+        "SELECT DISTINCT lang FROM documents ORDER BY lang"
+    ).df()["lang"].tolist()
+    assert out.lang.tolist() == langs
+    # Sanity: chars per token is positive and r2 in (0, 1].
+    assert (out.chars_per_token > 0).all()
+    assert ((out.r2 > 0) & (out.r2 <= 1.0)).all()
+
+
+def test_chi2_terms_nonnegative_and_supported(spark, sf_dir):
+    out = q_chi2_term_label_assoc(spark, sf_dir).toPandas()
+    assert 0 < len(out) <= 30
+    assert (out.chi2 >= 0).all() and np.isfinite(out.chi2.values).all()
+    assert ((out.df_en + out.df_rest) >= 20).all()
+    assert (out.chi2.values[:-1] >= out.chi2.values[1:]).all()
+
+
+def test_chi2_matches_scipy_style_formula(spark, duck, sf_dir):
+    out = q_chi2_term_label_assoc(spark, sf_dir).toPandas()
+    tot = duck.execute(
+        "SELECT SUM(CAST(lang='en' AS INT)) AS n1, COUNT(*) AS n FROM documents"
+    ).df()
+    n1, n = int(tot.n1[0]), int(tot.n[0])
+    n0 = n - n1
+    for r in out.head(5).itertuples():
+        a, b = float(r.df_en), float(r.df_rest)
+        c, d = float(n1 - r.df_en), float(n0 - r.df_rest)
+        expect = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+        np.testing.assert_allclose(r.chi2, expect, rtol=1e-9)
