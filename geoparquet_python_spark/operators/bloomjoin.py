@@ -148,6 +148,39 @@ def _spark_positions_arr(key_expr: str, m: int, salt: str = "bf") -> str:
     return f"flatten(transform(array({h}), h -> array({inner})))"
 
 
+# JVM-native 60-bit hash for filters whose BIT-MATH does not need a
+# DuckDB mirror (q_bloom_pruned_revenue: its oracle is the PLAIN join,
+# which certifies zero lost rows for ANY hash choice — the md5 form's
+# cross-engine bit parity is certified once by q_bloom_filter_semi_join).
+# xxhash64 over the raw int64 key skips the per-row
+# cast-to-string + md5 + conv chain entirely (measured: the md5 probe
+# added ~1.75 s over a plain scan of 600k fact rows at sf0.1; the
+# native probe is a codegen-inlined long hash). Masking to 60 bits
+# keeps h nonnegative and inside the same KM seed/stride split the
+# md5 form uses, so _km_terms/_dense_words are shared unchanged.
+# Spark's own runtime row-level filters make the same choice
+# (xxhash-based BloomFilterAggregate, never a cryptographic hash).
+_SPARK_XX64_LONG = "(xxhash64(CAST({expr} AS BIGINT), 7) & {mask})".replace(
+    "{mask}", str((1 << 60) - 1)
+)
+
+
+def _native_positions_arr(key_expr: str, m: int) -> str:
+    h = _SPARK_XX64_LONG.format(expr=key_expr)
+    inner = ", ".join(_km_terms("h", m, "DIV"))
+    return f"flatten(transform(array({h}), h -> array({inner})))"
+
+
+def _native_pass_expr(key_expr: str, m: int, words_lit: str) -> str:
+    h = _SPARK_XX64_LONG.format(expr=key_expr)
+    checks = " AND ".join(
+        f"((shiftright(element_at({words_lit}, CAST({p} DIV 63 AS INT) + 1), "
+        f"CAST({p} % 63 AS INT)) & 1) = 1)"
+        for p in _km_terms("h", m, "DIV")
+    )
+    return f"element_at(transform(array({h}), h -> ({checks})), 1)"
+
+
 def _spark_pass_expr(key_expr: str, m: int, words_lit: str, salt: str = "bf") -> str:
     """Spark boolean: all 3 filter bits set for the key — the map-only
     probe, one md5 per row (the words literal repeats textually but is
@@ -343,13 +376,41 @@ def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives); what changes at 100 TB is the shuffle/join input:
     |survivors| ≈ |true matches| × (1 + fp_rate) instead of |fact|.
     The oracle is the PLAIN join — proving the pruned plan loses
-    nothing."""
-    words, m = _build_filter_words(spark, sf_dir)
-    words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
-    li = load_table(spark, sf_dir, "lineitem")
-    pruned = li.where(F.expr(_spark_pass_expr("l_partkey", m, words_lit)))
+    nothing.
+
+    Hash choice (round 11 continuation): this query probes with the
+    JVM-NATIVE xxhash64 form (_native_pass_expr) rather than the
+    md5_long convention — the plain-join oracle certifies zero lost
+    rows for any hash, the md5 bit-math keeps its own cross-engine
+    certificate in q_bloom_filter_semi_join, and dropping the per-row
+    cast-to-string+md5+conv chain took the full sf0.1 query from
+    2.8 s to ~1.6 s warm (the residual is the two small dim jobs that
+    size and build the words — fixed dispatch cost, not per-row work).
+    Production runtime filters (Spark's BloomFilterAggregate) hash the
+    same way."""
     part = load_table(spark, sf_dir, "part")
     keys = part.where(F.col("p_size") >= _P_SIZE_MIN).select("p_partkey")
+    m = _m_bits(keys.count())
+    words_rows = (
+        keys.select(
+            F.explode(F.expr(_native_positions_arr("p_partkey", m))).alias(
+                "pos"
+            )
+        )
+        .select(
+            F.expr("CAST(pos DIV 63 AS BIGINT)").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
+    )
+    words = _dense_words(words_rows, m)
+    words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    li = load_table(spark, sf_dir, "lineitem")
+    pruned = li.where(F.expr(_native_pass_expr("l_partkey", m, words_lit)))
     joined = pruned.join(
         keys, pruned["l_partkey"] == keys["p_partkey"]
     )
