@@ -26,10 +26,10 @@ in both engines (functions/text.py tokens() convention).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import broadcast_narrow
+from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -81,15 +81,14 @@ _R2_1 = (
     " / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)))"
 )
 
-# DuckDB-side exact-moment CTE over documents (int64 + DECIMAL(38,0)).
-_SQL_MOMENTS = """
-    feats AS (
-      SELECT CAST(n_chars AS BIGINT) AS y,
-             CAST(len(str_split(text, ' ')) AS BIGINT) AS x1,
-             CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS x2
-      FROM documents
-    ),
-    mom AS (
+# DuckDB-side exact-moment CTEs (int64 + DECIMAL(38,0)) over a feats
+# relation exposing (x1, x2, y) — parameterized so the logistic IRLS
+# step below can run the same machinery on a transformed response.
+
+
+def _sql_moments_cte(feats: str, mom: str = "mom", momd: str = "momd") -> str:
+    return f"""
+    {mom} AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x1) AS BIGINT) AS sx1_i,
              CAST(SUM(x2) AS BIGINT) AS sx2_i,
@@ -100,9 +99,9 @@ _SQL_MOMENTS = """
              CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS s1y_i,
              CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS s2y_i,
              CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy_i
-      FROM feats
+      FROM {feats}
     ),
-    momd AS (
+    {momd} AS (
       SELECT n,
              CAST(n AS DOUBLE) AS nn,
              CAST(sx1_i AS DOUBLE) AS sx1, CAST(sx2_i AS DOUBLE) AS sx2,
@@ -111,23 +110,39 @@ _SQL_MOMENTS = """
              CAST(c22_i AS DOUBLE) AS c22,
              CAST(s1y_i AS DOUBLE) AS s1y, CAST(s2y_i AS DOUBLE) AS s2y,
              CAST(syy_i AS DOUBLE) AS syy
-      FROM mom
+      FROM {mom}
+    )"""
+
+
+_SQL_DOC_FEATS = """
+    feats AS (
+      SELECT CAST(n_chars AS BIGINT) AS y,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS x1,
+             CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS x2
+      FROM documents
+    )"""
+
+_SQL_MOMENTS = _SQL_DOC_FEATS + "," + _sql_moments_cte("feats")
+
+
+def _doc_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        F.col("n_chars").cast("bigint").alias("y"),
+        F.size(toks).cast("bigint").alias("x1"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("x2"),
     )
-"""
 
 
 def _moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact-moment aggregation pass (Spark mirror of _SQL_MOMENTS):
     map-side partial aggregation does almost all the work; the shuffle
     moves one partial-moment row per task."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    feats = d.select(
-        F.col("n_chars").cast("bigint").alias("y"),
-        F.size(toks).cast("bigint").alias("x1"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("x2"),
-    )
+    return _moments_from(_doc_feats(spark, sf_dir))
 
+
+def _moments_from(feats: DataFrame) -> DataFrame:
     def dsum(a: str, b: str):
         return F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).cast(
             "decimal(38,0)"
@@ -481,4 +496,279 @@ def q_chi2_term_label_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "df_en", "df_rest", F.expr(_CHI2).alias("chi2"))
         .orderBy(F.col("chi2").desc(), "term")
         .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression via two IRLS (iteratively reweighted least
+# squares) steps — the actual quality-classifier trainer, still in
+# moment space: each IRLS step is ONE weighted-moment corpus pass +
+# a constant-time weighted Cramer solve.
+#
+# Cross-engine exactness strategy:
+#   step 1 (from beta=0): eta=0 ⇒ mu=1/2, w=1/4 exactly, working
+#     response z0 = 4y-2 ∈ {-2,+2} — an INTEGER, so step 1 is plain
+#     OLS on exact integer moments (bit-exact by the same contract as
+#     q_quality_linear_model).
+#   step 2: mu = sigmoid(eta) is the one transcendental; it is rounded
+#     to the 1e-6 grid immediately (the haversine precedent — a ≤1-ulp
+#     libm disagreement flips the rounded value only within ~1e-16 of
+#     a grid boundary) and clamped to [0.001, 0.999] (standard IRLS
+#     weight clipping). Every per-row double after that is a fixed
+#     IEEE op chain on (muq, eta, yv) — bit-identical — and each
+#     weighted-moment TERM is floored onto a 1e-6 lattice int64 per
+#     row, so the cross-partition SUM is exact integer arithmetic
+#     (order-independent) on both engines. The estimator is thus
+#     "IRLS with 1e-6-latticed weighted moments": deterministic and
+#     engine-independent by construction, and within O(1e-6) of
+#     textbook IRLS (test_logistic_close_to_sklearn_style_fit checks
+#     against an unlatticed numpy IRLS).
+# ---------------------------------------------------------------------------
+
+_ETA = "((b0 + (b1 * x1d)) + (b2 * x2d))"
+_MUQ = "least(greatest(round(1.0 / (1.0 + exp(-eta)), 6), 0.001), 0.999)"
+_WT = "(muq * (1.0 - muq))"
+_ZT = f"(eta + ((yv - muq) / {_WT}))"
+_LAT = {
+    "lw": f"CAST(floor({_WT} * 1000000.0) AS BIGINT)",
+    "lwx1": f"CAST(floor(({_WT} * x1d) * 1000000.0) AS BIGINT)",
+    "lwx2": f"CAST(floor(({_WT} * x2d) * 1000000.0) AS BIGINT)",
+    "lw11": f"CAST(floor((({_WT} * x1d) * x1d) * 1000000.0) AS BIGINT)",
+    "lw12": f"CAST(floor((({_WT} * x1d) * x2d) * 1000000.0) AS BIGINT)",
+    "lw22": f"CAST(floor((({_WT} * x2d) * x2d) * 1000000.0) AS BIGINT)",
+    "lwz": f"CAST(floor(({_WT} * {_ZT}) * 1000000.0) AS BIGINT)",
+    "lwx1z": f"CAST(floor((({_WT} * x1d) * {_ZT}) * 1000000.0) AS BIGINT)",
+    "lwx2z": f"CAST(floor((({_WT} * x2d) * {_ZT}) * 1000000.0) AS BIGINT)",
+}
+# Weighted-moment name mapping onto the shared Cramer templates: the
+# uniform 1e-6 lattice factor multiplies every A entry AND every b
+# entry, so it cancels out of beta = A^{-1} b identically on both
+# sides — no rescale needed.
+_WM_ALIAS = {
+    "nn": "lw", "sx1": "lwx1", "sx2": "lwx2", "sy": "lwz",
+    "c11": "lw11", "c12": "lw12", "c22": "lw22",
+    "s1y": "lwx1z", "s2y": "lwx2z",
+}
+
+# Binary task: fr vs de — the corpus's two document-length extremes
+# (a confusable-pair refiner, the second stage real lang-ID systems
+# bolt onto a coarse classifier). en/es/zh sit mid-distribution, so a
+# LINEAR model on length features cannot beat base rate for them —
+# fr-vs-de is the pair where the linear signal actually exists.
+_SQL_LOG_FEATS = """
+    logfeats AS (
+      SELECT CAST(lang = 'fr' AS BIGINT) AS y,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS x1,
+             CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS x2
+      FROM documents
+      WHERE lang IN ('de', 'fr')
+    )"""
+
+
+def _log_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.where(F.col("lang").isin("de", "fr")).select(
+        (F.col("lang") == "fr").cast("bigint").alias("y"),
+        F.size(toks).cast("bigint").alias("x1"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("x2"),
+    )
+
+
+# Shared CTE chain through the fitted model (beta2) and the per-doc
+# frame (mu2) — spliced into both logistic queries' oracles.
+_SQL_LOGISTIC_PREFIX = f"""
+    WITH {_SQL_LOG_FEATS},
+    feats1 AS (
+      SELECT x1, x2, CAST(4 * y - 2 AS BIGINT) AS y FROM logfeats
+    ),
+    {_sql_moments_cte("feats1")},
+    beta1 AS (SELECT {_B0} AS b0, {_B1} AS b1, {_B2} AS b2 FROM momd),
+    step2 AS (
+      SELECT CAST(y AS DOUBLE) AS yv, CAST(x1 AS DOUBLE) AS x1d,
+             CAST(x2 AS DOUBLE) AS x2d, b0, b1, b2
+      FROM logfeats CROSS JOIN beta1
+    ),
+    eta2 AS (SELECT yv, x1d, x2d, {_ETA} AS eta FROM step2),
+    mu2 AS (SELECT yv, x1d, x2d, eta, {_MUQ} AS muq FROM eta2),
+    lat AS (
+      SELECT {", ".join(f'{e} AS {k}' for k, e in _LAT.items())} FROM mu2
+    ),
+    wm AS (
+      SELECT {", ".join(f'CAST(SUM({v}) AS DECIMAL(38,0)) AS s_{v}' for v in _LAT)}
+      FROM lat
+    ),
+    wmd AS (
+      SELECT {", ".join(f'CAST(s_{src} AS DOUBLE) AS {dst}' for dst, src in _WM_ALIAS.items())}
+      FROM wm
+    ),
+    beta2 AS (SELECT {_B0} AS b0, {_B1} AS b1, {_B2} AS b2 FROM wmd),
+    scored AS (
+      SELECT yv, {_ETA} AS pred FROM mu2 CROSS JOIN beta2
+    )"""
+
+
+def _logistic_fit(spark: SparkSession, sf_dir: str):
+    """(mu2, beta2, scored) Spark mirror of _SQL_LOGISTIC_PREFIX."""
+    feats = _log_feats(spark, sf_dir)
+    feats1 = feats.select(
+        "x1", "x2", (F.lit(4) * F.col("y") - F.lit(2)).cast("bigint").alias("y")
+    )
+    beta1 = _moments_from(feats1).select(
+        F.expr(_B0).alias("b0"), F.expr(_B1).alias("b1"), F.expr(_B2).alias("b2")
+    )
+    step2 = feats.crossJoin(broadcast_narrow(beta1)).select(
+        F.col("y").cast("double").alias("yv"),
+        F.col("x1").cast("double").alias("x1d"),
+        F.col("x2").cast("double").alias("x2d"),
+        "b0", "b1", "b2",
+    )
+    mu2 = (
+        step2.select("yv", "x1d", "x2d", F.expr(_ETA).alias("eta"))
+        .select("yv", "x1d", "x2d", "eta", F.expr(_MUQ).alias("muq"))
+    )
+    # mu2 feeds BOTH the weighted-moment pass and the scoring pass;
+    # materialize so the sigmoid/feature pipeline runs once.
+    mu2 = materialize(mu2)
+    lat = mu2.select(*(F.expr(e).alias(k) for k, e in _LAT.items()))
+    wm = lat.agg(
+        *(F.sum(v).cast("decimal(38,0)").alias(f"s_{v}") for v in _LAT)
+    )
+    wmd = wm.select(
+        *(
+            F.col(f"s_{src}").cast("double").alias(dst)
+            for dst, src in _WM_ALIAS.items()
+        )
+    )
+    beta2 = wmd.select(
+        F.expr(_B0).alias("b0"), F.expr(_B1).alias("b1"), F.expr(_B2).alias("b2")
+    )
+    scored = mu2.crossJoin(broadcast_narrow(beta2)).select(
+        "yv", F.expr(_ETA).alias("pred")
+    )
+    return mu2, beta2, scored
+
+
+@query(
+    "q_logistic_quality_model",
+    oracle=f"""{_SQL_LOGISTIC_PREFIX},
+    acc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN (pred > 0.0) = (yv > 0.5)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM scored
+    )
+    SELECT n AS n_docs, b0 AS beta0, b1 AS beta1, b2 AS beta2,
+           (1000000 * c) // n AS acc_ppm
+    FROM acc CROSS JOIN beta2
+    """,
+)
+def q_logistic_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary classifier for the fr/de confusable pair (fr runs ~16%
+    longer in this corpus — the one linearly separable language signal)
+    trained by TWO IRLS steps on (token count, distinct token count) —
+    the learned-filter step of a curation pipeline, expressed as three
+    map-side-combinable corpus passes (step-1 integer moments, step-2
+    latticed weighted moments, accuracy scoring) with constant-time
+    solves between them. No gradient loops, no ML runtime, nothing
+    driver-side beyond two 3x3 solves; at 100 TB each pass is an
+    embarrassingly parallel aggregate with a one-row reduce, and the
+    lambda/feature count k grows the moment vector as O(k^2), not the
+    pass count. Exactness: see the module-section comment (step 1 is
+    exact integer OLS; step 2 rounds the sigmoid to 1e-6 and lattices
+    every weighted-moment term to int64, so both engines sum identical
+    integers in any order)."""
+    _, beta2, scored = _logistic_fit(spark, sf_dir)
+    acc = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.expr("CASE WHEN (pred > 0.0) = (yv > 0.5) THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    return acc.crossJoin(broadcast_narrow(beta2)).select(
+        F.col("n").alias("n_docs"),
+        F.col("b0").alias("beta0"),
+        F.col("b1").alias("beta1"),
+        F.col("b2").alias("beta2"),
+        F.expr("(1000000 * c) DIV n").alias("acc_ppm"),
+    )
+
+
+@query(
+    "q_logistic_score_auc",
+    oracle=f"""{_SQL_LOGISTIC_PREFIX},
+    per_x AS (
+      SELECT pred, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN yv > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pcnt
+      FROM scored GROUP BY pred
+    ),
+    cum AS (
+      SELECT pred, cnt, pcnt,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY pred
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cbefore
+      FROM per_x
+    ),
+    tots AS (
+      SELECT CAST(SUM(pcnt) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt) - SUM(pcnt) AS BIGINT) AS n_neg,
+             CAST(SUM(pcnt * (2 * cbefore + cnt + 1)) AS BIGINT) AS r2_pos
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM tots
+    """,
+)
+def q_logistic_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Mann-Whitney AUC of the trained fr/de logistic
+    SCORE against the true label — the evaluation half of the learned
+    filter (train → score → rank-quality readout in one engine). The
+    score eta is a bit-identical double per doc (fixed IEEE chain on
+    exact inputs), so grouping/ordering by it is cross-engine exact,
+    and the midrank statistic 2ΣR⁺ is pure int64 arithmetic on the
+    distinct-score frame (the q_mannwhitney_auc_contam machinery
+    pointed at a model score instead of a raw covariate). Scale: the
+    corpus pass is the model pipeline; the ranking window runs on the
+    DISTINCT-SCORE frame, bounded by the (token, distinct-token)
+    feature grid — far smaller than the corpus."""
+    _, _, scored = _logistic_fit(spark, sf_dir)
+    per_x = scored.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.expr("CASE WHEN yv > 0.5 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("pcnt"),
+    )
+    w = (
+        Window.orderBy("pred")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_x.select(
+        "pred",
+        "cnt",
+        "pcnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cbefore"),
+    )
+    tots = cum.agg(
+        F.sum("pcnt").cast("bigint").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pcnt")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pcnt") * (2 * F.col("cbefore") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_pos"),
+    )
+    return tots.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000"
+            " DIV (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
     )

@@ -12,6 +12,8 @@ import pandas as pd
 
 from geoparquet_python_spark.operators.regression import (
     q_chi2_term_label_assoc,
+    q_logistic_quality_model,
+    q_logistic_score_auc,
     q_model_residual_outliers,
     q_per_lang_token_char_model,
     q_quality_linear_model,
@@ -95,6 +97,67 @@ def test_chi2_terms_nonnegative_and_supported(spark, sf_dir):
     assert (out.chi2 >= 0).all() and np.isfinite(out.chi2.values).all()
     assert ((out.df_en + out.df_rest) >= 20).all()
     assert (out.chi2.values[:-1] >= out.chi2.values[1:]).all()
+
+
+def test_logistic_close_to_sklearn_style_fit(spark, duck, sf_dir):
+    """The latticed 2-step IRLS must track an UNLATTICED numpy IRLS of
+    the same two steps to O(lattice) — proving the 1e-6 sigmoid grid /
+    moment lattice is a determinism device, not a semantics change."""
+    row = q_logistic_quality_model(spark, sf_dir).collect()[0]
+    f = duck.execute(
+        """
+        SELECT CAST(lang = 'fr' AS INT) AS y,
+               len(str_split(text, ' ')) AS x1,
+               len(list_distinct(str_split(text, ' '))) AS x2
+        FROM documents WHERE lang IN ('de', 'fr')
+        """
+    ).df()
+    X = np.column_stack([np.ones(len(f)), f.x1.values, f.x2.values]).astype(
+        float
+    )
+    y = f.y.values.astype(float)
+    beta = np.zeros(3)
+    for _ in range(2):
+        eta = X @ beta
+        mu = np.clip(1.0 / (1.0 + np.exp(-eta)), 0.001, 0.999)
+        w = mu * (1.0 - mu)
+        z = eta + (y - mu) / w
+        A = (X * w[:, None]).T @ X
+        b = (X * w[:, None]).T @ z
+        beta = np.linalg.solve(A, b)
+    assert row.n_docs == len(f)
+    np.testing.assert_allclose(
+        [row.beta0, row.beta1, row.beta2], beta, rtol=0, atol=5e-3
+    )
+    acc = float(((X @ beta > 0) == (y > 0.5)).mean())
+    base = max(y.mean(), 1.0 - y.mean())
+    assert abs(row.acc_ppm / 1e6 - acc) < 0.02
+    # The pair was chosen BECAUSE the linear signal exists: lift > 0.
+    assert row.acc_ppm / 1e6 > base
+
+
+def test_logistic_auc_matches_rank_definition(spark, duck, sf_dir):
+    """auc_ppm must equal the P(score_pos > score_neg) + ties/2 rank
+    definition computed brute-force over all pos x neg pairs."""
+    row = q_logistic_score_auc(spark, sf_dir).collect()[0]
+    model = q_logistic_quality_model(spark, sf_dir).collect()[0]
+    f = duck.execute(
+        """
+        SELECT CAST(lang = 'fr' AS INT) AS y,
+               len(str_split(text, ' ')) AS x1,
+               len(list_distinct(str_split(text, ' '))) AS x2
+        FROM documents WHERE lang IN ('de', 'fr')
+        """
+    ).df()
+    score = model.beta0 + model.beta1 * f.x1.values + model.beta2 * f.x2.values
+    pos, neg = score[f.y.values == 1], score[f.y.values == 0]
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    auc = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    expected_ppm = int(np.floor(auc * 1_000_000))
+    assert abs(row.auc_ppm - expected_ppm) <= 1
+    assert row.auc_ppm > 500_000  # the learned score must beat chance
 
 
 def test_chi2_matches_scipy_style_formula(spark, duck, sf_dir):
