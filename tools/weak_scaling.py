@@ -119,6 +119,13 @@ DEFAULT_QUERIES = [
     # Round-9: the two-level (coarse x fine) SemDeDup gear — the
     # registered shape for corpora past the K cap.
     "q_semdedup_two_level",
+    # Round-11 continuation: closed-form modeling (documents-based) —
+    # the linear-model fit is one map-side-combinable moment pass and
+    # chi2 rides the distinct-(doc,term) explode, so both should ride
+    # the flat/near-flat band; any superlinear drift here would mean
+    # the moment/contingency aggregation stopped combining map-side.
+    "q_quality_linear_model",
+    "q_chi2_term_label_assoc",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
