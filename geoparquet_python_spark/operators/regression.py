@@ -575,19 +575,21 @@ def _log_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE chain through the fitted model (beta2) and the per-doc
-# frame (mu2) — spliced into both logistic queries' oracles.
-_SQL_LOGISTIC_PREFIX = f"""
-    WITH {_SQL_LOG_FEATS},
+def _sql_irls2_chain(feats: str) -> str:
+    """CTE chain fitting the 2-step IRLS on a relation ``feats``
+    exposing (y, x1, x2): yields beta1 / mu2 / beta2 / scored CTEs.
+    Spliced into every consumer's oracle so the double op order is
+    textually identical to the Spark plan."""
+    return f"""
     feats1 AS (
-      SELECT x1, x2, CAST(4 * y - 2 AS BIGINT) AS y FROM logfeats
+      SELECT x1, x2, CAST(4 * y - 2 AS BIGINT) AS y FROM {feats}
     ),
     {_sql_moments_cte("feats1")},
     beta1 AS (SELECT {_B0} AS b0, {_B1} AS b1, {_B2} AS b2 FROM momd),
     step2 AS (
       SELECT CAST(y AS DOUBLE) AS yv, CAST(x1 AS DOUBLE) AS x1d,
              CAST(x2 AS DOUBLE) AS x2d, b0, b1, b2
-      FROM logfeats CROSS JOIN beta1
+      FROM {feats} CROSS JOIN beta1
     ),
     eta2 AS (SELECT yv, x1d, x2d, {_ETA} AS eta FROM step2),
     mu2 AS (SELECT yv, x1d, x2d, eta, {_MUQ} AS muq FROM eta2),
@@ -608,9 +610,18 @@ _SQL_LOGISTIC_PREFIX = f"""
     )"""
 
 
-def _logistic_fit(spark: SparkSession, sf_dir: str):
-    """(mu2, beta2, scored) Spark mirror of _SQL_LOGISTIC_PREFIX."""
-    feats = _log_feats(spark, sf_dir)
+# Shared CTE chain through the fitted model (beta2) and the per-doc
+# frame (mu2) — spliced into both logistic queries' oracles.
+_SQL_LOGISTIC_PREFIX = (
+    f"""
+    WITH {_SQL_LOG_FEATS},"""
+    + _sql_irls2_chain("logfeats")
+)
+
+
+def _irls2(feats: DataFrame):
+    """(mu2, beta2, scored) Spark mirror of _sql_irls2_chain over a
+    feats frame with (y, x1, x2)."""
     feats1 = feats.select(
         "x1", "x2", (F.lit(4) * F.col("y") - F.lit(2)).cast("bigint").alias("y")
     )
@@ -678,7 +689,7 @@ def q_logistic_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer OLS; step 2 rounds the sigmoid to 1e-6 and lattices
     every weighted-moment term to int64, so both engines sum identical
     integers in any order)."""
-    _, beta2, scored = _logistic_fit(spark, sf_dir)
+    _, beta2, scored = _irls2(_log_feats(spark, sf_dir))
     acc = scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(
@@ -736,7 +747,7 @@ def q_logistic_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass is the model pipeline; the ranking window runs on the
     DISTINCT-SCORE frame, bounded by the (token, distinct-token)
     feature grid — far smaller than the corpus."""
-    _, _, scored = _logistic_fit(spark, sf_dir)
+    _, _, scored = _irls2(_log_feats(spark, sf_dir))
     per_x = scored.groupBy("pred").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum(F.expr("CASE WHEN yv > 0.5 THEN 1 ELSE 0 END"))

@@ -463,3 +463,50 @@ def test_stream_bloom_gate_no_false_negatives(spark, sf_dir):
         assert r["false_pos"] == (r["bloom_hit"] and not r["exact_dup"])
         if r["doc_id"] % 2 == 0:
             assert r["bloom_hit"] and r["exact_dup"]
+
+
+def test_stream_learned_gate_scores_match_batch_model(spark, sf_dir):
+    """The streamed per-doc score must equal the batch recomputation
+    eta = b0 + b1*x1 + b2*x2 with the model trained on the frozen
+    half, and keep must be exactly score > 0 (the stateless-gate
+    contract: no approximation crosses the stream boundary)."""
+    from geoparquet_python_spark.operators.regression import _irls2
+    from geoparquet_python_spark.streaming.learnedgate import _gate_feats
+
+    rows = registry.QUERIES["q_stream_learned_quality_gate"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    _, beta2, _ = _irls2(_gate_feats(spark, sf_dir))
+    b = beta2.collect()[0]
+    import pyspark.sql.functions as F
+
+    feats = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("double").alias("x1d"),
+            F.size(F.array_distinct(F.split("text", " ")))
+            .cast("double")
+            .alias("x2d"),
+        )
+        .collect()
+    )
+    expect = {
+        r.doc_id: (b.b0 + (b.b1 * r.x1d)) + (b.b2 * r.x2d) for r in feats
+    }
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert r.score == expect[r.doc_id], r.doc_id
+    # Threshold-gate consistency: the kept and dropped score ranges
+    # must not interleave (keep iff score > one fixed threshold), and
+    # the median gate guarantees both verdicts occur.
+    kept = sorted(r.score for r in rows if r.keep)
+    dropped = sorted(r.score for r in rows if not r.keep)
+    assert kept and dropped
+    assert dropped[-1] <= kept[0]
+    # Roughly top-half selection over the whole stream (the threshold
+    # is the FROZEN half's lower median; allow drift from ties and the
+    # unfrozen half's distribution).
+    frac = len(kept) / len(rows)
+    assert 0.2 < frac < 0.8
