@@ -111,6 +111,12 @@ HEADLINE = [
     # timed via the decontamination headline path).
     "q_ks_length_drift",
     "q_k_anonymity_audit",
+    # Round-11 continuation: the closed-form modeling family's
+    # heaviest representative (three corpus passes: integer moments,
+    # latticed weighted moments, accuracy scoring + two Cramer
+    # solves). The OLS/ridge/chi2 queries share its machinery and
+    # stay correctness-registered.
+    "q_logistic_quality_model",
 ]
 
 
