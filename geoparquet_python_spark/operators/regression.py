@@ -783,3 +783,140 @@ def q_logistic_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * n_pos * n_neg) AS BIGINT)"
         ).alias("auc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split conformal prediction: distribution-free uncertainty bands for
+# the OLS quality model. Proper three-way split (train / calibration /
+# test on disjoint doc_id classes), absolute-residual score, the
+# ceil(0.9·(n_cal+1))-th smallest calibration score as the band
+# half-width, empirical coverage measured on the held-out test split.
+# Everything after the (bit-exact) model fit is IEEE-exact per-row
+# arithmetic + integer order statistics on the distinct-score frame —
+# no new rounding contracts needed.
+# ---------------------------------------------------------------------------
+
+_TRAIN_PRED = "doc_id % 2 = 0"
+_CAL_PRED = "doc_id % 4 = 1"
+_TEST_PRED = "doc_id % 4 = 3"
+
+_SQL_SPLIT_FEATS = """
+    sfeats AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS y,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS x1,
+             CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS x2
+      FROM documents
+    )"""
+
+
+@query(
+    "q_conformal_interval_coverage",
+    oracle=f"""
+    WITH {_SQL_SPLIT_FEATS},
+    feats AS (SELECT y, x1, x2 FROM sfeats WHERE {_TRAIN_PRED}),
+    {_sql_moments_cte("feats")},
+    model AS (
+      SELECT {_B0} AS beta0, {_B1} AS beta1, {_B2} AS beta2 FROM momd
+    ),
+    cal AS (
+      SELECT abs({_RESID}) AS ar
+      FROM sfeats CROSS JOIN model WHERE {_CAL_PRED}
+    ),
+    per_x AS (
+      SELECT ar, CAST(COUNT(*) AS BIGINT) AS cnt FROM cal GROUP BY ar
+    ),
+    cum AS (
+      SELECT ar, CAST(SUM(cnt) OVER (ORDER BY ar
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS crun
+      FROM per_x
+    ),
+    ncal AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal FROM per_x),
+    qhat AS (
+      SELECT MIN(ar) AS qhat, n_cal FROM cum CROSS JOIN ncal
+      WHERE crun >= (9 * (n_cal + 1) + 9) // 10
+      GROUP BY n_cal
+    ),
+    test AS (
+      SELECT abs({_RESID}) AS ar
+      FROM sfeats CROSS JOIN model WHERE {_TEST_PRED}
+    ),
+    cov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN t.ar <= q.qhat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cov
+      FROM test t CROSS JOIN qhat q
+    )
+    SELECT n_cal, n_test, qhat,
+           (1000000 * n_cov) // n_test AS cov_ppm
+    FROM cov CROSS JOIN qhat
+    """,
+)
+def q_conformal_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split conformal prediction band for the OLS quality model:
+    fit on the even half, take the ceil(0.9·(n+1))-th smallest
+    absolute calibration residual (doc_id%4=1) as the half-width qhat
+    — the distribution-free 90% band — and report empirical coverage
+    on the disjoint test split (doc_id%4=3). The model-QA primitive a
+    data pipeline runs before trusting model-based filtering at scale.
+
+    Scale shape: one moment pass on train; the calibration order
+    statistic runs on the DISTINCT-|residual| frame (bounded by the
+    integer feature grid) via the same per-value cumulative pattern as
+    the AUC/threshold queries — never an unpartitioned corpus sort;
+    the coverage pass is map-only with two one-row broadcasts. All
+    doubles are fixed IEEE chains on exact inputs, and the order
+    statistic / ppm arithmetic is pure int64."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sfeats = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("y"),
+        F.size(toks).cast("bigint").alias("x1"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("x2"),
+    )
+    model = _moments_from(
+        sfeats.where(F.expr(_TRAIN_PRED)).select("y", "x1", "x2")
+    ).select(
+        F.expr(_B0).alias("beta0"),
+        F.expr(_B1).alias("beta1"),
+        F.expr(_B2).alias("beta2"),
+    )
+    model = materialize(model)
+    cal = (
+        sfeats.where(F.expr(_CAL_PRED))
+        .crossJoin(broadcast_narrow(model))
+        .select(F.expr(f"abs({_RESID})").alias("ar"))
+    )
+    per_x = cal.groupBy("ar").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.orderBy("ar").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_x.select(
+        "ar", F.sum("cnt").over(w).cast("bigint").alias("crun")
+    )
+    ncal = per_x.agg(F.sum("cnt").cast("bigint").alias("n_cal"))
+    qhat = (
+        cum.crossJoin(broadcast_narrow(ncal))
+        .where(F.expr("crun >= (9 * (n_cal + 1) + 9) DIV 10"))
+        .groupBy("n_cal")
+        .agg(F.min("ar").alias("qhat"))
+    )
+    test = (
+        sfeats.where(F.expr(_TEST_PRED))
+        .crossJoin(broadcast_narrow(model))
+        .select(F.expr(f"abs({_RESID})").alias("ar"))
+    )
+    cov = test.crossJoin(broadcast_narrow(qhat)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.expr("CASE WHEN ar <= qhat THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_cov"),
+    )
+    return cov.crossJoin(broadcast_narrow(qhat)).select(
+        "n_cal",
+        "n_test",
+        "qhat",
+        F.expr("(1000000 * n_cov) DIV n_test").alias("cov_ppm"),
+    )

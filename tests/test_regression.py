@@ -172,3 +172,39 @@ def test_chi2_matches_scipy_style_formula(spark, duck, sf_dir):
         c, d = float(n1 - r.df_en), float(n0 - r.df_rest)
         expect = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
         np.testing.assert_allclose(r.chi2, expect, rtol=1e-9)
+
+
+def test_conformal_qhat_is_exact_order_statistic(spark, duck, sf_dir):
+    from geoparquet_python_spark.operators.regression import (
+        q_conformal_interval_coverage,
+    )
+
+    row = q_conformal_interval_coverage(spark, sf_dir).collect()[0]
+    f = duck.execute(
+        """
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
+               len(str_split(text, ' ')) AS x1,
+               len(list_distinct(str_split(text, ' '))) AS x2
+        FROM documents
+        """
+    ).df()
+    train = f[f.doc_id % 2 == 0]
+    X = np.column_stack([np.ones(len(train)), train.x1, train.x2]).astype(float)
+    beta, *_ = np.linalg.lstsq(X, train.y.values.astype(float), rcond=None)
+
+    def absres(part):
+        Xp = np.column_stack([np.ones(len(part)), part.x1, part.x2]).astype(
+            float
+        )
+        return np.abs(part.y.values - Xp @ beta)
+
+    cal = absres(f[f.doc_id % 4 == 1])
+    k = -(-9 * (len(cal) + 1) // 10)  # ceil(0.9*(n+1))
+    qhat = np.sort(cal)[k - 1]
+    assert row.n_cal == len(cal)
+    np.testing.assert_allclose(row.qhat, qhat, rtol=1e-9)
+    test = absres(f[f.doc_id % 4 == 3])
+    cov = (test <= qhat).mean()
+    assert abs(row.cov_ppm / 1e6 - cov) < 0.02
+    # The 90% band should cover roughly 90% out of sample.
+    assert 0.8 < row.cov_ppm / 1e6 <= 1.0
