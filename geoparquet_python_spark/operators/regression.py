@@ -920,3 +920,144 @@ def q_conformal_interval_coverage(
         "qhat",
         F.expr("(1000000 * n_cov) DIV n_test").alias("cov_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-step Huber robust regression: re-solve the normal equations with
+# Huber weights w = min(1, k/|r|) computed from the OLS residuals,
+# k = 2 × median |residual| (≈ the textbook 1.345σ with σ from the
+# MAD-consistent median). Unlike the logistic step there is NO
+# transcendental anywhere — w is a pure IEEE min/divide chain on exact
+# inputs — so the only determinism device needed is the same 1e-6
+# weighted-moment lattice.
+# ---------------------------------------------------------------------------
+
+_HW = "least(1.0, (k / abs(resid)))"
+_HLAT = {
+    "lw": f"CAST(floor({_HW} * 1000000.0) AS BIGINT)",
+    "lwx1": f"CAST(floor(({_HW} * x1d) * 1000000.0) AS BIGINT)",
+    "lwx2": f"CAST(floor(({_HW} * x2d) * 1000000.0) AS BIGINT)",
+    "lw11": f"CAST(floor((({_HW} * x1d) * x1d) * 1000000.0) AS BIGINT)",
+    "lw12": f"CAST(floor((({_HW} * x1d) * x2d) * 1000000.0) AS BIGINT)",
+    "lw22": f"CAST(floor((({_HW} * x2d) * x2d) * 1000000.0) AS BIGINT)",
+    "lwy": f"CAST(floor(({_HW} * yv) * 1000000.0) AS BIGINT)",
+    "lwx1y": f"CAST(floor((({_HW} * x1d) * yv) * 1000000.0) AS BIGINT)",
+    "lwx2y": f"CAST(floor((({_HW} * x2d) * yv) * 1000000.0) AS BIGINT)",
+    "ldown": f"CASE WHEN {_HW} < 1.0 THEN 1 ELSE 0 END",
+}
+_HWM_ALIAS = {
+    "nn": "lw", "sx1": "lwx1", "sx2": "lwx2", "sy": "lwy",
+    "c11": "lw11", "c12": "lw12", "c22": "lw22",
+    "s1y": "lwx1y", "s2y": "lwx2y",
+}
+
+
+@query(
+    "q_huber_robust_model",
+    oracle=f"""
+    WITH {_SQL_MOMENTS},
+    model AS (
+      SELECT {_B0} AS beta0, {_B1} AS beta1, {_B2} AS beta2 FROM momd
+    ),
+    res AS (
+      SELECT CAST(y AS DOUBLE) AS yv, CAST(x1 AS DOUBLE) AS x1d,
+             CAST(x2 AS DOUBLE) AS x2d, {_RESID} AS resid
+      FROM feats CROSS JOIN model
+    ),
+    per_a AS (
+      SELECT abs(resid) AS ar, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM res GROUP BY abs(resid)
+    ),
+    cuma AS (
+      SELECT ar, CAST(SUM(cnt) OVER (ORDER BY ar
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS crun
+      FROM per_a
+    ),
+    na AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM per_a),
+    kk AS (
+      SELECT MIN(ar) * 2.0 AS k FROM cuma CROSS JOIN na
+      WHERE crun >= (n + 1) // 2
+    ),
+    hlat AS (
+      SELECT {", ".join(f'{e} AS {kname}' for kname, e in _HLAT.items())}
+      FROM res CROSS JOIN kk
+    ),
+    hwm AS (
+      SELECT {", ".join(f'CAST(SUM({v}) AS DECIMAL(38,0)) AS s_{v}' for v in _HLAT)}
+      FROM hlat
+    ),
+    hwmd AS (
+      SELECT {", ".join(f'CAST(s_{src} AS DOUBLE) AS {dst}' for dst, src in _HWM_ALIAS.items())},
+             CAST(s_ldown AS BIGINT) AS n_down
+      FROM hwm
+    )
+    SELECT {_B0} AS hbeta0, {_B1} AS hbeta1, {_B2} AS hbeta2,
+           n_down AS n_downweighted, k
+    FROM hwmd CROSS JOIN kk
+    """,
+)
+def q_huber_robust_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step Huber robust regression: the OLS quality model
+    re-solved with w = min(1, k/|r|) weights (k = 2 × the exact
+    lower-median |residual| — the MAD-consistent data-driven
+    threshold), downweighting exactly the heavy-tailed documents the
+    residual-outlier query surfaces. The robust-statistics companion
+    to Theil-Sen/MAD for the MULTIVARIATE fit. Three corpus passes
+    (OLS moments, residual median via the distinct-|residual|
+    cumulative pattern, Huber-weighted latticed moments) + two 3x3
+    solves; every weight is a transcendental-free IEEE chain, so the
+    lattice is the only determinism device and the result is
+    bit-exact across engines and partitionings."""
+    momd = _moments(spark, sf_dir)
+    model = materialize(
+        momd.select(
+            F.expr(_B0).alias("beta0"),
+            F.expr(_B1).alias("beta1"),
+            F.expr(_B2).alias("beta2"),
+        )
+    )
+    res = (
+        _doc_feats(spark, sf_dir)
+        .crossJoin(broadcast_narrow(model))
+        .select(
+            F.col("y").cast("double").alias("yv"),
+            F.col("x1").cast("double").alias("x1d"),
+            F.col("x2").cast("double").alias("x2d"),
+            F.expr(_RESID).alias("resid"),
+        )
+    )
+    res = materialize(res)
+    per_a = res.groupBy(F.abs(F.col("resid")).alias("ar")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("ar").rowsBetween(Window.unboundedPreceding, 0)
+    cuma = per_a.select(
+        "ar", F.sum("cnt").over(w).cast("bigint").alias("crun")
+    )
+    na = per_a.agg(F.sum("cnt").cast("bigint").alias("n"))
+    kk = (
+        cuma.crossJoin(broadcast_narrow(na))
+        .where(F.expr("crun >= (n + 1) DIV 2"))
+        .agg((F.min("ar") * F.lit(2.0)).alias("k"))
+    )
+    hlat = res.crossJoin(broadcast_narrow(kk)).select(
+        *(F.expr(e).alias(kname) for kname, e in _HLAT.items())
+    )
+    hwm = hlat.agg(
+        *(F.sum(v).cast("decimal(38,0)").alias(f"s_{v}") for v in _HLAT)
+    )
+    hwmd = hwm.select(
+        *(
+            F.col(f"s_{src}").cast("double").alias(dst)
+            for dst, src in _HWM_ALIAS.items()
+        ),
+        F.col("s_ldown").cast("bigint").alias("n_down"),
+    )
+    return hwmd.crossJoin(broadcast_narrow(kk)).select(
+        F.expr(_B0).alias("hbeta0"),
+        F.expr(_B1).alias("hbeta1"),
+        F.expr(_B2).alias("hbeta2"),
+        F.col("n_down").alias("n_downweighted"),
+        "k",
+    )

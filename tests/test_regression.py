@@ -208,3 +208,29 @@ def test_conformal_qhat_is_exact_order_statistic(spark, duck, sf_dir):
     assert abs(row.cov_ppm / 1e6 - cov) < 0.02
     # The 90% band should cover roughly 90% out of sample.
     assert 0.8 < row.cov_ppm / 1e6 <= 1.0
+
+
+def test_huber_matches_numpy_weighted_solve(spark, duck, sf_dir):
+    from geoparquet_python_spark.operators.regression import (
+        q_huber_robust_model,
+    )
+
+    row = q_huber_robust_model(spark, sf_dir).collect()[0]
+    f = _feats(duck)
+    X = np.column_stack([np.ones(len(f)), f.x1.values, f.x2.values]).astype(
+        float
+    )
+    y = f.y.values.astype(float)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    r = np.abs(y - X @ beta)
+    n = len(r)
+    k = 2.0 * np.sort(r)[(n + 1) // 2 - 1]  # lower median x2
+    np.testing.assert_allclose(row.k, k, rtol=1e-9)
+    w = np.minimum(1.0, k / r)
+    assert row.n_downweighted == int((w < 1.0).sum())
+    A = (X * w[:, None]).T @ X
+    b = (X * w[:, None]).T @ y
+    hbeta = np.linalg.solve(A, b)
+    np.testing.assert_allclose(
+        [row.hbeta0, row.hbeta1, row.hbeta2], hbeta, rtol=0, atol=5e-3
+    )

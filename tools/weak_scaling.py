@@ -126,6 +126,8 @@ DEFAULT_QUERIES = [
     # the moment/contingency aggregation stopped combining map-side.
     "q_quality_linear_model",
     "q_chi2_term_label_assoc",
+    "q_conformal_interval_coverage",
+    "q_huber_robust_model",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
