@@ -66,6 +66,10 @@ ONE_ROW_BNLJ_BUDGET = {
     # one-row-broadcast class — the "nested loop" side is 1 row by
     # construction)
     "q_ks_length_drift": 1,
+    # the latticed IRLS: one-row beta1 crossJoin (step-2 scoring) and
+    # one-row beta2 crossJoin (accuracy pass) — both build sides are
+    # 3-double model rows by construction (round 11 continuation)
+    "q_logistic_quality_model": 2,
 }
 
 
@@ -394,14 +398,21 @@ def test_bloom_probe_is_map_only_on_fact_rows(spark, sf_dir):
     # shape
     import re
 
-    m = re.search(r"Filter [^\n]*transform\(array\(cast\(conv[^\n]*", plan)
+    # Round-11 continuation: the probe hash is JVM-native xxhash64
+    # (the md5 bit-parity certificate lives in q_bloom_filter_semi_join)
+    # — still bound ONCE per fact row via the singleton-transform.
+    m = re.search(r"Filter [^\n]*transform\(array\([^\n]*xxhash64[^\n]*", plan)
     assert m, "bloom probe filter not found in the fact scan stage"
-    # The r9 probe contract: ONE md5 evaluation per fact row (Kirsch-
-    # Mitzenmacher positions derive from a single bound hash). A
-    # regression to per-position hashing would show as multiple md5
-    # calls in the probe filter line.
-    assert m.group(0).count("md5(") == 1, (
-        "bloom probe evaluates md5 more than once per row:\n" + m.group(0)
+    # The r9 probe contract, carried over: ONE hash evaluation per fact
+    # row (Kirsch-Mitzenmacher positions derive from a single bound
+    # hash). A regression to per-position hashing would show as
+    # multiple xxhash64 calls in the probe filter line.
+    assert m.group(0).count("xxhash64(") == 1, (
+        "bloom probe evaluates xxhash64 more than once per row:\n"
+        + m.group(0)
+    )
+    assert "md5(" not in m.group(0), (
+        "native probe still evaluates md5 per fact row"
     )
 
 
