@@ -55,24 +55,66 @@ def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("q_approx_distinct_parts")
-def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct per returnflag (rsd=0.01).
+_APPROX_RSD = 0.01
 
-    No oracle: DuckDB's approx sketch differs from Spark's by design.
-    tests/test_approx.py asserts ≤5% relative error vs exact counts.
-    At 100 TB this is THE way to count distincts: the sketch merges
-    associatively, so no exact-distinct shuffle of the full key set.
-    """
+
+def _approx_and_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag HLL++ estimates (rsd=0.01) alongside the exact
+    distinct counts — one grouped aggregate carrying both (the exact
+    legs exist to certify the sketch; a production 100 TB count would
+    run the sketch alone)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        )
-        .orderBy("l_returnflag")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=_APPROX_RSD).alias(
+            "approx_parts"
+        ),
+        F.approx_count_distinct("l_orderkey", rsd=_APPROX_RSD).alias(
+            "approx_orders"
+        ),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+@query(
+    "q_approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_3rsd,
+           TRUE AS orders_within_3rsd
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct per returnflag (rsd=0.01),
+    SELF-CERTIFYING (VERDICT r11 item 6): DuckDB's approx sketch
+    differs from Spark's by design, so the raw estimate can never
+    hash-match an oracle — instead the plan emits the EXACT counts
+    (oracle-matchable) plus in-plan booleans asserting
+    |est/exact − 1| ≤ 3·rsd; the oracle expects TRUE, so a sketch
+    drifting past its 3σ bound turns the row into a hash MISMATCH
+    rather than an unchecked `no_oracle` line. The raw estimates stay
+    testable via _approx_and_exact_distinct (tests/test_llm_ops.py).
+    At 100 TB the sketch is THE way to count distincts — it merges
+    associatively, so no exact-distinct shuffle of the full key set;
+    here the exact legs ride along only as the certificate."""
+    both = _approx_and_exact_distinct(spark, sf_dir)
+    bound = 3 * _APPROX_RSD
+    return both.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_parts") / F.col("exact_parts") - 1) <= bound
+        ).alias("parts_within_3rsd"),
+        (
+            F.abs(F.col("approx_orders") / F.col("exact_orders") - 1) <= bound
+        ).alias("orders_within_3rsd"),
+    ).orderBy("l_returnflag")
 
 
 # --------------------------------------------------------------------------

@@ -209,19 +209,24 @@ def _dense_words(rows, m: int) -> list[int]:
 
 
 def _build_filter_words(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    positions_arr=_spark_positions_arr,
 ) -> tuple[list[int], int]:
     """(dense int64 word list, m) of the Bloom filter over the
     qualifying dim keys. One narrow count sizes m, one narrow
     aggregate builds the bits; <= m/63 rows collected (key-count
-    bounded by construction)."""
+    bounded by construction). ``positions_arr`` picks the hash:
+    the md5_long convention (default, cross-engine-mirrored) or
+    _native_positions_arr (JVM xxhash64, for filters whose oracle
+    is the plain join)."""
     part = load_table(spark, sf_dir, "part")
     keys = part.where(F.col("p_size") >= _P_SIZE_MIN).select("p_partkey")
     m = _m_bits(keys.count())
     words = (
         keys.select(
             F.explode(
-                F.expr(_spark_positions_arr("p_partkey", m))
+                F.expr(positions_arr("p_partkey", m))
             ).alias("pos")
         )
         .select(
@@ -390,24 +395,9 @@ def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way."""
     part = load_table(spark, sf_dir, "part")
     keys = part.where(F.col("p_size") >= _P_SIZE_MIN).select("p_partkey")
-    m = _m_bits(keys.count())
-    words_rows = (
-        keys.select(
-            F.explode(F.expr(_native_positions_arr("p_partkey", m))).alias(
-                "pos"
-            )
-        )
-        .select(
-            F.expr("CAST(pos DIV 63 AS BIGINT)").alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.expr("bit_or(mask)").alias("bits"))
-        .collect()
+    words, m = _build_filter_words(
+        spark, sf_dir, positions_arr=_native_positions_arr
     )
-    words = _dense_words(words_rows, m)
     words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
     li = load_table(spark, sf_dir, "lineitem")
     pruned = li.where(F.expr(_native_pass_expr("l_partkey", m, words_lit)))

@@ -834,15 +834,19 @@ _AUC_HITS = 2  # label: contaminated iff >= 2 distinct eval shingles
     tots AS (
       SELECT CAST(SUM(pcnt) AS BIGINT) AS n_pos,
              CAST(SUM(cnt) - SUM(pcnt) AS BIGINT) AS n_neg,
-             CAST(SUM(pcnt * (2 * cbefore + cnt + 1)) AS BIGINT) AS r2_pos
+             CAST(SUM(CAST(pcnt AS HUGEINT) * (2 * cbefore + cnt + 1))
+                  AS HUGEINT) AS r2_pos
       FROM cum
     )
     SELECT n_pos, n_neg,
            CASE WHEN n_pos > 0 AND n_neg > 0
-                THEN CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
-                          // (2 * n_pos * n_neg) AS BIGINT) END AS auc_ppm,
+                THEN CAST((r2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+                          * 1000000
+                          // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                     AS BIGINT) END AS auc_ppm,
            CASE WHEN n_pos > 0 AND n_neg > 0
-                THEN (r2_pos - n_pos * (n_pos + 1)) * 2 > 2 * n_pos * n_neg
+                THEN (r2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 2
+                     > 2 * CAST(n_pos AS HUGEINT) * n_neg
            END AS longer_when_contaminated
     FROM tots
     """,
@@ -910,26 +914,30 @@ def q_mannwhitney_auc_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cbefore"
         ),
     )
+    # decimal(38,0) midrank arithmetic (HUGEINT in the oracle): the ×1e6
+    # ppm scaling wraps int64 silently once n_pos·n exceeds ~4.6e12 —
+    # see q_logistic_score_auc for the same widening rationale.
     tots = cum.agg(
         F.sum("pcnt").cast("bigint").alias("n_pos"),
         (F.sum("cnt") - F.sum("pcnt")).cast("bigint").alias("n_neg"),
         F.sum(
-            F.col("pcnt") * (2 * F.col("cbefore") + F.col("cnt") + 1)
-        )
-        .cast("bigint")
-        .alias("r2_pos"),
+            F.col("pcnt").cast("decimal(38,0)")
+            * (2 * F.col("cbefore") + F.col("cnt") + 1)
+        ).alias("r2_pos"),
     )
     return tots.select(
         "n_pos",
         "n_neg",
         F.expr(
             "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
-            "CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000 "
-            "DIV (2 * n_pos * n_neg) AS BIGINT) END"
+            "CAST((r2_pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+            " * 1000000 "
+            "DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END"
         ).alias("auc_ppm"),
         F.expr(
             "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
-            "(r2_pos - n_pos * (n_pos + 1)) * 2 > 2 * n_pos * n_neg END"
+            "(r2_pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 2"
+            " > 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg END"
         ).alias("longer_when_contaminated"),
     )
 

@@ -642,8 +642,16 @@ def _irls2(feats: DataFrame):
     # materialize so the sigmoid/feature pipeline runs once.
     mu2 = materialize(mu2)
     lat = mu2.select(*(F.expr(e).alias(k) for k, e in _LAT.items()))
+    # Cast each lattice term to decimal(38,0) BEFORE the sum: per-row
+    # terms reach ~1e11-1e13, so an int64 F.sum would wrap silently at
+    # tens of millions of documents while the DuckDB oracle sums BIGINT
+    # into HUGEINT — the per-row widening keeps both engines exact and
+    # order-independent at any corpus size (the dsum pattern above).
     wm = lat.agg(
-        *(F.sum(v).cast("decimal(38,0)").alias(f"s_{v}") for v in _LAT)
+        *(
+            F.sum(F.col(v).cast("decimal(38,0)")).alias(f"s_{v}")
+            for v in _LAT
+        )
     )
     wmd = wm.select(
         *(
@@ -726,12 +734,13 @@ def q_logistic_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     tots AS (
       SELECT CAST(SUM(pcnt) AS BIGINT) AS n_pos,
              CAST(SUM(cnt) - SUM(pcnt) AS BIGINT) AS n_neg,
-             CAST(SUM(pcnt * (2 * cbefore + cnt + 1)) AS BIGINT) AS r2_pos
+             CAST(SUM(CAST(pcnt AS HUGEINT) * (2 * cbefore + cnt + 1))
+                  AS HUGEINT) AS r2_pos
       FROM cum
     )
     SELECT n_pos, n_neg,
-           CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
-                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+           CAST((r2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+                // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_ppm
     FROM tots
     """,
 )
@@ -766,21 +775,25 @@ def q_logistic_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cbefore"),
     )
+    # Midrank statistic and ppm division run in decimal(38,0) (Spark) /
+    # HUGEINT (DuckDB): r2_pos ~ 2·n_pos·n and the ×1e6 scaling would
+    # wrap int64 once n_pos·n exceeds ~4.6e12 — a few million positive
+    # docs — and Spark's non-ANSI wrap is silent while DuckDB errors.
     tots = cum.agg(
         F.sum("pcnt").cast("bigint").alias("n_pos"),
         (F.sum("cnt") - F.sum("pcnt")).cast("bigint").alias("n_neg"),
         F.sum(
-            F.col("pcnt") * (2 * F.col("cbefore") + F.col("cnt") + 1)
-        )
-        .cast("bigint")
-        .alias("r2_pos"),
+            F.col("pcnt").cast("decimal(38,0)")
+            * (2 * F.col("cbefore") + F.col("cnt") + 1)
+        ).alias("r2_pos"),
     )
     return tots.select(
         "n_pos",
         "n_neg",
         F.expr(
-            "CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000"
-            " DIV (2 * n_pos * n_neg) AS BIGINT)"
+            "CAST((r2_pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+            " * 1000000"
+            " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
         ).alias("auc_ppm"),
     )
 
@@ -1044,8 +1057,14 @@ def q_huber_robust_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     hlat = res.crossJoin(broadcast_narrow(kk)).select(
         *(F.expr(e).alias(kname) for kname, e in _HLAT.items())
     )
+    # Per-row decimal(38,0) widening before the sum — same overflow
+    # rationale as _irls2's wm (int64 F.sum wraps silently at scale;
+    # DuckDB's SUM(BIGINT) is HUGEINT-exact).
     hwm = hlat.agg(
-        *(F.sum(v).cast("decimal(38,0)").alias(f"s_{v}") for v in _HLAT)
+        *(
+            F.sum(F.col(v).cast("decimal(38,0)")).alias(f"s_{v}")
+            for v in _HLAT
+        )
     )
     hwmd = hwm.select(
         *(

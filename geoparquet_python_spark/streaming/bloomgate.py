@@ -44,7 +44,7 @@ from geoparquet_python_spark.operators.bloomjoin import (
 )
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
-from geoparquet_python_spark.streaming.source import run_to_memory_table
+from geoparquet_python_spark.streaming.source import run_to_memory_table, read_documents_stream
 
 # Frozen "already ingested" corpus half (same convention as the
 # streaming span screen and DSIR gate).
@@ -132,13 +132,7 @@ def q_stream_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     words, m = _filter_words(spark, sf_dir)
     words_lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream_docs = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    stream_docs = read_documents_stream(spark, sf_dir)
     probed = stream_docs.select(
         "doc_id",
         F.md5("text").alias("k"),

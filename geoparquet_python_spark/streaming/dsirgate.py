@@ -32,7 +32,7 @@ from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.operators.dsir import _TARGET_SOURCES
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
-from geoparquet_python_spark.streaming.source import run_to_memory_table
+from geoparquet_python_spark.streaming.source import run_to_memory_table, read_documents_stream
 
 # Frozen LM corpus: even doc_ids (the "already ingested" half — the
 # same convention as the streaming span screen's shingle index).
@@ -131,13 +131,7 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen's stateless-screen / batch-assemble composition applied to
     quality instead of duplication."""
     prepare(spark)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream_docs = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    stream_docs = read_documents_stream(spark, sf_dir)
     stream_tok = stream_docs.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )

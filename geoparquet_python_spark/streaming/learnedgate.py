@@ -43,7 +43,7 @@ from geoparquet_python_spark.operators.regression import (
 )
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
-from geoparquet_python_spark.streaming.source import run_to_memory_table
+from geoparquet_python_spark.streaming.source import run_to_memory_table, read_documents_stream
 
 _FROZEN_PRED = "doc_id % 2 = 0"
 
@@ -122,13 +122,7 @@ def q_stream_learned_quality_gate(
         .collect()[0]["thr"]
     )
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream_docs = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    stream_docs = read_documents_stream(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     # _ETA's op order with the collected coefficients as exact double
     # literals: ((b0 + (b1 * x1d)) + (b2 * x2d)).

@@ -31,7 +31,10 @@ from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.operators.dedup import _sql_minhash, minhash_bands
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
-from geoparquet_python_spark.streaming.source import run_to_memory_table
+from geoparquet_python_spark.streaming.source import (
+    read_documents_stream,
+    run_to_memory_table,
+)
 
 # Static screening corpus: even doc_ids (deterministic half of the
 # table); the stream plays every document against it.
@@ -40,13 +43,7 @@ _CORPUS_PRED = "doc_id % 2 = 0"
 
 def _read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    return read_documents_stream(spark, sf_dir)
 
 
 @query(

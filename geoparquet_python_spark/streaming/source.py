@@ -9,6 +9,7 @@ DataFrame program, two run modes).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,23 +18,44 @@ from geoparquet_python_spark.io import normalize_event_ts
 from geoparquet_python_spark.session import prepare
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the ns→µs conversion.
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """readStream over ``{sf_dir}/{table}.parquet``, layout-aware.
+
+    The driver testdata ships each table as a single FILE next to its
+    siblings, so the file-stream source (which wants a directory) gets
+    the parent dir + a pathGlobFilter. Spark-written corpora — e.g. the
+    weak-scaling replica corpus — write the table as a DIRECTORY of
+    part files; there the glob form matches nothing (pathGlobFilter
+    filters leaf FILES, and the parts are named part-*.parquet), so the
+    source loads the directory itself. Round 12: this split is what
+    lets the q_stream_* family run on replica corpora at all — before
+    it, every streaming super-scaling leg would silently time an empty
+    stream (the reason streaming was excluded from DEFAULT_QUERIES).
 
     Streaming sources need an explicit schema: taken from one footer
     read of the same path (driver-side, metadata only).
     """
     prepare(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file-stream source wants a directory; pathGlobFilter narrows
-    # it to the events file living alongside the other tables.
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    return normalize_event_ts(stream)
+    path = f"{sf_dir}/{table}.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (layout-aware — see
+    read_table_stream)."""
+    return read_table_stream(spark, sf_dir, "documents")
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ns→µs conversion
+    (layout-aware — see read_table_stream)."""
+    return normalize_event_ts(read_table_stream(spark, sf_dir, "events"))
 
 
 def run_to_memory_table(stream_df: DataFrame, output_mode: str = "append") -> str:

@@ -34,7 +34,7 @@ from geoparquet_python_spark.operators.spans import (
 )
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
-from geoparquet_python_spark.streaming.source import run_to_memory_table
+from geoparquet_python_spark.streaming.source import run_to_memory_table, read_documents_stream
 
 # Static screening corpus: even doc_ids (the "already ingested" half).
 _CORPUS_PRED = "doc_id % 2 = 0"
@@ -112,13 +112,7 @@ def q_stream_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index it belongs to only counts shingles ANOTHER corpus doc
     also owns (min/max owner ≠ self)."""
     prepare(spark)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream_docs = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    stream_docs = read_documents_stream(spark, sf_dir)
     stream_sh = positional_shingles_frame(stream_docs)
 
     corpus = (

@@ -238,7 +238,10 @@ def test_tws_real_path_gate_is_explicit(spark):
     'TWS unavailable' can only ever mean 'no google.protobuf'."""
     import pytest
 
-    from geoparquet_python_spark.streaming.sessions_tws import tws_available
+    from geoparquet_python_spark.streaming.sessions_tws import (
+        tws_available,
+        tws_gate_reason,
+    )
 
     try:
         import google.protobuf  # noqa: F401
@@ -247,18 +250,18 @@ def test_tws_real_path_gate_is_explicit(spark):
     except ImportError:
         has_pb = False
     assert tws_available(spark) == has_pb
-    if not has_pb:
+    reason = tws_gate_reason(spark)
+    assert (reason is None) == has_pb
+    if reason is not None:
         pytest.skip(
-            "HOST REQUIREMENT: transformWithStateInPandas needs "
-            "google.protobuf (Spark's Python state-server protocol, "
-            "SPARK-49564) and it is not installed in this container — "
+            f"HOST REQUIREMENT not met: {reason} — "
             "q_stateful_sessionization_tws runs its documented "
             "applyInPandasWithState fallback here (parity asserted by "
             "test_tws_query_parity; the StatefulProcessor recurrence "
             "itself is driven directly by "
             "test_tws_processor_matches_applyinpandaswithstate). On a "
-            "host with protobuf the real TWS plan runs and this test "
-            "passes without skipping."
+            "host meeting the requirement the real TWS plan runs and "
+            "this test passes without skipping."
         )
 
 
@@ -468,8 +471,9 @@ def test_stream_bloom_gate_no_false_negatives(spark, sf_dir):
 def test_stream_learned_gate_scores_match_batch_model(spark, sf_dir):
     """The streamed per-doc score must equal the batch recomputation
     eta = b0 + b1*x1 + b2*x2 with the model trained on the frozen
-    half, and keep must be exactly score > 0 (the stateless-gate
-    contract: no approximation crosses the stream boundary)."""
+    half, and keep must be exactly score > the frozen half's
+    lower-median threshold (the stateless-gate contract: no
+    approximation crosses the stream boundary)."""
     from geoparquet_python_spark.operators.regression import _irls2
     from geoparquet_python_spark.streaming.learnedgate import _gate_feats
 

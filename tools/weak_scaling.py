@@ -128,6 +128,18 @@ DEFAULT_QUERIES = [
     "q_chi2_term_label_assoc",
     "q_conformal_interval_coverage",
     "q_huber_robust_model",
+    # Round-12 (VERDICT r11 item 4): the REST of the modeling family —
+    # ridge rides the same momd frame k+1 times (one pass, k+1 solves),
+    # residual-outliers re-scores the corpus against broadcast betas,
+    # per-lang fits one moment row per language, and the two logistic
+    # queries run the 2-step IRLS (two corpus passes + values-sized
+    # AUC window). All should sit in the same flat moment-pass band as
+    # q_quality_linear_model.
+    "q_ridge_shrinkage_path",
+    "q_model_residual_outliers",
+    "q_per_lang_token_char_model",
+    "q_logistic_quality_model",
+    "q_logistic_score_auc",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
