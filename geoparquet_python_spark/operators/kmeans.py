@@ -102,6 +102,20 @@ def _assign_expr(cents: list[list[int]]) -> F.Column:
 
     c = np.asarray(cents, dtype=np.int64)  # K×d
     c2 = (c * c).sum(axis=1)  # |c_k|^2, int64
+    # BLAS eligibility (round 12): numpy has NO BLAS kernel for int64 —
+    # an integer matmul falls back to naive C loops, and at the
+    # SemDeDup K-scaling contract (K ∝ n) the resulting O(n·K·d)
+    # assignment was the measured knee of the 64× weak-scaling leg
+    # (q_curation_pipeline_v4: _assigned_base 37 s of a 67 s wall).
+    # When every |value| < 2^23, each product < 2^46 and every 64-term
+    # partial sum < 2^52 is an exactly-representable float64 integer,
+    # so a dgemm computes the SAME integers at any summation order —
+    # the _hyperplane_signatures/dot_scaled exactness argument. The
+    # corpus contract (unit-ish embeddings × 1e6 scale → |xfix| < 2^20)
+    # sits far inside the bound; the guard re-checks per batch and
+    # falls back to the exact int64 loop rather than trusting it.
+    _F64_SAFE = 1 << 23
+    c_blas = c.astype(np.float64) if np.abs(c).max() < _F64_SAFE else None
 
     # No type annotations on the UDF: the module's `from __future__
     # import annotations` stringifies them and pandas_udf can't
@@ -112,7 +126,11 @@ def _assign_expr(cents: list[list[int]]) -> F.Column:
         if len(xf) == 0:
             return pd.Series([], dtype="int64")
         x = np.vstack(xf.to_numpy()).astype(np.int64, copy=False)  # B×d
-        scores = c2[None, :] - 2 * (x @ c.T)  # B×K, exact int64
+        if c_blas is not None and np.abs(x).max() < _F64_SAFE:
+            dots = (x.astype(np.float64) @ c_blas.T).astype(np.int64)
+        else:  # exact fallback: naive int64 matmul
+            dots = x @ c.T
+        scores = c2[None, :] - 2 * dots  # B×K, exact int64
         return pd.Series(np.argmin(scores, axis=1).astype("int64"))
 
     return assign(F.col("xfix"))

@@ -70,6 +70,16 @@ ONE_ROW_BNLJ_BUDGET = {
     # one-row beta2 crossJoin (accuracy pass) — both build sides are
     # 3-double model rows by construction (round 11 continuation)
     "q_logistic_quality_model": 2,
+    # round 12 (the pair joined the headline): every crossJoin is a
+    # broadcast_narrow one-row scalar attach — conformal: model onto
+    # cal + test, n_cal onto the cumulative frame, qhat onto coverage
+    # + the final select; qhat/model are unmaterialized, so their
+    # one-row lineage re-expands under multiple consumers and the
+    # physical plan shows 9 BNLJ nodes for 5 logical attaches
+    "q_conformal_interval_coverage": 9,
+    # Huber: model onto residuals, n onto the cumulative frame, the
+    # data-driven k onto the weighted lattice + the final select
+    "q_huber_robust_model": 4,
 }
 
 
