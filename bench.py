@@ -241,6 +241,20 @@ def main() -> None:
         # pokes per suite (the drive_driver/weak-scaling harnesses use
         # the same pattern at period 16 and show no late-suite drift).
         gc.collect()
+        # Deterministic dead-checkpoint release (round 12): the async
+        # ContextCleaner cannot keep up with 50 queries × best-of-5 ×
+        # 1-3 localCheckpoints per construction — the r12 first-attempt
+        # record showed 9 of 11 regressions clustered at suite
+        # positions 39-47 (late-suite storage/GC pressure) while the
+        # early TPC-H canaries ran at 0.7-1.0×. Explicitly unpersisting
+        # dead checkpoint blocks between queries removes the
+        # accumulation at its source instead of hoping a GC poke
+        # drains the reference queue in time.
+        from geoparquet_python_spark.functions.exact import (
+            release_dead_checkpoints,
+        )
+
+        release_dead_checkpoints()
         if qi and qi % 12 == 0:
             try:
                 spark._jvm.System.gc()

@@ -23,6 +23,9 @@ codegen, no Python involved.
 
 from __future__ import annotations
 
+import gc
+import weakref
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -118,6 +121,22 @@ def spread(df):
     return df.repartition(sc.defaultParallelism)
 
 
+# Checkpoint-block bookkeeping (round 12): localCheckpoint persists
+# the materialized RDD in executor storage, and the blocks stay until
+# the driver-side RDD object is GC'd AND ContextCleaner's async sweep
+# runs. In a long benchmark session (50 queries × best-of-5, each
+# construction checkpointing 1-3 frames) hundreds of DEAD checkpoints
+# pile up faster than the async cleaner drains them — measured as the
+# late-suite inflation pattern (r11: theil_sen 28×; r12: 9 of 11 bench
+# regressions clustered at suite positions 39-47). The registry below
+# pairs each checkpointed DataFrame's WEAKREF with its persisted JVM
+# RDD handle so harnesses can release dead blocks deterministically
+# between queries. Long-lived cross-query caches (_ENC_CACHE,
+# _KNN_EDGE_CACHE) hold the materialized wrapper itself, so their
+# weakrefs stay live and their blocks are never touched.
+_LIVE_CHECKPOINTS: list = []
+
+
 def materialize(df):
     """Cut lineage for a DataFrame that feeds BOTH sides of a self-join
     (signatures, banded sketches): without this Spark re-executes the
@@ -125,4 +144,39 @@ def materialize(df):
     partitions on the executors (eager, off the critical path of each
     branch). The 100 TB equivalent is an explicit parquet checkpoint of
     the signature table — same idea, durable."""
-    return df.localCheckpoint()
+    out = df.localCheckpoint()
+    try:
+        # The checkpointed Dataset's analyzed plan is a LogicalRDD
+        # wrapping the persisted RDD — grab the JVM handle for the
+        # dead-checkpoint sweeper.
+        jrdd = out._jdf.queryExecution().analyzed().rdd()
+        _LIVE_CHECKPOINTS.append((weakref.ref(out), jrdd))
+    except Exception:
+        pass  # non-standard plan shape: fall back to async cleanup
+    return out
+
+
+def release_dead_checkpoints() -> int:
+    """Unpersist localCheckpoint blocks whose Python DataFrame wrapper
+    has been garbage-collected; returns how many were freed.
+
+    SAFETY CONTRACT: call only BETWEEN queries (a derived DataFrame can
+    outlive its materialized parent's Python wrapper WITHIN a query —
+    its lineage is truncated at the checkpoint, so unpersisting
+    mid-query would make recomputation impossible). Between bench /
+    gate / weak-scaling queries every per-query frame is dead and the
+    only live wrappers are the module caches, which hold the
+    materialized DataFrame itself."""
+    gc.collect()  # collect dropped wrappers so their weakrefs clear
+    kept, freed = [], 0
+    for ref, jrdd in _LIVE_CHECKPOINTS:
+        if ref() is None:
+            try:
+                jrdd.unpersist(False)
+                freed += 1
+            except Exception:
+                pass
+        else:
+            kept.append((ref, jrdd))
+    _LIVE_CHECKPOINTS[:] = kept
+    return freed

@@ -54,3 +54,28 @@ def test_partition_count_invariance(spark, sf_dir, name):
     assert results[0] == results[1], (
         f"{name} changed results under a different shuffle partition count"
     )
+
+
+def test_release_dead_checkpoints_frees_only_dead(spark):
+    """The dead-checkpoint sweeper (round 12) must free blocks whose
+    Python wrapper is gone and must NOT touch a live wrapper (the
+    module-cache contract: _ENC_CACHE/_KNN_EDGE_CACHE hold the
+    materialized DataFrame itself). A live frame must stay queryable
+    after the sweep — its blocks were never unpersisted."""
+    from geoparquet_python_spark.functions.exact import (
+        materialize,
+        release_dead_checkpoints,
+    )
+
+    release_dead_checkpoints()  # drain whatever earlier tests left
+    live = materialize(spark.range(1000).selectExpr("id", "id * 2 AS y"))
+    dead = materialize(spark.range(1000).selectExpr("id", "id * 3 AS z"))
+    del dead
+    freed = release_dead_checkpoints()
+    assert freed >= 1, "the dropped wrapper's blocks were not released"
+    # live survived the sweep and is still fully queryable
+    assert live.count() == 1000
+    freed_again = release_dead_checkpoints()
+    assert freed_again == 0, "sweep freed a still-live checkpoint"
+    del live
+    assert release_dead_checkpoints() >= 1

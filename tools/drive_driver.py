@@ -80,6 +80,17 @@ for qi, (name, fn) in enumerate(sorted(qs.items())):
             spark._jvm.System.gc()
         except Exception:
             pass
+    # Deterministic release of dead localCheckpoint blocks (round 12;
+    # see functions/exact.release_dead_checkpoints — safe only BETWEEN
+    # queries, which is exactly where this runs).
+    try:
+        from geoparquet_python_spark.functions.exact import (
+            release_dead_checkpoints,
+        )
+
+        release_dead_checkpoints()
+    except Exception:
+        pass
     try:
         t0 = time.time()
         if force_pandas:

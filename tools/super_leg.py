@@ -61,9 +61,14 @@ def cmd_wall(sf_dir: str, name: str, runs: int = 3) -> None:
     spark = get_spark("super-leg")
     spark.sparkContext.setLogLevel("ERROR")
     _force(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+    from geoparquet_python_spark.functions.exact import (
+        release_dead_checkpoints,
+    )
+
     fn = registry.QUERIES[name]
     best = float("inf")
     for i in range(runs):
+        release_dead_checkpoints()  # between runs only (see exact.py)
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         t = time.perf_counter() - t0

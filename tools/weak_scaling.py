@@ -289,6 +289,13 @@ def main() -> None:
                     spark._jvm.System.gc()
                 except Exception:
                     pass
+                # Deterministic dead-checkpoint release (round 12):
+                # between-query only — see exact.release_dead_checkpoints.
+                from geoparquet_python_spark.functions.exact import (
+                    release_dead_checkpoints,
+                )
+
+                release_dead_checkpoints()
             t1 = time_query(spark, name, SF_DIR)
             t8 = time_query(spark, name, out_dir)
             results[name] = {"t1": round(t1, 2), "tN": round(t8, 2)}
