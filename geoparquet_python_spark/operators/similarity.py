@@ -425,7 +425,9 @@ def _capped_bucket_pairs(
     return within.unionByName(cross)
 
 
-_SQL_HYPERPLANE_CAND = f"""
+# Signature CTE chain through `bands` — shared by the candidate
+# pipeline below and the band-occupancy audit (round 12).
+_SQL_HYPERPLANE_BANDS = f"""
     planes AS (
       SELECT p, i,
              CASE WHEN (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1
@@ -446,7 +448,9 @@ _SQL_HYPERPLANE_CAND = f"""
       SELECT vec_id, p // {_BAND_BITS} AS band,
              SUM(bit * CAST(power(2, p % {_BAND_BITS}) AS BIGINT)) AS bval
       FROM bits WHERE p < {_N_PLANES} GROUP BY 1, 2
-    ),
+    )"""
+
+_SQL_HYPERPLANE_CAND = f"""{_SQL_HYPERPLANE_BANDS},
     fpw AS (
       SELECT vec_id, p // 32 AS w,
              SUM(bit * CAST(power(2, p % 32) AS BIGINT)) AS wv
@@ -856,6 +860,76 @@ def q_hyperplane_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true_pairs") > 0,
             F.col("n_lsh_pairs") * F.lit(1.0) / F.col("n_true_pairs"),
         ).alias("recall"),
+    )
+
+
+@query(
+    "q_hyperplane_band_occupancy_audit",
+    oracle=f"""
+    WITH flat AS ({SQL_FLAT_EMBEDDINGS}),
+    {_SQL_HYPERPLANE_BANDS},
+    occ AS (
+      SELECT band, bval, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(occ) AS BIGINT) AS max_occupancy,
+           CAST(SUM(CAST(occ AS HUGEINT) * (occ - 1) // 2) AS BIGINT)
+             AS cand_pairs,
+           COUNT(*) = {2 ** _BAND_BITS} AS saturated
+    FROM occ
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_hyperplane_band_occupancy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSH banding health check — the pre-flight a 100 TB pipeline runs
+    BEFORE committing to the hyperplane path. Per band: how many of the
+    2^{_BAND_BITS} possible values are occupied, the hottest bucket,
+    and the exact candidate-pair volume the band would contribute to
+    the self-join (Σ C(occ, 2)). The round-12 64× adjudication
+    (SCALE.md) measured candidate volume degenerating to
+    r·n²/2^(b+1) once every bval is occupied — `saturated = true`
+    across bands is precisely that regime's signature, and the router
+    decision it feeds is "use the K-scaled cell paths instead".
+    Runs on the signature frame only (one numpy pass + a (band, bval)
+    aggregate over 12·n narrow rows — no pair materialization, so the
+    audit stays linear even when the join it predicts would not be).
+    cand_pairs is emitted as int64 (sums are HUGEINT/decimal-widened
+    in-plan; an int64 overflow here would mean >4.6e18 predicted
+    pairs — the audit's own verdict long before the cast matters).
+    Oracle-exact: the sign bits, band packing, and occupancy math are
+    mirrored bit-for-bit (md5-derived planes, integer sign sums)."""
+    sig = _hyperplane_signatures(spark, sf_dir)
+    band_structs = ", ".join(
+        f"struct({j}L AS band, bv{j} AS bval)"
+        for j in range(_N_PLANES // _BAND_BITS)
+    )
+    membership = sig.select(
+        F.expr(f"explode(array({band_structs}))").alias("bb")
+    ).select(F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    occ = membership.groupBy("band", "bval").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ")
+    )
+    return (
+        occ.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("occ").cast("bigint").alias("max_occupancy"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(occ AS DECIMAL(38,0)) * (occ - 1) DIV 2"
+                    " AS DECIMAL(38,0))"
+                )
+            )
+            .cast("bigint")
+            .alias("cand_pairs"),
+            (F.count(F.lit(1)) == F.lit(2 ** _BAND_BITS)).alias("saturated"),
+        )
+        .orderBy("band")
     )
 
 

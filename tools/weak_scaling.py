@@ -140,6 +140,13 @@ DEFAULT_QUERIES = [
     "q_per_lang_token_char_model",
     "q_logistic_quality_model",
     "q_logistic_score_auc",
+    # Round-12 additions: the banding health audit (embeddings-based,
+    # signature pass + 12·n-row aggregate — should be near-flat) and
+    # the CMS heavy-hitter certification (documents-based; the sketch
+    # build is a 4096-key map-side-combinable aggregate, the exact leg
+    # is the only corpus-keyed shuffle).
+    "q_hyperplane_band_occupancy_audit",
+    "q_cms_heavy_hitters",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
