@@ -514,3 +514,48 @@ def test_stream_learned_gate_scores_match_batch_model(spark, sf_dir):
     # unfrozen half's distribution).
     frac = len(kept) / len(rows)
     assert 0.2 < frac < 0.8
+
+
+def test_stream_hot_term_gate_planted_hot_term(spark, tmp_path):
+    """Plant a corpus where the frozen half (even doc_ids) is flooded
+    with one term ('spamword', far past the 0.5%-of-token-mass
+    threshold) while every other term stays rare. The gate must flag
+    every occurrence of the hot term (CMS never undercounts, so a
+    truly hot term can NEVER read cold) on both stream-side and
+    frozen-side docs, and a doc with no hot occurrences must gate at
+    n_hot consistent with at most CMS overcounting (collisions can
+    only ADD hot flags, never remove)."""
+    import pandas as pd
+
+    hot_doc = " ".join(["spamword"] * 120)
+    texts = [
+        hot_doc,  # doc 0: even -> frozen half, floods the sketch
+        "rare alpha beta gamma delta",  # doc 1: odd (stream-only)
+        hot_doc,  # doc 2: even -> frozen
+        "spamword appears once here",  # doc 3: odd, one hot occurrence
+    ]
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["planted"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+
+    rows = {
+        r.doc_id: r
+        for r in registry.QUERIES["q_stream_hot_term_gate"](spark, d).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    # 240 frozen tokens -> threshold max(1, 240 DIV 200) = 1, so the
+    # flood (est >= 240) is hot beyond any doubt on every occurrence.
+    assert rows[0].n_hot == 120 and rows[0].n_tokens == 120
+    assert rows[2].n_hot == 120
+    assert rows[3].n_hot >= 1, "the planted hot occurrence must flag"
+    assert rows[3].hot_ppm >= 1_000_000 // rows[3].n_tokens
+    for r in rows.values():
+        assert 0 <= r.n_hot <= r.n_tokens
+        assert r.hot_ppm == (1_000_000 * r.n_hot) // r.n_tokens
