@@ -43,11 +43,12 @@ DEFAULT_QUERIES = [
     "q_ann_topk_ivf",
     "q_hyperplane_lsh_neardup",
     "q_semdedup_dropped",
-    # Round-6 additions (batch only: streaming queries are excluded —
-    # the replica corpus writes documents.parquet as a DIRECTORY, so a
-    # readStream with pathGlobFilter="documents.parquet" matches no
-    # files there and the 8x leg would time an empty stream; their
-    # batch-side machinery is measured via the batch twins):
+    # Round-6 additions. (Historical note: streaming queries were
+    # excluded through round 11 because the replica corpus writes
+    # documents.parquet as a DIRECTORY and the old
+    # pathGlobFilter="documents.parquet" readers matched no files
+    # there; round 12's layout-aware read_table_stream fixed that and
+    # the ingest gates joined the set — see the round-12 block below.)
     "q_hybrid_rrf_topk",
     "q_token_budget_selection",
     "q_psi_value_drift",
@@ -147,6 +148,14 @@ DEFAULT_QUERIES = [
     # is the only corpus-keyed shuffle).
     "q_hyperplane_band_occupancy_audit",
     "q_cms_heavy_hitters",
+    # Round-12: the streaming ingest gates, runnable on replica corpora
+    # since the layout-aware stream readers (availableNow drains — the
+    # batch-parity harness; isolated 1×/8×/27×/64× legs recorded in
+    # WEAK_r12_super.json before these joined the default set).
+    "q_stream_learned_quality_gate",
+    "q_stream_bloom_dedup_gate",
+    "q_stream_neardup_screen",
+    "q_stream_hot_term_gate",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
