@@ -460,3 +460,156 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# C5/round-12: mergeable fixed-width histogram quantiles with in-plan
+# certification. The 100 TB quantile pattern when an exact
+# distinct-value sort is too expensive and a sketch library is not
+# available: two corpus passes (min/max/count, then a B-key bucket
+# aggregate — both map-side combinable, and the histogram MERGES
+# across shards/epochs by counter addition) yield rank-certified
+# bucket estimates for any quantile. The exact-quantile leg (the
+# distinct-value cumulative pattern) rides along as the certificate:
+# each emitted row asserts the true quantile lies inside the estimated
+# bucket, so a broken histogram hash-mismatches the oracle instead of
+# silently drifting.
+# --------------------------------------------------------------------------
+
+_HQ_B = 256  # histogram buckets
+_HQ_QS = (50, 90, 99)  # certified quantiles (percent)
+
+
+@query(
+    "q_histogram_quantiles",
+    oracle=f"""
+    WITH x AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents),
+    mm AS (
+      SELECT CAST(MIN(x) AS BIGINT) AS lo, CAST(MAX(x) AS BIGINT) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((MAX(x) - MIN(x)) // {_HQ_B} + 1 AS BIGINT) AS width
+      FROM x
+    ),
+    hist AS (
+      SELECT (x.x - mm.lo) // mm.width AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM x CROSS JOIN mm GROUP BY 1
+    ),
+    hcum AS (
+      SELECT b, CAST(SUM(c) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS crun
+      FROM hist
+    ),
+    qs AS (SELECT unnest(ARRAY{list(_HQ_QS)}) AS q),
+    targets AS (
+      SELECT q, CAST((q * n + 99) // 100 AS BIGINT) AS target_rank
+      FROM qs CROSS JOIN mm
+    ),
+    est AS (
+      SELECT t.q, t.target_rank, MIN(h.b) AS eb
+      FROM targets t JOIN hcum h ON h.crun >= t.target_rank
+      GROUP BY 1, 2
+    ),
+    per_x AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM x GROUP BY x),
+    xcum AS (
+      SELECT x, CAST(SUM(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS crun
+      FROM per_x
+    ),
+    exact AS (
+      SELECT t.q, MIN(xc.x) AS exact_value
+      FROM targets t JOIN xcum xc ON xc.crun >= t.target_rank
+      GROUP BY 1
+    )
+    SELECT CAST(e.q AS BIGINT) AS q, e.target_rank,
+           CAST(mm.lo + e.eb * mm.width AS BIGINT) AS bucket_lo,
+           CAST(mm.lo + (e.eb + 1) * mm.width - 1 AS BIGINT) AS bucket_hi,
+           CAST(ex.exact_value AS BIGINT) AS exact_value,
+           ex.exact_value BETWEEN mm.lo + e.eb * mm.width
+                              AND mm.lo + (e.eb + 1) * mm.width - 1
+             AS within_bucket
+    FROM est e JOIN exact ex ON ex.q = e.q CROSS JOIN mm
+    ORDER BY q
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document length (n_chars) estimated from a
+    {_HQ_B}-bucket equi-width histogram and CERTIFIED in-plan: each row
+    carries the estimated bucket [bucket_lo, bucket_hi], the exact
+    ceil-rank quantile, and `within_bucket` (must be TRUE — the
+    histogram's rank guarantee; FALSE would hash-mismatch the oracle).
+
+    Scale shape: pass 1 is a one-row min/max/count aggregate; pass 2
+    is a {_HQ_B}-key bucket aggregate — both fully map-side
+    combinable, and the histogram merges across shards by counter
+    addition, so quantiles of a 100 TB column cost two streamed
+    passes and a {_HQ_B}-row cumulative window. Bucket arithmetic is
+    pure int64 (width = (hi-lo) DIV B + 1 ≥ 1, so the divisor is
+    never 0 and every value lands in [0, B)); the exact leg runs the
+    distinct-value cumulative pattern (bounded by |distinct lengths|,
+    not corpus size) purely as the certificate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("x")
+    )
+    from pyspark.sql import Window
+
+    mm = d.agg(
+        F.min("x").cast("bigint").alias("lo"),
+        F.max("x").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST((MAX(x) - MIN(x)) DIV {_HQ_B} + 1 AS BIGINT)").alias(
+            "width"
+        ),
+    )
+    mm = broadcast_narrow(mm)
+    hist = (
+        d.crossJoin(mm)
+        .select(F.expr("(x - lo) DIV width").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    hcum = hist.select(
+        "b", F.sum("c").over(wb).cast("bigint").alias("crun")
+    )
+    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q bigint")
+    targets = qs.crossJoin(mm).select(
+        "q",
+        F.expr("CAST((q * n + 99) DIV 100 AS BIGINT)").alias("target_rank"),
+    )
+    est = (
+        broadcast_narrow(targets)
+        .join(hcum, F.col("crun") >= F.col("target_rank"))
+        .groupBy("q", "target_rank")
+        .agg(F.min("b").alias("eb"))
+    )
+    per_x = d.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    xcum = per_x.select(
+        "x", F.sum("cnt").over(wx).cast("bigint").alias("crun")
+    )
+    exact = (
+        broadcast_narrow(targets)
+        .join(xcum, F.col("crun") >= F.col("target_rank"))
+        .groupBy("q")
+        .agg(F.min("x").alias("exact_value"))
+    )
+    return (
+        est.join(exact, "q")
+        .crossJoin(mm)
+        .select(
+            "q",
+            "target_rank",
+            F.expr("CAST(lo + eb * width AS BIGINT)").alias("bucket_lo"),
+            F.expr("CAST(lo + (eb + 1) * width - 1 AS BIGINT)").alias(
+                "bucket_hi"
+            ),
+            F.col("exact_value").cast("bigint").alias("exact_value"),
+            F.expr(
+                "exact_value BETWEEN lo + eb * width"
+                " AND lo + (eb + 1) * width - 1"
+            ).alias("within_bucket"),
+        )
+        .orderBy("q")
+    )

@@ -148,6 +148,7 @@ DEFAULT_QUERIES = [
     # is the only corpus-keyed shuffle).
     "q_hyperplane_band_occupancy_audit",
     "q_cms_heavy_hitters",
+    "q_histogram_quantiles",
     # Round-12: the streaming ingest gates, runnable on replica corpora
     # since the layout-aware stream readers (availableNow drains — the
     # batch-parity harness; isolated 1×/8×/27×/64× legs recorded in
