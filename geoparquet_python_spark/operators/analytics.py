@@ -1063,3 +1063,120 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_funnel_us").cast("bigint").alias("total_funnel_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-12: sketch-based join-cardinality estimation — the pre-flight a
+# 100 TB planner runs BEFORE committing to a join order. Each side is
+# reduced to a W-bucket hashed key-count histogram (one map-side-
+# combinable aggregate per side, mergeable by addition — per-shard
+# histograms answer cross-shard join sizing); the estimate
+# Σ_buckets cA·cB is ONE-SIDED (≥ the true Σ_keys nA·nB: hash
+# collisions can only add cross terms, never remove the true ones),
+# the same guarantee family as CMS/Bloom, and deterministic because
+# the bucket hash is md5. The exact join count rides along as the
+# certificate.
+# --------------------------------------------------------------------------
+
+_JC_W = 1024  # key-histogram buckets per side
+_JC_SIZE_MIN = 40  # dim filter: "large parts" (bloomjoin's predicate)
+
+_JC_BUCKET = (
+    "CAST(('0x' || substr(md5('jc_' || CAST({key} AS VARCHAR)), 1, 15)) "
+    f"AS BIGINT) % {_JC_W}"
+)
+_JC_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(concat('jc_', CAST({key} AS STRING))), 1, 15),"
+    f" 16, 10) AS BIGINT) % {_JC_W}"
+)
+
+
+@query(
+    "q_join_cardinality_estimate",
+    oracle=f"""
+    WITH ha AS (
+      SELECT {_JC_BUCKET.format(key="l_partkey")} AS b,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM lineitem GROUP BY 1
+    ),
+    hb AS (
+      SELECT {_JC_BUCKET.format(key="p_partkey")} AS b,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM part WHERE p_size >= {_JC_SIZE_MIN} GROUP BY 1
+    ),
+    est AS (
+      SELECT CAST(SUM(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS est_rows,
+             CAST(MAX(CAST(ca AS HUGEINT) * cb) AS BIGINT)
+               AS max_bucket_product
+      FROM ha JOIN hb USING (b)
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size >= {_JC_SIZE_MIN}
+    )
+    SELECT e.est_rows, x.exact_rows,
+           e.est_rows - x.exact_rows AS overcount,
+           e.est_rows >= x.exact_rows AS never_undercounts,
+           e.max_bucket_product
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def q_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Estimated vs exact cardinality of lineitem ⋈ large-parts on
+    partkey, from two {_JC_W}-bucket hashed key-count histograms:
+    est = Σ_buckets cA·cB ≥ exact = Σ_keys nA·nB (one-sided by
+    construction — collisions only ADD cross terms), asserted in-plan
+    via `never_undercounts` against the oracle.
+
+    Why it matters at 100 TB: deciding join order / broadcast side /
+    skew handling needs the join's output size BEFORE running it, and
+    each side's histogram costs one streamed map-side-combinable
+    aggregate to {_JC_W} int64s — mergeable by addition across shards
+    (per-shard histograms answer cross-shard join sizing with no key
+    shuffle at all). The exact leg (the full join count) exists only
+    as the certificate, exactly like the CMS/HLL certification rows.
+    Skew diagnosis falls out for free: max_bucket_product is the
+    upper bound any single hash bucket contributes — a planner's
+    skew-split trigger."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").where(
+        F.col("p_size") >= _JC_SIZE_MIN
+    )
+    ha = (
+        li.select(
+            F.expr(_JC_BUCKET_SPARK.format(key="l_partkey")).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    )
+    hb = (
+        pt.select(
+            F.expr(_JC_BUCKET_SPARK.format(key="p_partkey")).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    est = ha.join(hb, "b").agg(
+        F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb"))
+        .cast("bigint")
+        .alias("est_rows"),
+        F.max(F.expr("CAST(ca AS DECIMAL(38,0)) * cb"))
+        .cast("bigint")
+        .alias("max_bucket_product"),
+    )
+    exact = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_rows"))
+    )
+    return est.crossJoin(broadcast_narrow(exact)).select(
+        "est_rows",
+        "exact_rows",
+        (F.col("est_rows") - F.col("exact_rows")).alias("overcount"),
+        (F.col("est_rows") >= F.col("exact_rows")).alias(
+            "never_undercounts"
+        ),
+        "max_bucket_product",
+    )

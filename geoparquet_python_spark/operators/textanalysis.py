@@ -974,153 +974,3 @@ def q_token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
-
-
-# --------------------------------------------------------------------------
-# F4/round-12: Count-Min sketch heavy hitters — the mergeable frequency
-# sketch (Cormode & Muthukrishnan 2005). At 100 TB you cannot afford a
-# full distinct-term groupBy just to find the hottest terms; the CMS
-# build is d map-side-combinable (row, bucket) aggregates producing a
-# FIXED d×w counter table (4,096 int64s here) that merges across
-# shards/epochs by plain counter addition — bit-exact, because every
-# hash is deterministic md5. Like the HLL query, the exact-count leg
-# rides along only as the certificate: the emitted rows carry both the
-# estimate and the exact frequency, plus the CMS invariant
-# (est ≥ exact ALWAYS — a violated row hash-mismatches the oracle).
-# --------------------------------------------------------------------------
-
-_CMS_D = 4  # sketch depth (independent md5-salted rows)
-_CMS_W = 1024  # counters per row
-_CMS_CAND_MOD = 101  # candidate terms: vocabulary of doc_id % 101 = 0
-
-
-@query(
-    "q_cms_heavy_hitters",
-    oracle=f"""
-    WITH tok AS (
-      SELECT unnest(str_split(text, ' ')) AS term FROM documents
-    ),
-    mem AS (
-      SELECT t.r,
-             {SQL_MD5_LONG.format(expr="'cms' || CAST(t.r AS VARCHAR) || '_' || term")}
-               % {_CMS_W} AS bucket
-      FROM tok CROSS JOIN range({_CMS_D}) t(r)
-    ),
-    sketch AS (
-      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
-      FROM mem GROUP BY 1, 2
-    ),
-    cand AS (
-      SELECT DISTINCT unnest(str_split(text, ' ')) AS term
-      FROM documents WHERE doc_id % {_CMS_CAND_MOD} = 0
-    ),
-    exact AS (
-      SELECT t.term, CAST(COUNT(*) AS BIGINT) AS exact_tf
-      FROM tok t JOIN cand c ON c.term = t.term
-      GROUP BY 1
-    ),
-    est AS (
-      SELECT c.term, CAST(MIN(s.c) AS BIGINT) AS cms_est
-      FROM cand c
-      CROSS JOIN range({_CMS_D}) t(r)
-      JOIN sketch s
-        ON s.r = t.r
-       AND s.bucket = {SQL_MD5_LONG.format(expr="'cms' || CAST(t.r AS VARCHAR) || '_' || c.term")}
-                      % {_CMS_W}
-      GROUP BY 1
-    )
-    SELECT e.term, x.exact_tf, e.cms_est,
-           e.cms_est - x.exact_tf AS overcount,
-           e.cms_est >= x.exact_tf AS never_undercounts
-    FROM est e JOIN exact x USING (term)
-    ORDER BY x.exact_tf DESC, e.term
-    LIMIT 20
-    """,
-)
-def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 heavy-hitter terms certified through a d={_CMS_D},
-    w={_CMS_W} Count-Min sketch: estimate = min over rows of the
-    md5-salted bucket counter; the output carries (exact_tf, cms_est,
-    overcount, never_undercounts) so the sketch's one-sided guarantee
-    is asserted IN-PLAN against the oracle (TRUE on every row, or the
-    hash mismatches).
-
-    Scale shape: the sketch build is one token pass into a
-    (r, bucket)-keyed aggregate — {_CMS_D}×{_CMS_W} keys, full
-    map-side combine, mergeable across shards by counter addition —
-    so finding heavy hitters never shuffles the term domain. The
-    candidate set (the sampled slice's vocabulary) and the sketch are
-    both tiny relations joined AFTER aggregation; the exact-count leg
-    exists to certify the estimate, exactly like
-    q_approx_distinct_parts' exact legs. Every hash is deterministic
-    md5 (functions/text.md5_long), so estimates are bit-identical
-    across engines, partitionings, and merge orders."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(tokens("text")).alias("term"))
-    mem = tok.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("bigint").alias("r"),
-                        (
-                            md5_long(
-                                F.concat(F.lit(f"cms{r}_"), F.col("term"))
-                            )
-                            % _CMS_W
-                        ).alias("bucket"),
-                    )
-                    for r in range(_CMS_D)
-                ]
-            )
-        ).alias("rb")
-    ).select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
-    sketch = mem.groupBy("r", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    cand = (
-        d.where(F.col("doc_id") % _CMS_CAND_MOD == 0)
-        .select(F.explode(tokens("text")).alias("term"))
-        .distinct()
-    )
-    exact = (
-        tok.join(cand, "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_tf"))
-    )
-    probes = cand.select(
-        "term",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("bigint").alias("r"),
-                        (
-                            md5_long(
-                                F.concat(F.lit(f"cms{r}_"), F.col("term"))
-                            )
-                            % _CMS_W
-                        ).alias("bucket"),
-                    )
-                    for r in range(_CMS_D)
-                ]
-            )
-        ).alias("rb"),
-    ).select("term", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
-    est = (
-        probes.join(sketch, ["r", "bucket"])
-        .groupBy("term")
-        .agg(F.min("c").cast("bigint").alias("cms_est"))
-    )
-    return (
-        est.join(exact, "term")
-        .select(
-            "term",
-            "exact_tf",
-            "cms_est",
-            (F.col("cms_est") - F.col("exact_tf")).alias("overcount"),
-            (F.col("cms_est") >= F.col("exact_tf")).alias("never_undercounts"),
-        )
-        .orderBy(F.col("exact_tf").desc(), "term")
-        .limit(20)
-    )

@@ -2,10 +2,10 @@
 of a document stream against a Count-Min sketch of the frozen corpus
 half's term frequencies.
 
-The round-12 batch operator (operators/textanalysis.q_cms_heavy_hitters)
-builds the mergeable d×w counter table; HERE it rides as a literal
-inside a STATELESS stream projection — the bloomgate pattern with
-counters instead of bits. Per streamed document the gate counts how
+The batch twin (operators/sketches.q_countmin_heavy_hitters) builds
+the mergeable d×w counter table offline; HERE the same linear sketch
+rides as a literal inside a STATELESS stream projection — the
+bloomgate pattern with counters instead of bits. Per streamed document the gate counts how
 many of its token occurrences are corpus-hot (sketch estimate ≥ a
 token-mass-derived threshold) and emits a hot-token ppm, the signal a
 curation pipeline uses to flag template spam / boilerplate floods at
@@ -15,8 +15,9 @@ into the projection, and CMS's one-sided error means a LOW hot_ppm is
 trustworthy (estimates never undercount, so "few hot tokens" can only
 be overstated, never missed).
 
-Determinism: the sketch hashes are the batch operator's md5-salted
-buckets; empty buckets read 0 from the dense literal (mirrored by the
+Determinism: the sketch hashes are per-row md5-salted buckets (see the
+constants note on the hash-family difference from the batch twin);
+empty buckets read 0 from the dense literal (mirrored by the
 oracle's LEFT JOIN + COALESCE(c, 0) — a stream token unseen in the
 frozen half can land in an untouched bucket). The threshold is
 max(1, N_frozen_tokens DIV {_HOT_DIV}) — derived from the same corpus
@@ -34,7 +35,6 @@ from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.text import SQL_MD5_LONG
 from geoparquet_python_spark.io import load_table
-from geoparquet_python_spark.operators.textanalysis import _CMS_D, _CMS_W
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
 from geoparquet_python_spark.streaming.source import (
@@ -43,6 +43,15 @@ from geoparquet_python_spark.streaming.source import (
 )
 
 _HALF_PRED = "doc_id % 2 = 0"
+# Same (depth, width) as the batch twin q_countmin_heavy_hitters
+# (operators/sketches.py). The hash FAMILY differs deliberately: the
+# batch sketch uses Kirsch–Mitzenmacher double hashing (one md5 per
+# term), while this gate salts each row independently ('cms{r}_' ||
+# term) so every row's bucket is one self-contained expression inside
+# the stream filter lambda — both families are deterministic md5 and
+# both are mirrored bit-for-bit in their oracles.
+_CMS_D = 4
+_CMS_W = 1024
 # Hot threshold = max(1, frozen-half token mass DIV _HOT_DIV): a term
 # is "hot" when the sketch attributes ≥ 0.5% of the frozen corpus's
 # token occurrences to its buckets. Mass-relative, so the rule is

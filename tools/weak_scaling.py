@@ -143,11 +143,9 @@ DEFAULT_QUERIES = [
     "q_logistic_score_auc",
     # Round-12 additions: the banding health audit (embeddings-based,
     # signature pass + 12·n-row aggregate — should be near-flat) and
-    # the CMS heavy-hitter certification (documents-based; the sketch
-    # build is a 4096-key map-side-combinable aggregate, the exact leg
-    # is the only corpus-keyed shuffle).
+    # the certified histogram quantiles (documents-based; two map-side
+    # combinable passes).
     "q_hyperplane_band_occupancy_audit",
-    "q_cms_heavy_hitters",
     "q_histogram_quantiles",
     # Round-12: the streaming ingest gates, runnable on replica corpora
     # since the layout-aware stream readers (availableNow drains — the
