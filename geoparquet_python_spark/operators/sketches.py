@@ -128,3 +128,145 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est_count"))
         .orderBy(F.col("true_count").desc(), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# GK-style quantile sketch certification (the C5 approx path, made
+# self-certifying the same way as the HLL query q_approx_distinct_parts)
+# ---------------------------------------------------------------------------
+
+_ACC = 1000  # approx_percentile accuracy => rank error <= n/_ACC
+_QTILES = [0.5, 0.9, 0.99]
+
+
+@query(
+    "q_approx_percentile_certified",
+    oracle=f"""
+    WITH per_v AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS val,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, val,
+             CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS crun
+      FROM per_v
+    ),
+    nn AS (
+      SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n FROM per_v GROUP BY flag
+    ),
+    qs AS (
+      SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _QTILES)}])
+        AS qtile
+    ),
+    tall AS (
+      SELECT cum.flag, cum.val, cum.crun, nn.n, qs.qtile
+      FROM cum JOIN nn ON cum.flag = nn.flag CROSS JOIN qs
+    ),
+    sel AS (
+      SELECT flag AS l_returnflag, qtile, n,
+             MIN(CASE WHEN crun >= CAST(ceil(qtile * n) AS BIGINT)
+                      THEN val END) AS exact_val
+      FROM tall GROUP BY flag, qtile, n
+    )
+    SELECT l_returnflag, qtile, n,
+           CAST(exact_val AS DOUBLE) AS exact_val,
+           TRUE AS within_rank_bound
+    FROM sel ORDER BY l_returnflag, qtile
+    """,
+)
+def q_approx_percentile_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's built-in Greenwald-Khanna
+    sketch (`approx_percentile`, accuracy {_ACC} => rank error
+    <= n/{_ACC}), SELF-CERTIFYING like the HLL query: the sketch's
+    answer can never hash-match DuckDB (different sketch), so the
+    plan emits the EXACT ceil-rank percentile (oracle-matchable) plus
+    an in-plan boolean asserting the sketch value lies between the
+    exact order statistics at ranks ceil((q -/+ 1/{_ACC})·n) — the
+    GK guarantee itself. A sketch drifting past its deterministic
+    rank bound turns the row into a hash MISMATCH instead of an
+    unchecked estimate.
+
+    Scale shape: the sketch is THE 100 TB quantile path — a bounded
+    O(1/eps · log(eps·n)) buffer that merges associatively, so the
+    map-side partials are partial sketches and no global sort ever
+    happens. The exact legs (certificate only) run on the DISTINCT
+    (flag, value) frame — one map-combinable aggregation, a window
+    over the per-flag value domain, never a corpus sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("val"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_v.select(
+        "flag", "val", F.sum("cnt").over(wc).cast("bigint").alias("crun")
+    )
+    nn = per_v.groupBy("flag").agg(F.sum("cnt").cast("bigint").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in _QTILES], "qtile double")
+    tall = cum.join(broadcast_narrow(nn), "flag").crossJoin(
+        broadcast_narrow(qs)
+    )
+    err = 1.0 / _ACC
+    sel = tall.groupBy(F.col("flag").alias("l_returnflag"), "qtile", "n").agg(
+        F.min(
+            F.expr("CASE WHEN crun >= CAST(ceil(qtile * n) AS BIGINT)"
+                   " THEN val END")
+        ).alias("exact_val"),
+        F.min(
+            F.expr(
+                f"CASE WHEN crun >= greatest(1L,"
+                f" CAST(floor((qtile - {err}) * n) AS BIGINT)) THEN val END"
+            )
+        ).alias("vlo"),
+        F.min(
+            F.expr(
+                f"CASE WHEN crun >= least(n,"
+                f" CAST(ceil((qtile + {err}) * n) AS BIGINT)) THEN val END"
+            )
+        ).alias("vhi"),
+    )
+    est = (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice,"
+                f" array({', '.join(str(q) for q in _QTILES)}), {_ACC})"
+            ).alias("e")
+        )
+        .select(
+            "flag",
+            F.explode(
+                F.expr(
+                    "arrays_zip(array("
+                    + ", ".join(f"CAST({q} AS DOUBLE)" for q in _QTILES)
+                    + "), e)"
+                )
+            ).alias("z"),
+        )
+        .select(
+            "flag", F.col("z.0").alias("qtile"), F.col("z.e").alias("est")
+        )
+    )
+    return (
+        sel.join(
+            est,
+            (sel.l_returnflag == est.flag) & (sel.qtile == est.qtile),
+        )
+        .select(
+            "l_returnflag",
+            sel.qtile.alias("qtile"),
+            "n",
+            F.col("exact_val").cast("double").alias("exact_val"),
+            (
+                (F.col("est") >= F.col("vlo")) & (F.col("est") <= F.col("vhi"))
+            ).alias("within_rank_bound"),
+        )
+        .orderBy("l_returnflag", "qtile")
+    )
