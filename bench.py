@@ -125,6 +125,13 @@ HEADLINE = [
     # regression queries share q_logistic_quality_model's machinery.
     "q_conformal_interval_coverage",
     "q_huber_robust_model",
+    # Round-12 continuation: isotonic recalibration (the PAV minimax
+    # on top of the full logistic pipeline — the calibration family's
+    # heaviest representative; the ECE query shares its probs pass and
+    # stays correctness-registered) and the GK-certified percentile
+    # (the C5 sketch path with its exact-order-statistic certificate).
+    "q_isotonic_calibration",
+    "q_approx_percentile_certified",
 ]
 
 

@@ -189,3 +189,78 @@ def test_pyds_filter_pushdown_narrows_generation(spark):
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
     assert pushed == 200
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout (operators/hilbert.py)
+# ---------------------------------------------------------------------------
+
+
+def _ref_xy2d(n: int, x: int, y: int) -> int:
+    """Independent reference: the classic bit-op xy2d (full-grid n-1
+    reflection), kept deliberately different in style from the SQL
+    chain (bit tests + tuple swap vs DIV/% + CASE)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_curve_is_a_true_hilbert_curve():
+    """Bijection + unit-step adjacency on the full 16x16 grid — the
+    defining properties of a Hilbert curve — for the reference the
+    SQL chain is tested against below."""
+    n = 16
+    cells = {}
+    for x in range(n):
+        for y in range(n):
+            cells[_ref_xy2d(n, x, y)] = (x, y)
+    assert len(cells) == n * n
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = cells[d], cells[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_spark_hilbert_chain_matches_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.operators.hilbert import (
+        _QX,
+        _QY,
+        _spark_hilbert,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    base = d.select(
+        "c_custkey",
+        F.expr(_QX.format(div="DIV")).alias("x0"),
+        F.expr(_QY.format(div="DIV")).alias("y0"),
+        F.lit(0).alias("d0"),
+        F.expr(_QX.format(div="DIV")).alias("qx"),
+        F.expr(_QY.format(div="DIV")).alias("qy"),
+    )
+    rows = _spark_hilbert(base, ["qx", "qy"]).collect()
+    assert rows
+    for r in rows:
+        assert r.hval == _ref_xy2d(256, r.qx, r.qy)
+
+
+def test_hilbert_beats_morton_on_file_skipping(spark, sf_dir):
+    from geoparquet_python_spark.operators.hilbert import (
+        q_curve_file_skipping,
+    )
+
+    rows = {r.curve: r for r in q_curve_file_skipping(spark, sf_dir).collect()}
+    assert set(rows) == {"hilbert", "morton"}
+    assert rows["hilbert"].n_files == rows["morton"].n_files
+    # The Moon et al. clustering result, as an executable assertion.
+    assert rows["hilbert"].files_hit < rows["morton"].files_hit
+    assert rows["hilbert"].rows_scanned < rows["morton"].rows_scanned

@@ -155,6 +155,15 @@ DEFAULT_QUERIES = [
     "q_stream_bloom_dedup_gate",
     "q_stream_neardup_screen",
     "q_stream_hot_term_gate",
+    # Round-12 continuation: calibration (rides the logistic pipeline
+    # + a 20-row bin grid — should match the IRLS queries' band) and
+    # the DP release (one count aggregate + O(|langs|) decoration —
+    # flat by construction). q_approx_percentile_certified is
+    # lineitem-based (not replicated here) and stays in the bench
+    # headline instead.
+    "q_calibration_bins_ece",
+    "q_isotonic_calibration",
+    "q_dp_noisy_counts",
 ]
 
 COPIES = int(os.environ.get("WEAK_COPIES", "8"))
