@@ -187,10 +187,10 @@ def q_cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_ab_welch_readout",
-    oracle=f"""
-    WITH per_user AS (
+# Shared oracle CTE chain: per-variant exact moments -> (n, sum,
+# mean, s2) — the SQL mirror of _variant_stats below, spliced into
+# the Welch and mSPRT oracles.
+_SQL_VARIANT_STATS = f"""per_user AS (
       SELECT user_id,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) % 2 AS variant,
@@ -213,33 +213,13 @@ def q_cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CAST(syy AS DOUBLE)
               - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS s2
       FROM v
-    )
-    SELECT a.n AS n0, b.n AS n1,
-           a.sy AS sum_cents0, b.sy AS sum_cents1,
-           a.mean AS mean0, b.mean AS mean1,
-           b.mean - a.mean AS effect,
-           (b.mean - a.mean)
-             / sqrt(a.s2 / a.n + b.s2 / b.n) AS welch_t,
-           CAST(a.n - b.n AS DOUBLE) * (a.n - b.n) / (a.n + b.n)
-             AS srm_chi2
-    FROM w a JOIN w b ON a.variant = 0 AND b.variant = 1
-    """,
-)
-def q_ab_welch_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row A/B readout for the md5-parity experiment: per-variant
-    user counts and post-period means, the effect, the Welch
-    t-statistic (unequal-variance form — the platform default), and
-    the sample-ratio-mismatch chi-square for the 50/50 design (SRM is
-    the first guardrail every readout checks: an imbalanced split
-    means the assignment itself is broken and no metric below it can
-    be trusted).
+    )"""
 
-    Exactness mirrors CUPED: counts/sums int64, Σy² in DECIMAL(38,0);
-    mean/variance/t are correctly-rounded double ops on those exact
-    integers, identical in the oracle. Plan: one user-keyed
-    conditional aggregate, a 2-group rollup, and a self-join of two
-    one-row frames — after the user aggregate everything is
-    row-sized at any event volume."""
+
+def _variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant (n, sum, mean, sample variance) of post-period user
+    cents under the md5-parity assignment — the shared moment frame
+    behind the Welch and mSPRT readouts (2 rows)."""
     e = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
     per_user = e.groupBy("user_id").agg(
@@ -274,7 +254,42 @@ def q_ab_welch_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("syy").cast("double")
         - F.col("sy").cast("double") * F.col("sy") / F.col("n")
     ) / (F.col("n") - 1)
-    w = v.select("variant", "n", "sy", mean.alias("mean"), s2.alias("s2"))
+    return v.select("variant", "n", "sy", mean.alias("mean"), s2.alias("s2"))
+
+
+@query(
+    "q_ab_welch_readout",
+    oracle=f"""
+    WITH {_SQL_VARIANT_STATS}
+    SELECT a.n AS n0, b.n AS n1,
+           a.sy AS sum_cents0, b.sy AS sum_cents1,
+           a.mean AS mean0, b.mean AS mean1,
+           b.mean - a.mean AS effect,
+           (b.mean - a.mean)
+             / sqrt(a.s2 / a.n + b.s2 / b.n) AS welch_t,
+           CAST(a.n - b.n AS DOUBLE) * (a.n - b.n) / (a.n + b.n)
+             AS srm_chi2
+    FROM w a JOIN w b ON a.variant = 0 AND b.variant = 1
+    """,
+)
+
+
+def q_ab_welch_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row A/B readout for the md5-parity experiment: per-variant
+    user counts and post-period means, the effect, the Welch
+    t-statistic (unequal-variance form — the platform default), and
+    the sample-ratio-mismatch chi-square for the 50/50 design (SRM is
+    the first guardrail every readout checks: an imbalanced split
+    means the assignment itself is broken and no metric below it can
+    be trusted).
+
+    Exactness mirrors CUPED: counts/sums int64, Σy² in DECIMAL(38,0);
+    mean/variance/t are correctly-rounded double ops on those exact
+    integers, identical in the oracle. Plan: one user-keyed
+    conditional aggregate, a 2-group rollup, and a self-join of two
+    one-row frames — after the user aggregate everything is
+    row-sized at any event volume."""
+    w = _variant_stats(spark, sf_dir)
     a = w.where(F.col("variant") == 0).select(
         F.col("n").alias("n0"),
         F.col("sy").alias("sum_cents0"),
@@ -495,4 +510,80 @@ def q_bootstrap_effect_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "effect_lo_micro",
         "effect_hi_micro",
         "n_replicates",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Always-valid sequential readout: mixture SPRT (mSPRT)
+# ---------------------------------------------------------------------------
+
+_TAU2 = 2500.0  # normal-mixture prior scale tau = 50 cents
+# Shared-text double chain over the one-row joined frame exposing
+# n0 n1 mean0 mean1 s20 s21 (exact-moment-derived doubles).
+_EFF = "(mean1 - mean0)"
+_VHAT = "(s20 / n0 + s21 / n1)"
+_LNL = (
+    f"(0.5 * ln({_VHAT} / ({_VHAT} + {_TAU2}))"
+    f" + (({_EFF} * {_EFF}) * {_TAU2})"
+    f" / ((2.0 * {_VHAT}) * ({_VHAT} + {_TAU2})))"
+)
+_LNL_Q = f"round({_LNL}, 6)"
+_AVP = f"round(least(1.0, exp(-{_LNL_Q})), 6)"
+
+
+@query(
+    "q_sequential_msprt_readout",
+    oracle=f"""
+    WITH {_SQL_VARIANT_STATS},
+    j AS (
+      SELECT a.n AS n0, b.n AS n1, a.mean AS mean0, b.mean AS mean1,
+             a.s2 AS s20, b.s2 AS s21
+      FROM w a JOIN w b ON a.variant = 0 AND b.variant = 1
+    )
+    SELECT n0, n1, {_EFF} AS effect, {_VHAT} AS vhat,
+           {_LNL_Q} AS log_lambda,
+           {_AVP} AS always_valid_p,
+           ({_AVP} <= 0.05) AS reject_5pct
+    FROM j
+    """,
+)
+def q_sequential_msprt_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B readout via the mixture SPRT
+    (Johari, Koomen, Pekelis, Walsh — "Peeking at A/B Tests", KDD
+    2017): the likelihood ratio of the observed effect under a
+    N(0, tau^2) effect mixture vs the null,
+    ln(Lambda) = 0.5*ln(V/(V+tau^2)) + effect^2*tau^2/(2V(V+tau^2))
+    with V the Welch plug-in variance of the effect, and the
+    always-valid p-value min(1, 1/Lambda). Unlike the fixed-horizon
+    Welch t (q_ab_welch_readout, whose moment frame this shares),
+    this p-value stays valid under CONTINUOUS MONITORING — the
+    experimentation-platform default, where dashboards are peeked at
+    after every ingest batch.
+
+    Exactness: the moment frame is exact int64/decimal; ln/exp are
+    the transcendentals, rounded to the 1e-6 grid (the sigmoid
+    precedent) with the p derived from the ROUNDED log-LR so both
+    engines share every downstream comparison. Plan: one user-keyed
+    conditional aggregate + a 2-row rollup + one-row math — the
+    sequential correction costs nothing over the fixed-horizon
+    readout at any event volume."""
+    w = _variant_stats(spark, sf_dir)
+    a = w.where(F.col("variant") == 0).select(
+        F.col("n").alias("n0"),
+        F.col("mean").alias("mean0"),
+        F.col("s2").alias("s20"),
+    )
+    b = w.where(F.col("variant") == 1).select(
+        F.col("n").alias("n1"),
+        F.col("mean").alias("mean1"),
+        F.col("s2").alias("s21"),
+    )
+    return a.crossJoin(b).select(
+        "n0",
+        "n1",
+        F.expr(_EFF).alias("effect"),
+        F.expr(_VHAT).alias("vhat"),
+        F.expr(_LNL_Q).alias("log_lambda"),
+        F.expr(_AVP).alias("always_valid_p"),
+        F.expr(f"({_AVP} <= 0.05)").alias("reject_5pct"),
     )

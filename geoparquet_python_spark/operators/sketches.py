@@ -193,20 +193,46 @@ def q_approx_percentile_certified(spark: SparkSession, sf_dir: str) -> DataFrame
     O(1/eps · log(eps·n)) buffer that merges associatively, so the
     map-side partials are partial sketches and no global sort ever
     happens. The exact legs (certificate only) run on the DISTINCT
-    (flag, value) frame — one map-combinable aggregation, a window
-    over the per-flag value domain, never a corpus sort."""
+    (flag, value) frame — one map-combinable aggregation, then the
+    house TWO-PHASE rank (value-bucket shards -> shard-count offsets
+    -> per-shard cumulative window), so the cumulative count has
+    parallelism = flags x value buckets, not |flags| single-partition
+    windows. The oracle keeps the plain per-flag window (fine
+    single-node)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_v = li.groupBy(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("val"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    wc = (
+    sh = per_v.withColumn(
+        "vshard", F.expr("CAST(floor(val / 1024.0) AS BIGINT)")
+    )
+    sizes = sh.groupBy("flag", "vshard").agg(F.sum("cnt").alias("scnt"))
+    woff = (
         Window.partitionBy("flag")
+        .orderBy("vshard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "flag",
+        "vshard",
+        F.coalesce(F.sum("scnt").over(woff), F.lit(0).cast("bigint")).alias(
+            "offset"
+        ),
+    )
+    wrun = (
+        Window.partitionBy("flag", "vshard")
         .orderBy("val")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = per_v.select(
-        "flag", "val", F.sum("cnt").over(wc).cast("bigint").alias("crun")
+    cum = (
+        sh.withColumn("run", F.sum("cnt").over(wrun))
+        .join(broadcast_narrow(offsets), ["flag", "vshard"])
+        .select(
+            "flag",
+            "val",
+            (F.col("offset") + F.col("run")).cast("bigint").alias("crun"),
+        )
     )
     nn = per_v.groupBy("flag").agg(F.sum("cnt").cast("bigint").alias("n"))
     qs = spark.createDataFrame([(q,) for q in _QTILES], "qtile double")

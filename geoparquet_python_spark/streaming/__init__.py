@@ -3,6 +3,7 @@
 import geoparquet_python_spark.streaming.anomaly  # noqa: F401
 import geoparquet_python_spark.streaming.bloomgate  # noqa: F401
 import geoparquet_python_spark.streaming.cmsgate  # noqa: F401
+import geoparquet_python_spark.streaming.dprelease  # noqa: F401
 import geoparquet_python_spark.streaming.dsirgate  # noqa: F401
 import geoparquet_python_spark.streaming.learnedgate  # noqa: F401
 import geoparquet_python_spark.streaming.neardup  # noqa: F401

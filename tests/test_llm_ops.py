@@ -2134,3 +2134,30 @@ def test_semdedup_two_level_subset_of_single_level(spark, sf_dir):
     for r in two:
         assert r["dup_of"] < r["vec_id"]
         assert r["cos_micro"] >= 350_000  # tau = 0.35 in micro-units
+
+
+def test_msprt_matches_numpy_mixture_lr(spark, sf_dir_small):
+    """log_lambda / always_valid_p must equal the Johari et al.
+    normal-mixture likelihood ratio recomputed in numpy from the
+    Welch readout's own moments (which the oracle gate proves exact),
+    and the p-value must be valid (in (0, 1])."""
+    import math
+
+    r = registry.QUERIES["q_ab_welch_readout"](spark, sf_dir_small).collect()[0]
+    m = registry.QUERIES["q_sequential_msprt_readout"](
+        spark, sf_dir_small
+    ).collect()[0]
+    assert (m.n0, m.n1) == (r.n0, r.n1)
+    assert abs(m.effect - (r.mean1 - r.mean0)) < 1e-9
+    # Reconstruct V from welch_t: V = (effect / t)^2.
+    vhat = (r.effect / r.welch_t) ** 2
+    assert abs(m.vhat - vhat) < 1e-6 * max(1.0, vhat)
+    tau2 = 2500.0
+    lnl = 0.5 * math.log(m.vhat / (m.vhat + tau2)) + (
+        m.effect * m.effect * tau2
+    ) / (2.0 * m.vhat * (m.vhat + tau2))
+    assert abs(m.log_lambda - lnl) < 2e-6
+    p = min(1.0, math.exp(-round(lnl, 6)))
+    assert abs(m.always_valid_p - p) < 2e-6
+    assert 0.0 < m.always_valid_p <= 1.0
+    assert m.reject_5pct == (m.always_valid_p <= 0.05)

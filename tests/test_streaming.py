@@ -559,3 +559,26 @@ def test_stream_hot_term_gate_planted_hot_term(spark, tmp_path):
     for r in rows.values():
         assert 0 <= r.n_hot <= r.n_tokens
         assert r.hot_ppm == (1_000_000 * r.n_hot) // r.n_tokens
+
+
+def test_stream_dp_release_noise_and_certs(spark, sf_dir_small):
+    """The streamed DP release must certify every cell's tail bound,
+    actually perturb the counts (mechanism on), and keep the batch
+    tumbling counts reconstructable only to within the noise scale."""
+    from geoparquet_python_spark.registry import QUERIES
+
+    rel = {
+        (r.window_start, r.event_type): r
+        for r in QUERIES["q_stream_dp_release"](spark, sf_dir_small).collect()
+    }
+    exact = {
+        (r.window_start, r.event_type): r.n
+        for r in QUERIES["q_stream_tumbling_counts"](
+            spark, sf_dir_small
+        ).collect()
+    }
+    assert set(rel) == set(exact)
+    assert all(r.tail_ok for r in rel.values())
+    devs = [abs(rel[k].noisy_count - exact[k]) for k in rel]
+    assert max(devs) > 1e-9, "mechanism added no noise"
+    assert max(devs) <= 27.0
