@@ -19,9 +19,10 @@ key, (`ts`, `event_id`) the total op order, `error` the tombstone op,
 everything else an upsert carrying `value`.
 
 Spark-first shape / scale:
-- each side compacts with ONE window (row_number over user_id,
-  ordered (ts, event_id) desc) — a single shuffle of the changelog on
-  its key, map-side-combinable count riding the same partitioning;
+- each side compacts with ONE hash aggregate (count + max_by ordered
+  on the unique (ts, event_id) pair) — a single shuffle of the
+  changelog on its key, and since r12 the last-op pick is a
+  map-side-combinable aggregate like the count (no window sort);
 - the merge is one full-outer equi-join on that same key: with both
   sides hash-partitioned on user_id, AQE reuses the exchange — the
   fact table moves once per side, total;
@@ -35,7 +36,7 @@ carried doubles, never re-accumulated — bit-identical on any engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.io import load_table
@@ -47,18 +48,31 @@ _TOMBSTONE = "error"
 
 def _compact(e: DataFrame) -> DataFrame:
     """Last-op-wins compaction of a changelog slice: one row per
-    user_id with the final op and an op count."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    user_id with the final op and an op count.
+
+    Optimization r12 (guide §2.3): last-op selection as ONE max_by
+    aggregate ordered on struct(ts, event_id) — the same deterministic
+    total order the oracle spells with row_number (the equivalence the
+    streaming OHLC twin certifies against a shared oracle). vs the
+    previous row_number window + groupBy: the per-partition sort
+    disappears and the aggregate gains map-side partials, so the
+    user_id exchange carries one partial row per key per map task
+    instead of the whole changelog slice."""
+    last = F.max_by(
+        F.struct("event_type", "value", "ts"), F.struct("ts", "event_id")
     )
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .groupBy("user_id")
+        e.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_ops"),
-            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("op"),
-            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("value"),
-            F.max(F.when(F.col("rn") == 1, F.col("ts"))).alias("ts"),
+            last.alias("_last"),
+        )
+        .select(
+            "user_id",
+            "n_ops",
+            F.col("_last.event_type").alias("op"),
+            F.col("_last.value").alias("value"),
+            F.col("_last.ts").alias("ts"),
         )
     )
 

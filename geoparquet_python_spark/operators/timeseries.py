@@ -19,10 +19,11 @@ Scale shape (100 TB lens):
   aggregate: grid size is (span / step) per key, never events × grid
   (no cross join). Forward fill is one pass of last(ignorenulls) —
   running state, not a self-join per gap.
-- "Last observation in bucket" uses a row_number tie-break on
-  (ts, event_id) — event_id is unique, so re-runs and repartitions
-  pick the same row (determinism contract, registry.py), and the
-  identical window is spelled in the DuckDB oracle.
+- "Last observation in bucket" picks the row with the greatest
+  (ts, event_id) pair — event_id is unique, so re-runs and
+  repartitions pick the same row (determinism contract, registry.py).
+  Since r12 it is a max_by aggregate (map-side combinable, no window
+  sort); the DuckDB oracle spells the same total order as row_number.
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import broadcast_narrow
+from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -97,21 +98,30 @@ def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    rz = Window.partitionBy("user_id", "h").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    b = (
-        e.withColumn("rz", F.row_number().over(rz))
-        .groupBy("user_id", "h")
-        .agg(
+    # Optimization r12 (guide §2.3/§2.4): "last event in bucket" as a
+    # max_by aggregate ordered on struct(ts, event_id) — the SAME
+    # deterministic total order the oracle spells with row_number (the
+    # streaming OHLC twin q_stream_ohlc_hourly has used this exact
+    # equivalence against a shared row_number oracle since round 5).
+    # vs the previous row_number-window + groupBy: the window's
+    # per-partition sort disappears and the aggregate gains MAP-SIDE
+    # partial aggregation, so the (user_id, h) exchange carries one
+    # partial row per bucket per map task instead of every event.
+    b = materialize(
+        e.groupBy("user_id", "h").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.max(F.when(F.col("rz") == 1, F.col("value"))).alias(
+            F.max_by("value", F.struct("ts", "event_id")).alias(
                 "last_in_bucket"
             ),
         )
     )
+    # Per-user span from the BUCKET frame, not a second events scan:
+    # min/max of h over (user_id, h) rows equals min/max over events
+    # (every event lands in its bucket). b is materialized so the scan
+    # and bucket aggregation run ONCE for both consumers — the plan
+    # drops from two full events scans to one.
     grid = (
-        e.groupBy("user_id")
+        b.groupBy("user_id")
         .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
         .select(
             "user_id",
@@ -186,18 +196,23 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    wkey = Window.partitionBy("event_type", "h")
-    ra = wkey.orderBy(F.col("ts"), F.col("event_id"))
-    rz = wkey.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    # Optimization r12 (guide §2.3): open/close via min_by/max_by on
+    # struct(ts, event_id) — the exact formulation the STREAMING twin
+    # q_stream_ohlc_hourly below has always used against this same
+    # shared row_number oracle, so the equivalence is already
+    # oracle-certified. vs the previous two row_number windows: both
+    # per-partition sorts disappear and the whole rollup becomes ONE
+    # hash aggregate with map-side partials — the (event_type, h)
+    # exchange now carries one partial row per bucket per map task
+    # instead of every event twice through a window sort.
+    ordk = F.struct("ts", "event_id")
     return (
-        e.withColumn("ra", F.row_number().over(ra))
-        .withColumn("rz", F.row_number().over(rz))
-        .groupBy("event_type", F.col("h").alias("bucket"))
+        e.groupBy("event_type", F.col("h").alias("bucket"))
         .agg(
-            F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+            F.min_by("value", ordk).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max(F.when(F.col("rz") == 1, F.col("value"))).alias("close"),
+            F.max_by("value", ordk).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(38,6)"))
             .cast("double")

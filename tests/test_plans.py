@@ -80,6 +80,16 @@ ONE_ROW_BNLJ_BUDGET = {
     # Huber: model onto residuals, n onto the cumulative frame, the
     # data-driven k onto the weighted lattice + the final select
     "q_huber_robust_model": 4,
+    # round 12 continuation (the pair joined the headline mid-build;
+    # budgets added when optimization round 1 made the tree green):
+    # isotonic PAV — the interval self-join (jrk >= irk) over the
+    # MATERIALIZED <=20-row bin frame: build side is B<=20 rows by
+    # construction (score bins), so the nested loop is O(B^2)=210
+    # comparisons total, constant in corpus size
+    "q_isotonic_calibration": 1,
+    # certified GK percentile — the crossJoin of the 3-row literal
+    # quantile-fraction frame onto the distinct-value cumulative frame
+    "q_approx_percentile_certified": 1,
 }
 
 
