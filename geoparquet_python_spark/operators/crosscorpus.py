@@ -260,12 +260,22 @@ def q_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= _JACCARD_T)
     )
-    wb = Window.partitionBy("new_id").orderBy(
-        F.col("jaccard").desc(), "frozen_id"
+    # Optimization r12 (guide §2.3): best-match-per-new-doc as one
+    # max_by aggregate ordered on (jaccard, -frozen_id) — the same
+    # total order the row_number window spelled (jaccard DESC,
+    # frozen_id ASC; frozen_id unique per candidate so no ties). The
+    # window's per-partition sort of the candidate frame disappears
+    # and the new_id exchange carries map-side partials.
+    best = scored.groupBy("new_id").agg(
+        F.max_by(
+            F.struct(F.col("frozen_id"), F.col("jaccard")),
+            F.struct(F.col("jaccard"), (-F.col("frozen_id")).alias("nf")),
+        ).alias("_b")
+    ).select(
+        "new_id",
+        F.col("_b.frozen_id").alias("frozen_id"),
+        F.col("_b.jaccard").alias("jaccard"),
     )
-    best = scored.select(
-        "new_id", "frozen_id", "jaccard", F.row_number().over(wb).alias("rn")
-    ).where(F.col("rn") == 1)
     return (
         d.where(F.expr("doc_id % 2 = 1"))
         .select("doc_id")

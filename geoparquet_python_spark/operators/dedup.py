@@ -1136,19 +1136,26 @@ def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + mwl / 8.0 * 0.2
     q = d.select("doc_id", quality.alias("quality"))
     joined = clusters.join(q, "doc_id")
-    w = Window.partitionBy("cluster_rep")
-    wr = Window.partitionBy("cluster_rep").orderBy(
-        F.col("quality").desc(), F.col("doc_id")
+    # Optimization r12 (guide §2.3): argmax-per-cluster as ONE max_by
+    # aggregate ordered on (quality, -doc_id) — the same total order
+    # the two windows spelled (quality DESC, doc_id ASC; doc_id is
+    # unique so there are no ties). Replaces a count window + a
+    # row_number window (two per-partition sorts of the membership
+    # frame) with a single hash aggregate that partial-aggregates
+    # map-side, so the cluster_rep exchange carries one partial row
+    # per cluster per map task instead of every member twice.
+    best = F.max_by(
+        F.struct(F.col("doc_id"), F.col("quality")),
+        F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd")),
     )
     return (
-        joined.withColumn("n_members", F.count(F.lit(1)).over(w))
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") == 1)
+        joined.groupBy("cluster_rep")
+        .agg(F.count(F.lit(1)).alias("n_members"), best.alias("_b"))
         .select(
             "cluster_rep",
-            F.col("doc_id").alias("canonical_doc"),
+            F.col("_b.doc_id").alias("canonical_doc"),
             "n_members",
-            "quality",
+            F.col("_b.quality").alias("quality"),
         )
         .orderBy("cluster_rep")
     )

