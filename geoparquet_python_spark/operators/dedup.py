@@ -1218,8 +1218,13 @@ def _sql_simhash_wide_cte() -> str:
 
 def _simhash_wide_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sim_lo, sim_hi) 120-bit SimHash: one explode + one
-    groupBy with 120 int sums — still a single doc_id shuffle; the
-    only extra cost vs 60-bit is arithmetic width."""
+    doc_id shuffle of the narrow hashed rows, then the shared numpy
+    bit-count/pack kernel (mapInArrow) — the r12 rewrite applied to
+    the 240-bit production form first (see _simhash_w240_signatures
+    for the measurement: the N-sum SQL aggregate cannot whole-stage-
+    codegen past ~100 fields, so its 121 interpreted buffers were the
+    stage's cost; the kernel computes the identical integer counts
+    and majority packing, asserted bit-identical)."""
     d = load_table(spark, sf_dir, "documents")
     words = spread(
         d.select("doc_id", F.array_distinct(tokens("text")).alias("ws"))
@@ -1231,33 +1236,9 @@ def _simhash_wide_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hhi"),
     )
-    # Branch-free bit sums (see _simhash_signatures: sign(2*c1 - n) ≡
-    # sign(Σ ±1), 4x cheaper than the CASE WHEN ±1 form — measured
-    # 4.2 s -> 0.9 s at sf0.1 for this 120-sum aggregation). The whole
-    # sum+pack stage is ONE spark.sql call over a temp view: building
-    # the 120 agg Columns + 120-term pack trees as Python Column
-    # objects cost ~2 s of py4j round-trips PER PLAN BUILD (the r7
-    # memory: ~1-2 s per 1000 py4j calls); a ~25 KB SQL string parses
-    # JVM-side in one call. DataFrames analyze eagerly, so the
-    # returned frame is immune to later view replacement.
-    hashed.createOrReplaceTempView("__sg_w120_hashed")
-    sums = ", ".join(
-        f"SUM((({col} >> {b}) & 1)) AS {half}{b}"
-        for col, half in (("hlo", "lo"), ("hhi", "hi"))
-        for b in range(60)
-    )
-    packs = ", ".join(
-        "CAST("
-        + " + ".join(
-            f"CASE WHEN {half}{b} * 2 > nw THEN {1 << b}L ELSE 0L END"
-            for b in range(60)
-        )
-        + f" AS BIGINT) AS sim_{half}"
-        for half in ("lo", "hi")
-    )
-    return spark.sql(
-        f"SELECT doc_id, {packs} FROM (SELECT doc_id, COUNT(1) AS nw, "
-        f"{sums} FROM __sg_w120_hashed GROUP BY doc_id)"
+    return hashed.repartition("doc_id").mapInArrow(
+        _sig_bitcount_kernel(("hlo", "hhi"), ("sim_lo", "sim_hi")),
+        "doc_id bigint, sim_lo bigint, sim_hi bigint",
     )
 
 
@@ -1498,11 +1479,76 @@ def _sql_simhash_w240_cte() -> str:
     )"""
 
 
+_W240_HASH_COLS = ("s1lo_h", "s1hi_h", "s2lo_h", "s2hi_h")
+
+
+def _sig_bitcount_kernel(hash_cols: tuple[str, ...], out_cols: tuple[str, ...]):
+    """mapInArrow kernel factory for wide-SimHash signature
+    aggregation (shared by the 120- and 240-bit builders): per task,
+    accumulate per-doc bit-position counts over all batches
+    (vectorized numpy shift/mask + a pandas groupby-sum — no Python
+    row loop), then emit each doc's packed 60-bit words with the
+    EXACT integer majority rule the SQL form spelled
+    (bit b set iff 2·count_b > n_words). The caller repartitions by
+    doc_id, so every doc's rows land wholly in one task and the
+    packing here is final, not partial."""
+
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        acc = None
+        shifts = np.arange(60, dtype=np.int64)
+        for batch in it:
+            doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mats = [
+                (
+                    batch.column(c)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[:, None]
+                    >> shifts
+                )
+                & 1
+                for c in hash_cols
+            ]
+            df = pd.DataFrame(np.hstack(mats))
+            df.insert(0, "nw", 1)
+            df.insert(0, "doc_id", doc)
+            part = df.groupby("doc_id", sort=False).sum()
+            acc = part if acc is None else acc.add(part, fill_value=0)
+        if acc is None:
+            return
+        nw = acc["nw"].to_numpy().astype(np.int64)
+        cnt = acc.drop(columns=["nw"]).to_numpy().astype(np.int64)
+        out = {"doc_id": acc.index.to_numpy().astype(np.int64)}
+        for k, name in enumerate(out_cols):
+            blk = cnt[:, k * 60 : (k + 1) * 60]
+            out[name] = (
+                (((blk * 2) > nw[:, None]).astype(np.int64) << shifts)
+            ).sum(axis=1)
+        yield pa.RecordBatch.from_pydict(out)
+
+    return kernel
+
+
 def _simhash_w240_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s1lo, s1hi, s2lo, s2hi) 240-bit SimHash: one explode +
-    one groupBy with 240 int sums — still a single doc_id shuffle; the
-    extra cost vs 120-bit is a second md5 per token and arithmetic
-    width."""
+    one doc_id shuffle of the NARROW hashed rows (doc_id + 4 longs),
+    then a vectorized numpy bit-count/pack per task (mapInArrow).
+
+    Optimization r12 (guide §4.2): the previous form aggregated 240
+    separate SUM((h >> b) & 1) columns in SQL — a 241-buffer hash
+    aggregate that Spark cannot whole-stage-codegen (measured: WSCG
+    span count 0 at any codegen.maxFields; the interpreted agg cost
+    ~1.3 s of the query's 2.5 s wall at sf0.1). Handing whole Arrow
+    batches to numpy (shift/mask over an (n, 240) matrix + one
+    groupby-sum) computes the identical integer bit counts and packs
+    the same majority-rule words — asserted bit-identical against the
+    SQL form (exceptAll both ways = 0 rows) and re-certified by the
+    brute-force oracle. Shuffle trade at 100 TB: the exchange carries
+    (doc_id, 4 longs) word rows instead of 240-long partial buffers —
+    narrow metadata rows, the §8 'decide with small rows' shape."""
     d = load_table(spark, sf_dir, "documents")
     words = spread(
         d.select("doc_id", F.array_distinct(tokens("text")).alias("ws"))
@@ -1519,30 +1565,9 @@ def _simhash_w240_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s2hi_h"),
     )
-    # One spark.sql call for the 240-sum + 240-term-pack stage (same
-    # rationale as _simhash_wide_signatures above, 2× the width): the
-    # Python-Column form of this aggregation was ~4.2 s of py4j plan
-    # building per invocation — the bulk of the query's r7 bench wall
-    # (6.7 s total, 0.7 s execution). Bit-identical output asserted
-    # against the Column form before the swap (round-8).
-    hashed.createOrReplaceTempView("__sg_w240_hashed")
-    sums = ", ".join(
-        f"SUM((({c}_h >> {b}) & 1)) AS {c}_{b}"
-        for c in _W240_COLS
-        for b in range(60)
-    )
-    packs = ", ".join(
-        "CAST("
-        + " + ".join(
-            f"CASE WHEN {c}_{b} * 2 > nw THEN {1 << b}L ELSE 0L END"
-            for b in range(60)
-        )
-        + f" AS BIGINT) AS {c}"
-        for c in _W240_COLS
-    )
-    return spark.sql(
-        f"SELECT doc_id, {packs} FROM (SELECT doc_id, COUNT(1) AS nw, "
-        f"{sums} FROM __sg_w240_hashed GROUP BY doc_id)"
+    return hashed.repartition("doc_id").mapInArrow(
+        _sig_bitcount_kernel(_W240_HASH_COLS, _W240_COLS),
+        "doc_id bigint, s1lo bigint, s1hi bigint, s2lo bigint, s2hi bigint",
     )
 
 

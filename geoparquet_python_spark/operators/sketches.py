@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.text import SQL_MD5_LONG, md5_long, tokens
-from geoparquet_python_spark.functions.exact import broadcast_narrow
+from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
 from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.registry import query
 
@@ -200,10 +200,21 @@ def q_approx_percentile_certified(spark: SparkSession, sf_dir: str) -> DataFrame
     windows. The oracle keeps the plain per-flag window (fine
     single-node)."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_v = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("val"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # Optimization r12 (guide §2.4): the distinct-value frame feeds
+    # FOUR consumers (the shard sizes, the per-shard cumulative
+    # window, the per-flag totals, and — through them — the
+    # certificate join); unmaterialized, each branch re-ran the
+    # lineitem scan + the (flag, val) aggregation, so one query paid
+    # four corpus passes plus the sketch pass. materialize pins the
+    # aggregation's output (the distinct-value frame — orders smaller
+    # than the corpus) so the exact legs cost ONE corpus pass total;
+    # the GK sketch leg keeps its own (second, and last) pass.
+    per_v = materialize(
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("val"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
     sh = per_v.withColumn(
         "vshard", F.expr("CAST(floor(val / 1024.0) AS BIGINT)")
     )
