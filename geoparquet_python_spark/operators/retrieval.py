@@ -760,12 +760,26 @@ def q_phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "phrase")
         .limit(_N_PHRASES)
     )
+    # Optimization r12: materialize the 5-row phrase frame so its
+    # vocab²-bounded aggregate runs ONCE (it feeds three consumers —
+    # unmaterialized, each re-ran the groupBy+TakeOrdered over the
+    # checkpointed bigram frame), and probe the token explode with the
+    # broadcast ≤2·N_PHRASES-token set BEFORE the distinct: only
+    # w1/w2 tokens of the top phrases can contribute to the AND counts,
+    # so filter-then-distinct ≡ distinct-then-filter while the
+    # distinct's exchange carries matching tokens instead of the whole
+    # corpus (doc, token) domain (guide §2.3). Measured bench-neutral
+    # at sf0.1 (1.59–1.84 s band for all variants, interleaved A/B —
+    # the local wall is the two corpus passes, not this exchange);
+    # exceptAll both ways = 0 rows, MATCH[hash] at all three SFs.
     t5 = broadcast_narrow(
-        top.select(
-            "phrase",
-            "n_occurrences",
-            F.split("phrase", " ")[0].alias("w1"),
-            F.split("phrase", " ")[1].alias("w2"),
+        materialize(
+            top.select(
+                "phrase",
+                "n_occurrences",
+                F.split("phrase", " ")[0].alias("w1"),
+                F.split("phrase", " ")[1].alias("w2"),
+            )
         )
     )
     pd_ = (
@@ -773,7 +787,14 @@ def q_phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase")
         .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs_phrase"))
     )
-    tw = tok.select("doc_id", F.explode("t").alias("w")).distinct()
+    wset = broadcast_narrow(
+        t5.select(F.explode(F.array("w1", "w2")).alias("w")).distinct()
+    )
+    tw = (
+        tok.select("doc_id", F.explode("t").alias("w"))
+        .join(wset, "w")
+        .distinct()
+    )
     ad = (
         t5.select("phrase", "w1", "w2")
         .join(tw.select(F.col("w").alias("w1"), F.col("doc_id").alias("da")), "w1")
