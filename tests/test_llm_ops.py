@@ -2161,3 +2161,71 @@ def test_msprt_matches_numpy_mixture_lr(spark, sf_dir_small):
     assert abs(m.always_valid_p - p) < 2e-6
     assert 0.0 < m.always_valid_p <= 1.0
     assert m.reject_5pct == (m.always_valid_p <= 0.05)
+
+
+def test_sig_bitcount_kernel_matches_sql_aggregate(spark, sf_dir_small):
+    """r12 optimization guard: the numpy mapInArrow bit-count/pack
+    kernel (guide §4.2 rewrite of the never-codegens N-sum aggregate)
+    must be BIT-IDENTICAL to the SQL form it replaced — per-bit
+    SUM((h >> b) & 1) counts packed by the exact integer majority rule
+    (bit set iff 2·count > n_words) — for both the 120-bit and 240-bit
+    builders."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.functions.text import md5_long, tokens
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.dedup import (
+        _W240_SALT,
+        _simhash_w240_signatures,
+        _simhash_wide_signatures,
+    )
+
+    d = load_table(spark, sf_dir_small, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
+    )
+    w2 = F.concat(F.col("w"), F.lit(_W240_SALT))
+    hi = lambda col: (  # noqa: E731 — upper-60-bit md5 half, as the builders
+        F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+    )
+    cases = [
+        (
+            _simhash_wide_signatures,
+            [("sim_lo", md5_long(F.col("w"))), ("sim_hi", hi(F.col("w")))],
+        ),
+        (
+            _simhash_w240_signatures,
+            [
+                ("s1lo", md5_long(F.col("w"))),
+                ("s1hi", hi(F.col("w"))),
+                ("s2lo", md5_long(w2)),
+                ("s2hi", hi(w2)),
+            ],
+        ),
+    ]
+    for builder, cols in cases:
+        hashed = words.select(
+            "doc_id", *[e.alias(f"h_{name}") for name, e in cols]
+        )
+        hashed.createOrReplaceTempView("__t_sig_kernel_ref")
+        sums = ", ".join(
+            f"SUM(((h_{name} >> {b}) & 1)) AS c_{name}_{b}"
+            for name, _ in cols
+            for b in range(60)
+        )
+        packs = ", ".join(
+            "CAST("
+            + " + ".join(
+                f"CASE WHEN c_{name}_{b} * 2 > nw THEN {1 << b}L ELSE 0L END"
+                for b in range(60)
+            )
+            + f" AS BIGINT) AS {name}"
+            for name, _ in cols
+        )
+        ref = spark.sql(
+            f"SELECT doc_id, {packs} FROM (SELECT doc_id, COUNT(1) AS nw, "
+            f"{sums} FROM __t_sig_kernel_ref GROUP BY doc_id)"
+        )
+        got = builder(spark, sf_dir_small)
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
