@@ -116,9 +116,21 @@ def spread(df):
     cluster scale input splits usually provide parallelism, but a
     compute-bound stage downstream of a narrow source (or a coalesced
     AQE stage) deserves the same treatment. The shuffled payload is
-    the narrow pre-signature projection, not the signatures."""
+    the narrow pre-signature projection, not the signatures.
+
+    Guarded (optimization r12): when the source already plans enough
+    input splits to feed every core — the normal case at cluster
+    scale, where a 100 TB table arrives as thousands of splits — the
+    round-robin exchange is pure overhead and is skipped. The split
+    probe reads the physical plan's partition count (driver-side
+    split enumeration, no job). Round-robin repartition cannot change
+    any result: every consumer is an aggregate/join keyed on data
+    columns, and the round-robin sort makes it retry-deterministic."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 # Checkpoint-block bookkeeping (round 12): localCheckpoint persists

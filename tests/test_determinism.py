@@ -79,3 +79,21 @@ def test_release_dead_checkpoints_frees_only_dead(spark):
     assert freed_again == 0, "sweep freed a still-live checkpoint"
     del live
     assert release_dead_checkpoints() >= 1
+
+
+def test_spread_skips_exchange_when_splits_suffice(spark):
+    """The r12 spread() guard: a source that already plans >= default
+    parallelism partitions passes through untouched (no round-robin
+    exchange), while a narrow source is still repartitioned up."""
+    from geoparquet_python_spark.functions.exact import spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, numPartitions=par * 2)
+    assert spread(wide) is wide
+    narrow = spark.range(0, 10_000, 1, numPartitions=1)
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == par
+    assert out.agg({"id": "sum"}).collect()[0][0] == narrow.agg(
+        {"id": "sum"}
+    ).collect()[0][0]
