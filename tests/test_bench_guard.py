@@ -61,3 +61,46 @@ def test_boundary_is_strictly_greater():
     assert med == 1.3 and not drifted
     med, drifted = bench._ambient_drift({f"q{i}": 1.301 for i in range(8)})
     assert drifted
+
+
+# --- core-count-aware delta baseline (optimization r13, VERDICT r12
+# item 2): a record taken at a different core count must never become
+# the delta/drift baseline — the driver's 8-core scaling leg landing in
+# BENCH_LAST_FULL.json gave the next 32-core run phantom ratios on ~50
+# queries, undetectably, because records carried no core count.
+
+
+def test_comparable_times_same_cpus_accepted():
+    rec = {"cpus": 32, "queries": {"q1": 1.5}}
+    assert bench._comparable_times(rec, 32) == {"q1": 1.5}
+
+
+def test_comparable_times_other_cpus_rejected():
+    rec = {"cpus": 8, "queries": {"q1": 1.5}}
+    assert bench._comparable_times(rec, 32) == {}
+    assert bench._comparable_times({"cpus": 32, "queries": {"q1": 1.0}}, 8) == {}
+
+
+def test_comparable_times_driver_wrapper_shape():
+    # Driver records stamp cpus at the TOP level and nest the bench
+    # line under "parsed" — both the stamp and the times must be found.
+    rec = {"cpus": 8, "parsed": {"queries": {"q1": 0.7}}}
+    assert bench._comparable_times(rec, 8) == {"q1": 0.7}
+    assert bench._comparable_times(rec, 32) == {}
+    # cpus inside parsed (bench's own record re-wrapped) also counts.
+    rec = {"parsed": {"cpus": 8, "queries": {"q1": 0.7}}}
+    assert bench._comparable_times(rec, 8) == {"q1": 0.7}
+    assert bench._comparable_times(rec, 32) == {}
+
+
+def test_comparable_times_legacy_unstamped_is_32_core():
+    # Every unstamped record predates the stamp and was a 32-core run:
+    # usable at 32 cores, never at any other count.
+    rec = {"queries": {"q1": 2.0}}
+    assert bench._comparable_times(rec, 32) == {"q1": 2.0}
+    assert bench._comparable_times(rec, 8) == {}
+
+
+def test_comparable_times_failure_record_empty():
+    assert bench._comparable_times({"cpus": 32}, 32) == {}
+    assert bench._comparable_times({"cpus": 32, "queries": None}, 32) == {}
