@@ -1481,6 +1481,11 @@ def _sql_simhash_w240_cte() -> str:
 
 _W240_HASH_COLS = ("s1lo_h", "s1hi_h", "s2lo_h", "s2hi_h")
 
+# Per-task partial-merge threshold for _sig_bitcount_kernel: partial
+# (doc, counts) rows are compacted whenever they exceed this many rows,
+# bounding task memory at O(#docs) even for degenerate one-word docs.
+_SIG_PARTIAL_CAP = 1_500_000
+
 
 def _sig_bitcount_kernel(hash_cols: tuple[str, ...], out_cols: tuple[str, ...]):
     """mapInArrow kernel factory for wide-SimHash signature
@@ -1510,7 +1515,7 @@ def _sig_bitcount_kernel(hash_cols: tuple[str, ...], out_cols: tuple[str, ...]):
 
         little = sys.byteorder == "little"
         shifts = np.arange(60, dtype=np.int64)
-        cap = 1_500_000
+        cap = _SIG_PARTIAL_CAP
         pids: list = []
         pnw: list = []
         pcnt: list = []
@@ -1530,6 +1535,12 @@ def _sig_bitcount_kernel(hash_cols: tuple[str, ...], out_cols: tuple[str, ...]):
             )
 
         for batch in it:
+            if batch.num_rows == 0:
+                # An empty Arrow batch (possible under future MapInBatch
+                # versions) would otherwise crash below: np.r_[True, ...]
+                # on empty ds yields a spurious start index 0 and
+                # ds[starts] raises IndexError.
+                continue
             doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
             order = np.argsort(doc, kind="stable")
             ds = doc[order]

@@ -88,9 +88,17 @@ def _residual_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _train_residual_pq(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+def _train_residual_pq(
+    spark: SparkSession, sf_dir: str, res: DataFrame | None = None
+) -> list[list[list[int]]]:
+    """``res``: an already-materialized residual frame to train on
+    (optimization r13: _encoded_corpus checkpoints the residuals once
+    and shares them between the PQ training iterations and the encode
+    projection — previously each Lloyd iteration re-executed the whole
+    scan → assign-UDF → residual lineage)."""
+    frame = res if res is not None else _residual_frame(spark, sf_dir)
     return pq._train_pq_frame(
-        _residual_frame(spark, sf_dir).select("vec_id", "xfix"),
+        frame.select("vec_id", "xfix"),
         f"ivfpq-residual|{sf_dir}|{pq._M}|{pq._K}|{pq._T}",
     )
 
@@ -109,8 +117,15 @@ def _encoded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisting this frame as a cell-partitioned parquet table."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ENC_CACHE:
-        pq_cents = _train_residual_pq(spark, sf_dir)
-        res = _residual_frame(spark, sf_dir)
+        # One residual pass, checkpointed, feeds BOTH the PQ training
+        # iterations and the encode projection (optimization r13): the
+        # residual lineage (scan → assign UDF → zip_with) used to
+        # re-execute once per Lloyd iteration plus once for the encode.
+        # At 100 TB this is the explicit staging table an ingest
+        # pipeline writes between its quantizer-training and encode
+        # steps.
+        res = materialize(_residual_frame(spark, sf_dir))
+        pq_cents = _train_residual_pq(spark, sf_dir, res)
         _ENC_CACHE[key] = materialize(
             res.select(
                 F.col("vec_id").alias("cvec"),

@@ -75,6 +75,33 @@ def _fixed_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding", F.expr(_XFIX).alias("xfix"))
 
 
+def _argmin_prep(cents: list[list[int]]):
+    """(c, c2, c_blas) for the shared argmin math — see _assign_expr's
+    exactness notes (argmin over |c|²−2x·c; dgemm-safe below 2^23)."""
+    import numpy as np
+
+    c = np.asarray(cents, dtype=np.int64)  # K×d
+    c2 = (c * c).sum(axis=1)  # |c_k|^2, int64
+    _F64_SAFE = 1 << 23
+    c_blas = c.astype(np.float64) if np.abs(c).max() < _F64_SAFE else None
+    return c, c2, c_blas
+
+
+def _argmin_cells(x, c, c2, c_blas):
+    """First-minimum nearest-centroid ids for an (n × d) int64 batch —
+    the exact math of _assign_expr, shared with the fused training
+    kernel so the two paths can never diverge."""
+    import numpy as np
+
+    _F64_SAFE = 1 << 23
+    if c_blas is not None and (len(x) == 0 or np.abs(x).max() < _F64_SAFE):
+        dots = (x.astype(np.float64) @ c_blas.T).astype(np.int64)
+    else:  # exact fallback: naive int64 matmul
+        dots = x @ c.T
+    scores = c2[None, :] - 2 * dots  # n×K, exact int64
+    return np.argmin(scores, axis=1).astype(np.int64)
+
+
 def _assign_expr(cents: list[list[int]]) -> F.Column:
     """Map-only nearest-centroid id over the `xfix` column, vectorized
     (Arrow batch → one int64 matmul per batch).
@@ -100,11 +127,9 @@ def _assign_expr(cents: list[list[int]]) -> F.Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    c = np.asarray(cents, dtype=np.int64)  # K×d
-    c2 = (c * c).sum(axis=1)  # |c_k|^2, int64
     # BLAS eligibility (round 12): numpy has NO BLAS kernel for int64 —
     # an integer matmul falls back to naive C loops, and at the
-    # SemDeDup K-scaling contract (K ∝ n) the resulting O(n·K·d)
+    # SemDeDup K-scaling contract (K ∝ n) the resulting O(K·n·d)
     # assignment was the measured knee of the 64× weak-scaling leg
     # (q_curation_pipeline_v4: _assigned_base 37 s of a 67 s wall).
     # When every |value| < 2^23, each product < 2^46 and every 64-term
@@ -114,8 +139,9 @@ def _assign_expr(cents: list[list[int]]) -> F.Column:
     # corpus contract (unit-ish embeddings × 1e6 scale → |xfix| < 2^20)
     # sits far inside the bound; the guard re-checks per batch and
     # falls back to the exact int64 loop rather than trusting it.
-    _F64_SAFE = 1 << 23
-    c_blas = c.astype(np.float64) if np.abs(c).max() < _F64_SAFE else None
+    # (The math lives in _argmin_prep/_argmin_cells, shared with the
+    # fused training kernel in _train.)
+    c, c2, c_blas = _argmin_prep(cents)
 
     # No type annotations on the UDF: the module's `from __future__
     # import annotations` stringifies them and pandas_udf can't
@@ -126,14 +152,64 @@ def _assign_expr(cents: list[list[int]]) -> F.Column:
         if len(xf) == 0:
             return pd.Series([], dtype="int64")
         x = np.vstack(xf.to_numpy()).astype(np.int64, copy=False)  # B×d
-        if c_blas is not None and np.abs(x).max() < _F64_SAFE:
-            dots = (x.astype(np.float64) @ c_blas.T).astype(np.int64)
-        else:  # exact fallback: naive int64 matmul
-            dots = x @ c.T
-        scores = c2[None, :] - 2 * dots  # B×K, exact int64
-        return pd.Series(np.argmin(scores, axis=1).astype("int64"))
+        return pd.Series(_argmin_cells(x, c, c2, c_blas))
 
     return assign(F.col("xfix"))
+
+
+def _train_stats_kernel(cents: list[list[int]]):
+    """mapInArrow kernel for one Lloyd update: assign each row to its
+    nearest centroid (the exact _argmin_cells math) AND reduce to
+    per-(cid, d) partial sums/counts INSIDE the task (guide §2.3 —
+    aggregate before you shuffle). Emits at most K×d partial rows per
+    task instead of n×d exploded value rows, so the per-iteration
+    exchange carries a few hundred rows at any corpus size; the
+    downstream groupBy(cid, d) merges task partials and the driver
+    collects K×d finals (the canonical k-means driver loop,
+    unchanged)."""
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+
+        c, c2, c_blas = _argmin_prep(cents)
+        k, d = c.shape
+        sv = np.zeros((k, d), dtype=np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        seen = False
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            seen = True
+            col = batch.column("xfix")
+            off = col.offsets.to_numpy(zero_copy_only=False)
+            vals = col.values.to_numpy(zero_copy_only=False)
+            x = (
+                vals[off[0] : off[-1]]
+                .astype(np.int64, copy=False)
+                .reshape(len(col), d)
+            )
+            cid = _argmin_cells(x, c, c2, c_blas)
+            order = np.argsort(cid, kind="stable")
+            cs = cid[order]
+            xs = x[order]
+            starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+            counts = np.diff(np.r_[starts, len(cs)])
+            np.add.at(sv, cs[starts], np.add.reduceat(xs, starts, axis=0))
+            np.add.at(n, cs[starts], counts)
+        if not seen:
+            return
+        nz = np.flatnonzero(n)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "cid": np.repeat(nz, d),
+                "d": np.tile(np.arange(d, dtype=np.int64), len(nz)),
+                "sv": sv[nz].ravel(),
+                "n": np.repeat(n[nz], d),
+            }
+        )
+
+    return kernel
 
 
 _CENT_CACHE: dict[str, list[list[int]]] = {}
@@ -157,23 +233,24 @@ def _train(
     init = x.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [list(r["xfix"]) for r in init]
     for _ in range(_T):
-        # No materialize() barrier needed here anymore: the old
-        # interpreted-HOF argmin was a plain Catalyst expression, and
-        # projection collapse inlined it ABOVE the posexplode — silently
-        # re-evaluating it once per exploded dimension (64x; hence the
-        # round-5 localCheckpoint). The vectorized assignment is an
-        # ArrowEvalPython node, which Catalyst cannot fold into a
-        # generator projection — the UDF runs once per row by
-        # construction, so the per-iteration checkpoint job is pure
-        # overhead now. Removing it is wall-neutral at bench scale
-        # (train ≈4 s either way at 8x/K=64) but drops one job and one
-        # executor-memory copy per iteration; equality is pinned by the
+        # Optimization r13 (guide §2.3): assignment AND the per-(cid, d)
+        # partial reduction run in ONE Arrow pass (_train_stats_kernel)
+        # — the previous shape assigned in an ArrowEvalPython node, then
+        # posexploded n×d value rows into the update exchange; fused,
+        # the exchange carries ≤ K×d partial rows per task at any
+        # corpus size. Assignment math is byte-shared with _assign_expr
+        # (_argmin_cells), so the two paths cannot diverge; the update
+        # arithmetic (int64 sums, truncating division, empty cluster
+        # keeps its centroid) is unchanged and remains pinned by the
         # unrolled-CTE oracles of every consumer.
-        assigned = x.select(_assign_expr(cents).alias("cid"), "xfix")
         stats = (
-            assigned.select("cid", F.posexplode("xfix").alias("d", "v"))
+            x.select("xfix")
+            .mapInArrow(
+                _train_stats_kernel(cents),
+                "cid bigint, d bigint, sv bigint, n bigint",
+            )
             .groupBy("cid", "d")
-            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n"))
             .collect()
         )
         new = [list(c) for c in cents]  # empty cluster -> keep centroid

@@ -79,8 +79,12 @@ def _codes_udf(cents: list[list[list[int]]]) -> F.Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    c = np.asarray(cents, dtype=np.int64)  # M×K×SUBD
-    c2 = (c * c).sum(axis=2)  # M×K
+    from geoparquet_python_spark.operators.kmeans import (
+        _argmin_cells,
+        _argmin_prep,
+    )
+
+    preps = [_argmin_prep(sub) for sub in cents]
 
     @pandas_udf("array<bigint>")
     def codes(xf):
@@ -90,8 +94,9 @@ def _codes_udf(cents: list[list[list[int]]]) -> F.Column:
         out = np.empty((len(x), _M), dtype=np.int64)
         for m in range(_M):
             sub = x[:, m * _SUBD : (m + 1) * _SUBD]  # B×SUBD
-            scores = c2[m][None, :] - 2 * (sub @ c[m].T)  # B×K, exact
-            out[:, m] = np.argmin(scores, axis=1)
+            # shared first-minimum argmin (kmeans._argmin_cells): same
+            # |c|²−2x·c scores, dgemm when every value is f64-exact
+            out[:, m] = _argmin_cells(sub, *preps[m])
         return pd.Series(list(out))
 
     return codes(F.col("xfix"))
@@ -104,6 +109,67 @@ def _codes_expr(cents: list[list[list[int]]]) -> tuple[F.Column, F.Column]:
     measurable driver cost per plan build — so callers that only need
     the codes (the IVFADC encode pass) use :func:`_codes_udf` alone."""
     return _codes_udf(cents), _cb_lit(cents)
+
+
+def _pq_stats_kernel(cents: list[list[list[int]]]):
+    """mapInArrow kernel for one PQ Lloyd update across ALL subspaces:
+    per batch, code every row's M subvectors (the exact _codes_udf
+    argmin math, shared via kmeans._argmin_cells) and reduce to
+    per-(m, cid, d) partial sums/counts inside the task (guide §2.3) —
+    at most M×K×SUBD partial rows per task instead of n×M×SUBD
+    exploded value rows crossing the update exchange."""
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+
+        from geoparquet_python_spark.operators.kmeans import (
+            _argmin_cells,
+            _argmin_prep,
+        )
+
+        preps = [_argmin_prep(sub) for sub in cents]
+        sv = np.zeros((_M, _K, _SUBD), dtype=np.int64)
+        n = np.zeros((_M, _K), dtype=np.int64)
+        seen = False
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            seen = True
+            col = batch.column("xfix")
+            off = col.offsets.to_numpy(zero_copy_only=False)
+            vals = col.values.to_numpy(zero_copy_only=False)
+            x = (
+                vals[off[0] : off[-1]]
+                .astype(np.int64, copy=False)
+                .reshape(len(col), _M * _SUBD)
+            )
+            for m in range(_M):
+                sub = x[:, m * _SUBD : (m + 1) * _SUBD]
+                cid = _argmin_cells(sub, *preps[m])
+                order = np.argsort(cid, kind="stable")
+                cs = cid[order]
+                xs = sub[order]
+                starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+                counts = np.diff(np.r_[starts, len(cs)])
+                np.add.at(
+                    sv[m], cs[starts], np.add.reduceat(xs, starts, axis=0)
+                )
+                np.add.at(n[m], cs[starts], counts)
+        if not seen:
+            return
+        ms, cids = np.nonzero(n)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "m": np.repeat(ms, _SUBD),
+                "cid": np.repeat(cids, _SUBD),
+                "d": np.tile(np.arange(_SUBD, dtype=np.int64), len(ms)),
+                "sv": sv[ms, cids].ravel(),
+                "n": np.repeat(n[ms, cids], _SUBD),
+            }
+        )
+
+    return kernel
 
 
 _PQ_CACHE: dict[str, list[list[list[int]]]] = {}
@@ -125,22 +191,23 @@ def _train_pq_frame(x: DataFrame, key: str) -> list[list[list[int]]]:
         for m in range(_M)
     ]
     for _ in range(_T):
-        codes, cb = _codes_expr(cents)
+        # Optimization r13 (guide §2.3): coding AND the per-(m, cid, d)
+        # partial reduction run in ONE Arrow pass (_pq_stats_kernel) —
+        # the previous shape also built an M×K×SUBD codebook literal
+        # (`__cb`, ~1k py4j Column constructions per iteration) that
+        # the plan then dropped unused, and exploded n×M×SUBD value
+        # rows into the update exchange. Update arithmetic (int64 sums,
+        # truncating division, empty cluster keeps its centroid) is
+        # unchanged; coding math is byte-shared with _codes_udf via
+        # kmeans._argmin_cells.
         rows = (
-            x.withColumn("__cb", cb)
-            .select("xfix", codes.alias("codes"))
-            .select(
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(0, {_M - 1}), m -> struct("
-                        f"m AS m, codes[m] AS cid,"
-                        f"slice(xfix, m * {_SUBD} + 1, {_SUBD}) AS sv))"
-                    )
-                ).alias("s")
+            x.select("xfix")
+            .mapInArrow(
+                _pq_stats_kernel(cents),
+                "m bigint, cid bigint, d bigint, sv bigint, n bigint",
             )
-            .select("s.m", "s.cid", F.posexplode("s.sv").alias("d", "v"))
             .groupBy("m", "cid", "d")
-            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n"))
             .collect()
         )
         new = [[list(c) for c in sub] for sub in cents]

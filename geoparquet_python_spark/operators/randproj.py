@@ -292,7 +292,22 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrives as ONE split and would serialize it onto one core
     # (functions/exact.spread docstring — the established signature-
     # build treatment). Measured r12: 0.82 s -> 0.47 s per round.
-    xarr = spread(e.select(F.expr(_XFIX).alias("xi")))
+    #
+    # Fixed-width contract (ADVICE r12): the in-row dot product below
+    # zip_withs xi against a 64-literal array, which NULL-PADS if an
+    # embedding were ever not exactly _DIM long — the whole aggregate
+    # would go NULL and the row would silently vanish from u (the old
+    # join-on-i form, and the oracle, sum over available dims instead).
+    # The embeddings schema guarantees fixed _DIM-wide arrays
+    # (TESTDATA.md); enforce it loudly: assert_true returns NULL on
+    # success (row kept), raises on the first malformed row. One int
+    # comparison per row — negligible next to the dot product.
+    xarr = spread(e.select(F.expr(_XFIX).alias("xi"))).where(
+        F.assert_true(
+            F.size("xi") == _DIM,
+            F.lit(f"q_pca_power_iteration: embedding is not {_DIM}-dim"),
+        ).isNull()
+    )
 
     v = [(i, _VNORM) for i in range(1, _DIM + 1)]
     for _ in range(_PCA_T):

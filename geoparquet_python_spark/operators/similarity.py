@@ -1195,31 +1195,166 @@ def _sql_cell_knn_ctes(k: int) -> str:
 _KNN_EDGE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
-def _cell_knn_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    """Spark twin of _sql_cell_knn_ctes: the (qid, cid) edge frame of
-    each vector's top-k cosine neighbors within its trained cell.
-    Trained-cell self-join + WindowGroupLimit top-k — the
-    q_vector_knn_graph plan with quantizer blocking.
+def _cell_knn_kernel(k: int):
+    """mapInArrow kernel: exact within-cell top-k cosine neighbors.
 
-    Materialized (localCheckpoint) and cached per (session, corpus, k),
-    the same contract as kmeans._train's centroid cache: the kNN graph
-    is built once and consumed by label propagation, mutual-kNN, and
-    the 2-hop homophily audit — round-6 bench paid the identical
-    cell-self-join build three times per suite (VERDICT r6 item 2).
-    The cached frame is k-bounded (n×k edge rows), the 100 TB
-    equivalent of checkpointing the edge table to parquet between
-    pipeline stages."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir, k)
-    if cache_key in _KNN_EDGE_CACHE:
-        return _KNN_EDGE_CACHE[cache_key]
+    The caller repartitions by cell, so every cell's rows land wholly
+    in one task. Per task: buffer the task's rows, then per cell
+    compute every in-cell pair's FIXED-POINT cosine with the identical
+    IEEE arithmetic the JVM expressions spelled — per-term
+    floor((x·y)·1e12) accumulated as int64 (dot_scaled), then
+    (dot/1e12) / (sqrt(na/1e12)·sqrt(nb/1e12)) in double
+    (cosine_from_scaled) — and keep each row's top-k by
+    (cosine DESC, cid ASC). float32→float64 widening, f64
+    multiplication, floor, int64 summation, sqrt and division are all
+    exactly specified by IEEE 754, so the numpy batch computes
+    bit-identical cosines to the JVM form it replaced (pinned:
+    tests/test_llm_ops.py::test_cell_knn_kernel_matches_jvm_form).
+    Tie-breaking: candidates are sorted cid-ascending and the top-k
+    argsort on -cosine is STABLE, which is exactly row_number() over
+    (cosine DESC, cid ASC); −0.0 == 0.0 in both engines' sort
+    comparators, so signed zeros tie-break identically too.
+
+    Why (optimization r13, guide §4.2): the previous form self-joined
+    the cell-assigned corpus and evaluated dot_scaled as an
+    interpreted higher-order function per pair — ~50 µs per 64-dim
+    pair (the dot_scaled_arrow measurement), ~500 k in-cell pairs at
+    sf0.1 ⇒ ~25 core-seconds spread over only |cells| join tasks; the
+    whole build was 5–7 s of the exposed 7.7 s q_knn_label_propagation
+    wall. The numpy form computes the same pair count as one
+    vectorized broadcast per cell (chunked so the temp stays ~32 MB).
+    Task memory is O(cell rows × dim); parallelism is |cells| — the
+    same bound the 8-key self-join had, and K grows with the corpus
+    (kmeans module contract) so cluster scale widens, not narrows."""
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+
+        ids_l: list = []
+        cell_l: list = []
+        emb_l: list = []
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            ids_l.append(
+                batch.column("vec_id").to_numpy(zero_copy_only=False)
+            )
+            cell_l.append(
+                batch.column("cell").to_numpy(zero_copy_only=False)
+            )
+            col = batch.column("embedding")
+            off = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(off)
+            if len(widths) and not (widths == widths[0]).all():
+                raise ValueError("_cell_knn_kernel: ragged embedding widths")
+            vals = col.values.to_numpy(zero_copy_only=False)
+            emb_l.append(
+                vals[off[0] : off[-1]]
+                .astype(np.float64)
+                .reshape(len(col), int(widths[0]) if len(widths) else 0)
+            )
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l).astype(np.int64)
+        cells = np.concatenate(cell_l).astype(np.int64)
+        emb = np.vstack(emb_l)
+        # exact fixed-point squared norms (norm2_scaled twin)
+        n2 = np.floor((emb * emb) * 1e12).astype(np.int64).sum(axis=1)
+        if not (n2 > 0).all():
+            # cosine is undefined and the JVM/numpy NaN sort orders
+            # would diverge — fail loudly instead of silently differing
+            raise ValueError("_cell_knn_kernel: zero-norm embedding")
+        order = np.argsort(cells, kind="stable")
+        ids, cells, emb, n2 = ids[order], cells[order], emb[order], n2[order]
+        starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
+        bounds = np.r_[starts, len(cells)]
+        out_q: list = []
+        out_c: list = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            m = int(b1 - b0)
+            if m < 2:
+                continue  # singleton cell: no neighbors
+            cid = ids[b0:b1]
+            ec = emb[b0:b1]
+            # candidates cid-ascending so stable -cos argsort ties to
+            # the lowest cid
+            cord = np.argsort(cid, kind="stable")
+            cid, ec = cid[cord], ec[cord]
+            sq = np.sqrt(n2[b0:b1][cord] / 1e12)
+            take = min(k, m - 1)
+            # chunk queries so the (chunk × m × dim) f64 temp stays
+            # bounded (~32 MB)
+            chunk = max(1, 4_000_000 // max(m * ec.shape[1], 1))
+            for q0 in range(0, m, chunk):
+                q1 = min(m, q0 + chunk)
+                terms = np.floor((ec[q0:q1, None, :] * ec[None, :, :]) * 1e12)
+                dots = terms.astype(np.int64).sum(axis=2)
+                cos = (dots / 1e12) / (sq[q0:q1, None] * sq[None, :])
+                # self-exclusion: rank self strictly last
+                cos[np.arange(q1 - q0), np.arange(q0, q1)] = -np.inf
+                idx = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+                out_q.append(np.repeat(cid[q0:q1], take))
+                out_c.append(cid[idx].ravel())
+        if out_q:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "qid": np.concatenate(out_q),
+                    "cid": np.concatenate(out_c),
+                }
+            )
+
+    return kernel
+
+
+def _cell_knn_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cell): the trained-cell-assigned corpus the
+    kNN edge builders consume."""
     from geoparquet_python_spark.operators import kmeans as km
 
     cents = km._train(spark, sf_dir)
-    base = km._fixed_points(spark, sf_dir).select(
-        "vec_id",
-        "embedding",
-        norm2_scaled("embedding").alias("n2"),
-        km._assign_expr(cents).alias("cell"),
+    return km._fixed_points(spark, sf_dir).select(
+        "vec_id", "embedding", km._assign_expr(cents).alias("cell")
+    )
+
+
+def _cell_knn_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(qid, cid) edge frame of each vector's top-k cosine neighbors
+    within its trained k-means cell — the Spark twin of
+    _sql_cell_knn_ctes, computed by the vectorized per-cell kernel
+    (optimization r13; see _cell_knn_kernel for the exactness
+    argument; the replaced self-join + row_number form is kept as
+    _cell_knn_edges_reference and pinned equal by pytest).
+
+    Materialized (localCheckpoint) and cached per (session, corpus, k):
+    the kNN graph is built once and consumed by label propagation,
+    mutual-kNN, and the 2-hop homophily audit — round-6 bench paid the
+    identical build three times per suite (VERDICT r6 item 2). The
+    cached frame is k-bounded (n×k edge rows), the 100 TB equivalent
+    of checkpointing the edge table to parquet between pipeline
+    stages. (Benchmarks clear this cache before every timed rep —
+    registry.clear_derived_caches — so recorded times pay the build.)"""
+    cache_key = (spark.sparkContext.applicationId, sf_dir, k)
+    if cache_key in _KNN_EDGE_CACHE:
+        return _KNN_EDGE_CACHE[cache_key]
+    base = _cell_knn_base(spark, sf_dir)
+    edges = materialize(
+        base.repartition("cell").mapInArrow(
+            _cell_knn_kernel(k), "qid bigint, cid bigint"
+        )
+    )
+    _KNN_EDGE_CACHE[cache_key] = edges
+    return edges
+
+
+def _cell_knn_edges_reference(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """The pre-r13 JVM form (cell self-join + interpreted dot_scaled +
+    row_number top-k), kept UNCACHED as the equivalence reference for
+    the kernel's pin test."""
+    base = _cell_knn_base(spark, sf_dir).withColumn(
+        "n2", norm2_scaled("embedding")
     )
     a = base.select(
         F.col("vec_id").alias("qid"),
@@ -1240,14 +1375,12 @@ def _cell_knn_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         dot_scaled("q_emb", "c_emb"), F.col("q_n2"), F.col("c_n2")
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
-    edges = materialize(
+    return (
         pairs.select("qid", "cid", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
         .select("qid", "cid")
     )
-    _KNN_EDGE_CACHE[cache_key] = edges
-    return edges
 
 
 def _sql_lp_oracle() -> str:

@@ -39,6 +39,7 @@ from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.streaming.source import (
     read_events_stream,
     run_to_memory_table,
+    table_rows,
 )
 
 _MIN_PRIOR = 10  # need this much history before flagging
@@ -143,5 +144,9 @@ def q_stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = run_to_memory_table(flagged, output_mode="append")
+    name = run_to_memory_table(
+        flagged,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     return spark.table(name).orderBy("user_id", "ts", "event_id")

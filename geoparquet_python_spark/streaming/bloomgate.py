@@ -44,7 +44,11 @@ from geoparquet_python_spark.operators.bloomjoin import (
 )
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
-from geoparquet_python_spark.streaming.source import run_to_memory_table, read_documents_stream
+from geoparquet_python_spark.streaming.source import (
+    read_documents_stream,
+    run_to_memory_table,
+    table_rows,
+)
 
 # Frozen "already ingested" corpus half (same convention as the
 # streaming span screen and DSIR gate).
@@ -140,7 +144,11 @@ def q_stream_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_hit"
         ),
     )
-    name = run_to_memory_table(probed, output_mode="append")
+    name = run_to_memory_table(
+        probed,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "documents"),
+    )
     drained = spark.table(name)
 
     frozen = (

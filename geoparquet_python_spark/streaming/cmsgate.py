@@ -40,6 +40,7 @@ from geoparquet_python_spark.session import prepare
 from geoparquet_python_spark.streaming.source import (
     read_documents_stream,
     run_to_memory_table,
+    table_rows,
 )
 
 _HALF_PRED = "doc_id % 2 = 0"
@@ -189,7 +190,11 @@ def q_stream_hot_term_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("n_hot"),
     )
-    name = run_to_memory_table(gated, output_mode="append")
+    name = run_to_memory_table(
+        gated,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "documents"),
+    )
     return (
         spark.table(name)
         .select(

@@ -38,6 +38,7 @@ from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.streaming.source import (
     read_events_stream,
     run_to_memory_table,
+    table_rows,
 )
 
 _SEEDW = "dpw-v1:"
@@ -113,5 +114,9 @@ def q_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("noise")) <= _TAIL).alias("tail_ok"),
         )
     )
-    name = run_to_memory_table(rel, output_mode="complete")
+    name = run_to_memory_table(
+        rel,
+        output_mode="complete",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     return spark.table(name).orderBy("window_start", "event_type")

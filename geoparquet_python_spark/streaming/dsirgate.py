@@ -32,7 +32,11 @@ from geoparquet_python_spark.io import load_table
 from geoparquet_python_spark.operators.dsir import _TARGET_SOURCES
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
-from geoparquet_python_spark.streaming.source import run_to_memory_table, read_documents_stream
+from geoparquet_python_spark.streaming.source import (
+    read_documents_stream,
+    run_to_memory_table,
+    table_rows,
+)
 
 # Frozen LM corpus: even doc_ids (the "already ingested" half — the
 # same convention as the streaming span screen's shingle index).
@@ -138,7 +142,11 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = _ratio_frame(spark, sf_dir)
     scored = stream_tok.join(ratio, "term").select("doc_id", "lpd")
 
-    name = run_to_memory_table(scored, output_mode="append")
+    name = run_to_memory_table(
+        scored,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "documents"),
+    )
     drained = spark.table(name)
     return (
         drained.groupBy("doc_id")

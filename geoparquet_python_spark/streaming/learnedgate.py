@@ -43,7 +43,11 @@ from geoparquet_python_spark.operators.regression import (
 )
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
-from geoparquet_python_spark.streaming.source import run_to_memory_table, read_documents_stream
+from geoparquet_python_spark.streaming.source import (
+    read_documents_stream,
+    run_to_memory_table,
+    table_rows,
+)
 
 _FROZEN_PRED = "doc_id % 2 = 0"
 
@@ -136,5 +140,9 @@ def q_stream_learned_quality_gate(
         (eta > F.lit(thr)).alias("keep"),
     )
 
-    name = run_to_memory_table(gated, output_mode="append")
+    name = run_to_memory_table(
+        gated,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "documents"),
+    )
     return spark.table(name).orderBy("doc_id")

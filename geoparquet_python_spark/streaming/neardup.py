@@ -34,6 +34,7 @@ from geoparquet_python_spark.session import prepare
 from geoparquet_python_spark.streaming.source import (
     read_documents_stream,
     run_to_memory_table,
+    table_rows,
 )
 
 # Static screening corpus: even doc_ids (deterministic half of the
@@ -113,7 +114,11 @@ def q_stream_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") != F.col("corpus_doc")),
     ).select("doc_id", F.col("band").alias("sband"), "corpus_doc")
 
-    name = run_to_memory_table(matches, output_mode="append")
+    name = run_to_memory_table(
+        matches,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "documents"),
+    )
     drained = spark.table(name)
     per_band = drained.groupBy("doc_id", "sband").agg(
         F.min("corpus_doc").alias("min_match")

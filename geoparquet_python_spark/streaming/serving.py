@@ -27,6 +27,7 @@ from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.streaming.source import (
     read_events_stream,
     run_to_memory_table,
+    table_rows,
 )
 
 _TOPK = 3
@@ -70,7 +71,11 @@ def q_stream_topk_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    name = run_to_memory_table(agg, output_mode="complete")
+    name = run_to_memory_table(
+        agg,
+        output_mode="complete",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     w = Window.partitionBy("window_start").orderBy(
         F.col("n").desc(), F.col("user_id")
     )
@@ -119,7 +124,11 @@ def q_stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", ordkey).alias("last_value"),
         F.max_by("ts", ordkey).alias("last_ts"),
     )
-    name = run_to_memory_table(agg, output_mode="complete")
+    name = run_to_memory_table(
+        agg,
+        output_mode="complete",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     return (
         spark.table(name)
         .where(F.col("last_op") != _TOMBSTONE)
@@ -227,7 +236,11 @@ def q_stream_psi_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("day_start"), "event_type", "b", "n_live"
         )
     )
-    name = run_to_memory_table(live_counts, output_mode="complete")
+    name = run_to_memory_table(
+        live_counts,
+        output_mode="complete",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     # Two independent scans of the materialized view: `days` feeds the
     # dense grid and `live` is the join side — reading the table twice
     # gives each branch its own attribute ids (a shared frame would

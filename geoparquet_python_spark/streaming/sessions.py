@@ -29,6 +29,7 @@ from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.streaming.source import (
     read_events_stream,
     run_to_memory_table,
+    table_rows,
 )
 
 _GAP_MIN = 30
@@ -217,5 +218,9 @@ def q_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = run_to_memory_table(sessions, output_mode="append")
+    name = run_to_memory_table(
+        sessions,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     return spark.table(name).orderBy("user_id", "session_start")

@@ -41,6 +41,7 @@ from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.streaming.source import (
     read_events_stream,
     run_to_memory_table,
+    table_rows,
 )
 from geoparquet_python_spark.streaming.sessions import (
     _CLOSED_SESSION_ORACLE,
@@ -224,7 +225,11 @@ def q_stateful_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame
                 timeMode="none",
             )
         )
-        name = run_to_memory_table(sessions, output_mode="append")
+        name = run_to_memory_table(
+        sessions,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

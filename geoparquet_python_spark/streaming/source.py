@@ -33,7 +33,24 @@ from geoparquet_python_spark.session import prepare
 _ROWS_PER_STATE_PARTITION = int(
     os.environ.get("SPARK_GRAFT_STREAM_ROWS_PER_PART", "250000")
 )
-_PENDING_STREAM_ROWS = {"rows": 0}
+# ADVICE r12: sizing used to flow through a module-level accumulator
+# (read_*_stream recorded, the next drain consumed), which leaked a
+# built-but-never-drained stream's count into the next unrelated
+# drain's sizing, and sized a second drain of the same stream with 0.
+# Sizing input is now EXPLICIT: each drain site passes
+# ``source_rows=table_rows(spark, sf_dir, <its source table>)`` — no
+# cross-query state at all.
+
+
+def table_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Footer row count of a stream's source table (zero jobs), for
+    :func:`run_to_memory_table`'s state-partition sizing. Multi-source
+    queries (stream-stream joins) pass the max of their sources. 0 on
+    any failure (the drain then skips sizing)."""
+    try:
+        return parquet_row_count(spark, sf_dir, table)
+    except Exception:
+        return 0
 
 
 def _suggest_state_partitions(spark: SparkSession, rows: int) -> int:
@@ -65,14 +82,6 @@ def read_table_stream(
     prepare(spark)
     path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(path).schema
-    # Record the source size for the drain's state-partition sizing
-    # (footer metadata only — no job). Multi-source queries (stream-
-    # stream joins) keep the max of their sources.
-    try:
-        rows = parquet_row_count(spark, sf_dir, table)
-        _PENDING_STREAM_ROWS["rows"] = max(_PENDING_STREAM_ROWS["rows"], rows)
-    except Exception:
-        pass
     reader = spark.readStream.schema(schema).format("parquet")
     if os.path.isdir(path):
         return reader.load(path)
@@ -91,13 +100,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(read_table_stream(spark, sf_dir, "events"))
 
 
-def run_to_memory_table(stream_df: DataFrame, output_mode: str = "append") -> str:
+def run_to_memory_table(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    source_rows: int = 0,
+) -> str:
     """Drain a streaming DataFrame with trigger(availableNow) into a
     uniquely-named in-memory sink; returns the table name.
 
     availableNow processes everything present then stops — this is the
     batch-parity harness (same code path as a continuous run, bounded
     input). Production sinks swap format('memory') for parquet/kafka.
+
+    ``source_rows``: the drained stream's source row count for
+    state-partition sizing — pass :func:`table_rows` of the source
+    table (max over sources for stream-stream joins). 0 skips the
+    sizing (session default partition count).
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
@@ -107,8 +125,7 @@ def run_to_memory_table(stream_df: DataFrame, output_mode: str = "append") -> st
     # micro-batch — and restore the session value afterwards so batch
     # plans are untouched. Stateless (map-only) streams simply have no
     # shuffle for the setting to size; harmless there.
-    rows = _PENDING_STREAM_ROWS["rows"]
-    _PENDING_STREAM_ROWS["rows"] = 0
+    rows = source_rows
     prev = None
     if rows:
         try:

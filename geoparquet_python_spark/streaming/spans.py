@@ -34,7 +34,11 @@ from geoparquet_python_spark.operators.spans import (
 )
 from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.session import prepare
-from geoparquet_python_spark.streaming.source import run_to_memory_table, read_documents_stream
+from geoparquet_python_spark.streaming.source import (
+    read_documents_stream,
+    run_to_memory_table,
+    table_rows,
+)
 
 # Static screening corpus: even doc_ids (the "already ingested" half).
 _CORPUS_PRED = "doc_id % 2 = 0"
@@ -131,7 +135,11 @@ def q_stream_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(stream_sh["doc_id"], "p")
     )
 
-    name = run_to_memory_table(marked, output_mode="append")
+    name = run_to_memory_table(
+        marked,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "documents"),
+    )
     drained = spark.table(name)
 
     w = Window.partitionBy("doc_id").orderBy("p")

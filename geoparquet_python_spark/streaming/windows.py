@@ -18,6 +18,7 @@ from geoparquet_python_spark.registry import query
 from geoparquet_python_spark.streaming.source import (
     read_events_stream,
     run_to_memory_table,
+    table_rows,
 )
 
 
@@ -61,7 +62,11 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    name = run_to_memory_table(agg, output_mode="complete")
+    name = run_to_memory_table(
+        agg,
+        output_mode="complete",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     return spark.table(name).orderBy("window_start", "event_type")
 
 
@@ -112,7 +117,11 @@ def q_stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
-    name = run_to_memory_table(agg, output_mode="complete")
+    name = run_to_memory_table(
+        agg,
+        output_mode="complete",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     return spark.table(name).orderBy("window_start")
 
 
@@ -161,7 +170,11 @@ def q_stream_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unique_events",
         )
     )
-    name = run_to_memory_table(agg, output_mode="complete")
+    name = run_to_memory_table(
+        agg,
+        output_mode="complete",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     return spark.table(name).orderBy("day")
 
 
@@ -195,7 +208,11 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    name = run_to_memory_table(agg, output_mode="complete")
+    name = run_to_memory_table(
+        agg,
+        output_mode="complete",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     return spark.table(name).orderBy("c_mktsegment")
 
 
@@ -261,7 +278,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
-    name = run_to_memory_table(joined, output_mode="append")
+    name = run_to_memory_table(
+        joined,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     return spark.table(name).orderBy("click_id", "purchase_id")
 
 
@@ -350,5 +371,9 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
-    name = run_to_memory_table(joined, output_mode="append")
+    name = run_to_memory_table(
+        joined,
+        output_mode="append",
+        source_rows=table_rows(spark, sf_dir, "events"),
+    )
     return spark.table(name).orderBy("click_id", "purchase_id")

@@ -2229,3 +2229,60 @@ def test_sig_bitcount_kernel_matches_sql_aggregate(spark, sf_dir_small):
         got = builder(spark, sf_dir_small)
         assert got.exceptAll(ref).count() == 0
         assert ref.exceptAll(got).count() == 0
+
+
+def test_cell_knn_kernel_matches_jvm_form(spark, sf_dir_small):
+    """r13 optimization guard: the vectorized per-cell kNN kernel
+    (numpy fixed-point cosine + stable top-k) must produce the exact
+    edge set of the JVM form it replaced (cell self-join + interpreted
+    dot_scaled + row_number over (cosine DESC, cid)) — for multiple k,
+    including k larger than the smallest cell (rank truncation at
+    m−1)."""
+    from geoparquet_python_spark.operators.similarity import (
+        _cell_knn_edges,
+        _cell_knn_edges_reference,
+        _KNN_EDGE_CACHE,
+    )
+
+    for k in (1, 4, 400):
+        _KNN_EDGE_CACHE.clear()
+        new = _cell_knn_edges(spark, sf_dir_small, k)
+        ref = _cell_knn_edges_reference(spark, sf_dir_small, k)
+        assert new.exceptAll(ref).count() == 0
+        assert ref.exceptAll(new).count() == 0
+    _KNN_EDGE_CACHE.clear()
+
+
+def test_sig_bitcount_kernel_tolerates_empty_batches():
+    """ADVICE r12: MapInBatch paths may hand the kernel a zero-row
+    Arrow batch under future Spark versions; it must skip it instead of
+    crashing (np.r_[True, ...] on an empty array fabricates a start
+    index 0 and ds[starts] raises IndexError). Pure-Python: the kernel
+    closure is exercised directly, no Spark session."""
+    import pyarrow as pa
+
+    from geoparquet_python_spark.operators.dedup import (
+        _W240_COLS,
+        _W240_HASH_COLS,
+        _sig_bitcount_kernel,
+    )
+
+    schema = pa.schema(
+        [("doc_id", pa.int64())] + [(c, pa.int64()) for c in _W240_HASH_COLS]
+    )
+    empty = pa.RecordBatch.from_pydict(
+        {n: [] for n in schema.names}, schema=schema
+    )
+    data = {"doc_id": [1, 1, 2]}
+    for c in _W240_HASH_COLS:
+        data[c] = [3, 5, 7]
+    rb = pa.RecordBatch.from_pydict(data, schema=schema)
+
+    kernel = _sig_bitcount_kernel(_W240_HASH_COLS, _W240_COLS)
+    # all-empty input: no output batches, no crash
+    assert list(kernel(iter([empty]))) == []
+    # empty batches interleaved with rows: same output as rows alone
+    with_empties = list(kernel(iter([empty, rb, empty])))
+    rows_only = list(kernel(iter([rb])))
+    assert len(with_empties) == len(rows_only) == 1
+    assert with_empties[0].equals(rows_only[0])
