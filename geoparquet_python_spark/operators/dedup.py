@@ -441,47 +441,103 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_pairs(spark, sf_dir, bucket_cap=None)
 
 
+def _minhash_band_kernel():
+    """mapInArrow kernel: 32 double-hashing minhash slots + band-sig
+    strings per doc, from the JVM-hashed (doc_id, h1, h2) arrays.
+
+    Replaces (optimization r13, guide §4.2) a single giant interpreted
+    projection — 32 array_min(zip_with) higher-order slots feeding an
+    array of 16 concat_ws structs + explode; HOFs disqualify the whole
+    projection from codegen, and the banding step alone measured
+    0.64 s of q_minhash_lsh_neardup's 2.0 s at sf0.1. The kernel
+    computes the identical values: slot_j = min over shingles of
+    h1 + j·h2 in int64 (same wrap semantics as the JVM long), band sig
+    = "slot_{2b},slot_{2b+1}" decimal strings (concat_ws twin), and a
+    doc with NO shingles emits sig "" for every band — exactly what
+    concat_ws over two null array_mins produced. Output schema and
+    values are unchanged, so all consumers (batch LSH, cross-corpus
+    index, the STREAMING near-dup gate — mapInArrow is a stateless
+    row transform, legal in structured streams) are untouched; pinned
+    by tests/test_llm_ops.py::test_minhash_band_kernel_matches_hof_form."""
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            h1c = batch.column("h1")
+            h2c = batch.column("h2")
+            off = h1c.offsets.to_numpy(zero_copy_only=False)
+            # slice the shared values buffer to THIS batch's window
+            # (a sliced Arrow array's offsets are absolute into it)
+            v1 = (
+                h1c.values.to_numpy(zero_copy_only=False)
+                .astype(np.int64)[off[0] : off[-1]]
+            )
+            v2 = (
+                h2c.values.to_numpy(zero_copy_only=False)
+                .astype(np.int64)[off[0] : off[-1]]
+            )
+            n = len(doc)
+            lens = np.diff(off)
+            nonempty = np.flatnonzero(lens > 0)
+            sigs = np.empty((n, _N_HASHES), dtype=np.int64)
+            if len(nonempty):
+                starts = (off[:-1] - off[0])[nonempty]
+                with np.errstate(over="ignore"):
+                    for j in range(_N_HASHES):
+                        arr = v1 + np.int64(j) * v2  # wraps like JVM long
+                        sigs[nonempty, j] = np.minimum.reduceat(arr, starts)
+            out_doc = np.repeat(doc, _N_BANDS)
+            out_band = np.tile(
+                np.arange(_N_BANDS, dtype=np.int32), n
+            )
+            empty = lens == 0
+            sig_strs: list[str] = []
+            for i in range(n):
+                if empty[i]:
+                    sig_strs.extend([""] * _N_BANDS)
+                else:
+                    row = sigs[i]
+                    sig_strs.extend(
+                        ",".join(
+                            str(row[b * _BAND_R + r]) for r in range(_BAND_R)
+                        )
+                        for b in range(_N_BANDS)
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_doc, type=pa.int64()),
+                    pa.array(out_band, type=pa.int32()),
+                    pa.array(sig_strs, type=pa.string()),
+                ],
+                names=["doc_id", "band", "sig"],
+            )
+
+    return kernel
+
+
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, sig) MinHash band table from a (doc_id, sh) frame.
 
-    One md5 per shingle; 32 signature slots by double hashing
-    h1 + j*h2 (mirrors _sql_minhash exactly; max < 2^62,
-    overflow-safe). Entirely stateless projections + one explode, so
-    the same function serves batch pipelines AND structured streams
-    (streaming/neardup.py screens a document stream with it).
-    """
+    One md5 per shingle (JVM-native — the hash IS the oracle-shared
+    signature contract); the 32 double-hashing slots h1 + j*h2 and the
+    16 band-sig strings come from a vectorized Arrow kernel (see
+    _minhash_band_kernel for the exactness argument). Stateless
+    row transform, so the same function serves batch pipelines AND
+    structured streams (streaming/neardup.py screens a document stream
+    with it)."""
     hs = F.transform("sh", lambda s: F.md5(s))
     hashed = docs.select("doc_id", "sh", hs.alias("hs"))
     h1 = F.transform("hs", lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long"))
     h2 = F.transform("hs", lambda h: F.conv(F.substring(h, 16, 14), 16, 10).cast("long"))
-    hashed = hashed.select("doc_id", "sh", h1.alias("h1"), h2.alias("h2"))
-
-    def _slot(j: int):
-        return lambda a, b: a + F.lit(j).cast("long") * b
-
-    sig_cols = [
-        F.array_min(F.zip_with("h1", "h2", _slot(j))).alias(f"sig_{j}")
-        for j in range(_N_HASHES)
-    ]
-    signed = hashed.select("doc_id", "sh", *sig_cols)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"sig_{b * _BAND_R + r}").cast("string")
-                        for r in range(_BAND_R)
-                    ],
-                ).alias("sig"),
-            )
-            for b in range(_N_BANDS)
-        ]
+    hashed = hashed.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    return hashed.mapInArrow(
+        _minhash_band_kernel(), "doc_id bigint, band int, sig string"
     )
-    return signed.select(
-        "doc_id", F.explode(band_structs).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
 def _minhash_lsh_pairs(
@@ -849,8 +905,10 @@ def star_contraction_components(
     ``edges``: two integer-ish columns (any names), undirected pairs.
     Returns (node, label) where label = the component's min node id.
 
-    Per round: two groupBy-min + two joins + one distinct, all shuffles
-    keyed on node ids — no arrays, no driver state, AQE-splittable.
+    Per round: two groupBy-min + two joins + one distinct (the
+    inter-step dedup was removed in r13 — set-identical, see the loop
+    comment), all shuffles keyed on node ids — no arrays, no driver
+    state, AQE-splittable.
     Convergence = edge-set fixpoint, detected by (count, xor-of-
     xxhash64) snapshot equality: a star forest is stable under both
     steps, and the fixpoint of the alternation IS a star forest rooted
@@ -863,7 +921,21 @@ def star_contraction_components(
     ).localCheckpoint()
     prev: tuple[int, int] | None = None
     for _ in range(max_rounds):
-        e_new = _canon_edges(_small_star(_canon_edges(_large_star(e)))).localCheckpoint()
+        # Optimization r13 (guide §2.4): no dedup between the two star
+        # steps — one distinct exchange per round removed. Set-identity
+        # argument: both steps depend only on neighbor SETS (a
+        # groupBy-min is duplicate-insensitive, and the join emits one
+        # output per input row, so duplicates only duplicate rows),
+        # and the round's final _canon_edges collapses them — e_new is
+        # the SAME edge set as with the intermediate canon, so rounds,
+        # snapshots and the fixpoint are untouched (pinned by
+        # tests/test_llm_ops.py::test_star_contraction_round_set_identity).
+        # _large_star emits b < a strictly (b = min(mn, u) ≤ u < v = a),
+        # so its output reorients to (lo, hi) with a plain rename.
+        ls = _large_star(e).select(
+            F.col("b").alias("lo"), F.col("a").alias("hi")
+        )
+        e_new = _canon_edges(_small_star(ls)).localCheckpoint()
         snap = e_new.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(

@@ -41,7 +41,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geoparquet_python_spark.functions.exact import (
-    broadcast_bounded,
     broadcast_narrow,
     materialize,
 )
@@ -335,10 +334,15 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pd").alias("dist_est"))
     )
     ws = Window.partitionBy("qid").orderBy("dist_est", "cvec")
-    # materialize: broadcast_bounded's row-count guard would otherwise
-    # re-execute the whole ADC rollup a second time (count + join are
-    # two actions over the same expensive lineage).
-    short = materialize(
+    # Optimization r13: the shortlist is bounded BY CONSTRUCTION — the
+    # rn <= _SHORTLIST WindowGroupLimit caps rows per qid and the qid
+    # domain comes from the NQ-row LUT — so the structural
+    # broadcast_narrow (two atomic columns, no runtime count) replaces
+    # the broadcast_bounded count guard, which cost one extra action
+    # and forced a localCheckpoint (another action) to keep the count
+    # from re-executing the ADC rollup. Two driver-loop jobs saved per
+    # search; the broadcast stays driver-sized at any corpus size.
+    short = (
         est.withColumn("rn", F.row_number().over(ws))
         .where(F.col("rn") <= _SHORTLIST)
         .select("qid", "cvec")
@@ -359,7 +363,7 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("c_n2"),
     )
     pairs = (
-        broadcast_bounded(short, max_rows=_NQ * _SHORTLIST)
+        broadcast_narrow(short)
         .join(qe, "qid")
         .join(ce, "cvec")
     )
@@ -542,7 +546,7 @@ def q_ivfpq_cell_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("c_n2"),
     )
     pairs = (
-        broadcast_bounded(short, max_rows=_NQ * _SHORTLIST)
+        broadcast_narrow(short)
         .join(qe, "qid")
         .join(ce, "cvec")
     )

@@ -177,16 +177,20 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    contrib = (
-        postings.join(
-            broadcast_narrow(qt),
-            (qt.term == postings.term) & (F.col("query_id") != F.col("doc_id")),
-        )
-        .drop(qt.term)
-        .join(broadcast_narrow(docfreq), "term")
+    # Optimization r13 (guide §2.3): the per-term BM25 contribution
+    # c_fp depends only on (term, doc) — df, tf, dl, corpus stats —
+    # never on query_id, so it is computed ONCE per posting row and
+    # the query ids attach to the already-scored rows. The previous
+    # shape attached qt first and evaluated the log/round expression
+    # per (query, posting) row — 738 k evaluations instead of 116 k at
+    # sf0.1 (a ~6.4× blowup from terms shared across queries). Sum of
+    # identical per-term fixed-point values is unchanged, so scores
+    # are bit-identical (oracle re-gated at all three SFs).
+    posting_scores = (
+        postings.join(broadcast_narrow(docfreq), "term")
         .crossJoin(broadcast_narrow(stats))
         .select(
-            "query_id",
+            "term",
             "doc_id",
             F.round(
                 F.log(
@@ -211,6 +215,15 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("c_fp"),
         )
+    )
+    contrib = (
+        posting_scores.join(
+            broadcast_narrow(qt),
+            (qt.term == posting_scores.term)
+            & (F.col("query_id") != F.col("doc_id")),
+        )
+        .drop(qt.term)
+        .select("query_id", "doc_id", "c_fp")
     )
     scored = contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c_fp").cast("bigint").alias("score_fp")

@@ -32,6 +32,7 @@ from typing import Any, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
@@ -47,7 +48,9 @@ from geoparquet_python_spark.streaming.sessions import (
     _CLOSED_SESSION_ORACLE,
     _GAP_MIN,
     _OUT_SCHEMA,
-    _value_fp,
+    _VALUE_FP_SQL,
+    _closed_frame,
+    _sessionize_core,
 )
 
 _ROCKSDB_PROVIDER = (
@@ -75,45 +78,20 @@ class _GapSessionProcessor(StatefulProcessor):
         rows: Iterator[pd.DataFrame],
         timerValues: Any,
     ) -> Iterator[pd.DataFrame]:
-        # Concatenate ALL Arrow chunks for the key and sort once —
-        # per-chunk sorting would mis-order events spanning chunk
-        # boundaries (round-4 ADVICE; mirrors _sessionize_group).
+        # Shared vectorized recurrence (sessions._sessionize_core,
+        # optimization r13): identical math in both stateful runtimes,
+        # consuming the JVM-precomputed (ts, value_fp) projection.
         gap_us = _GAP_MIN * 60 * 1_000_000
         if self._open.exists():
-            start_us, last_us, n, sum_fp = self._open.get()
+            s_start, s_last, s_n, s_sum = self._open.get()
         else:
-            start_us, last_us, n, sum_fp = None, None, 0, 0
-        user_id = key[0]
-        closed: list[tuple[int, int, int, int, int]] = []
-        chunks = [pdf for pdf in rows]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
-                ts_us = int(pd.Timestamp(ts).value // 1000)
-                if last_us is not None and ts_us - last_us > gap_us:
-                    closed.append((user_id, start_us, last_us, n, sum_fp))
-                    start_us, last_us = ts_us, ts_us
-                    n, sum_fp = 1, _value_fp(value)
-                else:
-                    start_us = ts_us if start_us is None else start_us
-                    last_us = ts_us
-                    n += 1
-                    sum_fp += _value_fp(value)
-        self._open.update((start_us, last_us, n, sum_fp))
-        if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [c[0] for c in closed],
-                    "session_start": [
-                        pd.Timestamp(c[1], unit="us") for c in closed
-                    ],
-                    "session_end": [
-                        pd.Timestamp(c[2] + gap_us, unit="us") for c in closed
-                    ],
-                    "n_events": [c[3] for c in closed],
-                    "sum_value": [c[4] / 1e6 for c in closed],
-                }
-            )
+            s_start, s_last, s_n, s_sum = None, None, 0, 0
+        closed, new_state = _sessionize_core(
+            [pdf for pdf in rows], s_start, s_last, s_n, s_sum, gap_us
+        )
+        self._open.update(new_state)
+        if len(closed[0]):
+            yield _closed_frame(key[0], closed, gap_us)
 
     def close(self) -> None:
         pass
@@ -215,8 +193,11 @@ def q_stateful_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     try:
         stream = read_events_stream(spark, sf_dir)
+        narrow = stream.select(
+            "user_id", "ts", F.expr(_VALUE_FP_SQL).alias("value_fp")
+        )
         sessions = (
-            stream.withWatermark("ts", "2 hours")
+            narrow.withWatermark("ts", "2 hours")
             .groupBy("user_id")
             .transformWithStateInPandas(
                 _GapSessionProcessor(),
@@ -226,10 +207,10 @@ def q_stateful_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
         name = run_to_memory_table(
-        sessions,
-        output_mode="append",
-        source_rows=table_rows(spark, sf_dir, "events"),
-    )
+            sessions,
+            output_mode="append",
+            source_rows=table_rows(spark, sf_dir, "events"),
+        )
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -2253,6 +2253,127 @@ def test_cell_knn_kernel_matches_jvm_form(spark, sf_dir_small):
     _KNN_EDGE_CACHE.clear()
 
 
+def test_star_contraction_round_set_identity(spark):
+    """r13 optimization guard: one contraction round WITHOUT the
+    inter-step dedup must produce the identical edge SET as the
+    original large-star → canon → small-star → canon round (both star
+    steps are duplicate-insensitive in their aggregates and the final
+    canon collapses duplicated join outputs), and the full component
+    labelling must be unchanged on a graph with chains, a clique and
+    singleton-adjacent edges."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.operators.dedup import (
+        _canon_edges,
+        _large_star,
+        _small_star,
+        star_contraction_components,
+    )
+
+    edges = [
+        # chain 1-2-3-4-5
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        # clique 10,11,12,13 (with duplicate input edges)
+        (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+        (12, 13), (11, 10),
+        # pair + star
+        (20, 21), (30, 31), (30, 32), (30, 33),
+    ]
+    e = _canon_edges(
+        spark.createDataFrame(edges, "a bigint, b bigint")
+    ).localCheckpoint()
+    # one round, old shape (inter-step canon)
+    old = _canon_edges(_small_star(_canon_edges(_large_star(e))))
+    # one round, new shape (rename only)
+    ls = _large_star(e).select(F.col("b").alias("lo"), F.col("a").alias("hi"))
+    new = _canon_edges(_small_star(ls))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    # full labelling: every node labels to its component minimum
+    labels = {
+        (r["node"], r["label"])
+        for r in star_contraction_components(
+            spark.createDataFrame(edges, "a bigint, b bigint")
+        ).collect()
+    }
+    expect = {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+        (30, 30), (31, 30), (32, 30), (33, 30),
+    }
+    assert labels == expect
+
+
+def test_minhash_band_kernel_matches_hof_form(spark, sf_dir_small):
+    """r13 optimization guard: the Arrow minhash banding kernel must
+    emit the exact (doc_id, band, sig) rows of the interpreted-HOF
+    construction it replaced — 32 array_min(zip_with) double-hashing
+    slots + 16 concat_ws band strings — including the empty-shingle
+    row behaviour (sig '' for every band)."""
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.functions.text import shingles, tokens
+    from geoparquet_python_spark.io import load_table
+    from geoparquet_python_spark.operators.dedup import (
+        _BAND_R,
+        _N_BANDS,
+        _N_HASHES,
+        minhash_bands,
+    )
+
+    d = load_table(spark, sf_dir_small, "documents")
+    docs = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", shingles("toks", k=3).alias("sh")
+    )
+    # one synthetic empty-shingle doc exercises the '' band rows
+    empty = spark.createDataFrame(
+        [(10**9, [])], "doc_id bigint, sh array<string>"
+    )
+    docs = docs.unionByName(empty)
+
+    got = minhash_bands(docs)
+
+    hs = F.transform("sh", lambda s: F.md5(s))
+    hashed = docs.select("doc_id", "sh", hs.alias("hs"))
+    h1 = F.transform(
+        "hs", lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    )
+    h2 = F.transform(
+        "hs", lambda h: F.conv(F.substring(h, 16, 14), 16, 10).cast("long")
+    )
+    hashed = hashed.select("doc_id", "sh", h1.alias("h1"), h2.alias("h2"))
+
+    def _slot(j):
+        return lambda a, b: a + F.lit(j).cast("long") * b
+
+    sig_cols = [
+        F.array_min(F.zip_with("h1", "h2", _slot(j))).alias(f"sig_{j}")
+        for j in range(_N_HASHES)
+    ]
+    signed = hashed.select("doc_id", "sh", *sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{b * _BAND_R + r}").cast("string")
+                        for r in range(_BAND_R)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    ref = signed.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
 def test_sig_bitcount_kernel_tolerates_empty_batches():
     """ADVICE r12: MapInBatch paths may hand the kernel a zero-row
     Arrow batch under future Spark versions; it must skip it instead of

@@ -196,9 +196,13 @@ def test_tws_processor_matches_applyinpandaswithstate(spark, sf_dir):
         _GapSessionProcessor,
     )
 
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.streaming.sessions import _VALUE_FP_SQL
+
     events = (
         load_table(spark, sf_dir, "events")
-        .select("user_id", "ts", "value")
+        .select("user_id", "ts", F.expr(_VALUE_FP_SQL).alias("value_fp"))
         .toPandas()
     )
     emitted = []
