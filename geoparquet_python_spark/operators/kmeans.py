@@ -229,7 +229,15 @@ def _train(
     key = f"{sf_dir}|{k}|{_T}|{_SCALE}"
     if key in _CENT_CACHE:
         return _CENT_CACHE[key]
-    x = _fixed_points(spark, sf_dir).select("vec_id", "xfix")
+    from geoparquet_python_spark.functions.exact import materialize
+
+    # One scan+fixed-point pass feeds the init collect and every Lloyd
+    # iteration (optimization r13): T+1 executions of the
+    # scan→transform lineage become one pass + a persisted read per
+    # iteration — exactly MLlib's persist-the-training-input pattern
+    # (measured 1.09 → 0.99 s locally; at scale it removes T corpus
+    # scans).
+    x = materialize(_fixed_points(spark, sf_dir).select("vec_id", "xfix"))
     init = x.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [list(r["xfix"]) for r in init]
     for _ in range(_T):
