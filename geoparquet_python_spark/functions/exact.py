@@ -177,6 +177,59 @@ def materialize(df):
     return out
 
 
+def build_concurrently(*thunks):
+    """Construct INDEPENDENT DataFrame legs from driver threads and
+    return their results in thunk order (guide §2.6 "overlap
+    independent jobs").
+
+    Why: Spark happily runs several jobs at once inside one
+    application — actions are only sequential because driver code
+    calls them sequentially. A query whose legs each materialize()
+    intermediates (localCheckpoint = an EAGER job) therefore
+    serializes corpus passes that have no data dependency on each
+    other: leg B's scan waits for leg A's checkpoint to finish even
+    while most executors sit idle in A's stage tail. Building each leg
+    in its own thread lets the FIFO scheduler back-fill freed
+    executors with the other leg's tasks — a wall-clock win at any
+    scale with spare capacity, with a byte-identical physical plan.
+
+    Safety: SparkSession supports concurrent job submission from
+    driver threads (documented; the guide's §2.6 pattern);
+    InheritableThread is PySpark's sanctioned wrapper so JVM
+    thread-local properties (job description/group) are inherited and
+    cleaned up. The one shared Python-side structure these thunks
+    touch, _LIVE_CHECKPOINTS, is only append()ed — atomic under the
+    GIL. The CALLER contracts that thunks are independent: none may
+    consume another's frames. Results are then identical to
+    sequential construction (each leg's plan and checkpoint content
+    depend only on its own inputs; pinned by
+    tests/test_llm_ops.py::test_build_concurrently_matches_sequential).
+    The first thunk exception (if any) is re-raised after all threads
+    join, so no leg is silently dropped."""
+    from pyspark import InheritableThread
+
+    results: list = [None] * len(thunks)
+    errors: list = []
+
+    def run(i, fn):
+        try:
+            results[i] = fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errors.append(e)
+
+    threads = [
+        InheritableThread(target=run, args=(i, fn))
+        for i, fn in enumerate(thunks)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results
+
+
 def release_dead_checkpoints() -> int:
     """Unpersist localCheckpoint blocks whose Python DataFrame wrapper
     has been garbage-collected; returns how many were freed.

@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geoparquet_python_spark.functions.exact import broadcast_narrow, materialize
+from geoparquet_python_spark.functions.exact import (
+    broadcast_narrow,
+    build_concurrently,
+    materialize,
+)
 from geoparquet_python_spark.functions.text import (
     shingles,
     sql_shingles_cte,
@@ -642,15 +646,21 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — query-set-sized, never corpus-sized. The fusion itself is
     one groupBy over that tiny frame plus a per-query top-k window.
     """
-    a = (
-        _bm25_ranked(spark, sf_dir)
+    # Optimization r13 (guide §2.6): the two rankers are INDEPENDENT
+    # legs, but each leg's construction blocks on its materialize()
+    # (localCheckpoint) jobs — three serialized corpus passes (BM25's
+    # query-term + postings checkpoints, Jaccard's shingle checkpoint)
+    # before the fused action even starts. Building the legs from two
+    # driver threads overlaps those jobs (FIFO back-fill); plans and
+    # checkpoint contents are unchanged, so the result is identical
+    # (probe: exceptAll both ways = 0; oracle re-gated at 3 SFs).
+    a, b = build_concurrently(
+        lambda: _bm25_ranked(spark, sf_dir)
         .where(F.col("rank") <= _RRF_DEPTH)
-        .select("query_id", "doc_id", "rank")
-    )
-    b = (
-        _jaccard_ranked(spark, sf_dir)
+        .select("query_id", "doc_id", "rank"),
+        lambda: _jaccard_ranked(spark, sf_dir)
         .where(F.col("rank") <= _RRF_DEPTH)
-        .select("query_id", "doc_id", "rank")
+        .select("query_id", "doc_id", "rank"),
     )
     contrib = F.round(F.lit(1e6) / (F.lit(_RRF_K) + F.col("rank"))).cast(
         "bigint"

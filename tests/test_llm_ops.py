@@ -2374,6 +2374,48 @@ def test_minhash_band_kernel_matches_hof_form(spark, sf_dir_small):
     assert ref.exceptAll(got).count() == 0
 
 
+def test_build_concurrently_matches_sequential(spark, sf_dir_small):
+    """r13 optimization guard (guide §2.6): q_hybrid_rrf_topk builds
+    its two independent ranker legs from driver threads so their
+    materialize() jobs overlap. The threaded construction must yield
+    the exact result of sequential construction — and thunk errors
+    must propagate, not vanish with the thread."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geoparquet_python_spark.functions.exact import build_concurrently
+    from geoparquet_python_spark.operators import retrieval as R
+
+    seq_a = (
+        R._bm25_ranked(spark, sf_dir_small)
+        .where(F.col("rank") <= R._RRF_DEPTH)
+        .select("query_id", "doc_id", "rank")
+    )
+    seq_b = (
+        R._jaccard_ranked(spark, sf_dir_small)
+        .where(F.col("rank") <= R._RRF_DEPTH)
+        .select("query_id", "doc_id", "rank")
+    )
+    thr_a, thr_b = build_concurrently(
+        lambda: R._bm25_ranked(spark, sf_dir_small)
+        .where(F.col("rank") <= R._RRF_DEPTH)
+        .select("query_id", "doc_id", "rank"),
+        lambda: R._jaccard_ranked(spark, sf_dir_small)
+        .where(F.col("rank") <= R._RRF_DEPTH)
+        .select("query_id", "doc_id", "rank"),
+    )
+    for got, ref in ((thr_a, seq_a), (thr_b, seq_b)):
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+    # results come back in thunk order, and exceptions propagate
+    one, two = build_concurrently(lambda: 1, lambda: 2)
+    assert (one, two) == (1, 2)
+    with pytest.raises(ValueError, match="leg boom"):
+        build_concurrently(
+            lambda: 1, lambda: (_ for _ in ()).throw(ValueError("leg boom"))
+        )
+
+
 def test_sig_bitcount_kernel_tolerates_empty_batches():
     """ADVICE r12: MapInBatch paths may hand the kernel a zero-row
     Arrow batch under future Spark versions; it must skip it instead of
