@@ -624,53 +624,72 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from geoparquet_python_spark.functions.text import shingles
 
-    # shingles() wants a column NAME, so tokenize into a named column
-    # first, then build the distinct shingle array in-row. Materialized:
-    # the exploded frame feeds the shingle-stats aggregate twice (the
-    # s-keyed pass and the join back) — without the barrier each
-    # consumer re-runs the tokenize+shingle projection over the whole
-    # corpus (measured ~4 s of the funnel's wall at sf0.1).
-    from geoparquet_python_spark.functions.exact import materialize, spread
+    from geoparquet_python_spark.functions.exact import (
+        build_concurrently,
+        materialize,
+        spread,
+    )
 
-    ex = materialize(
-        spread(d.select("doc_id", tokens("text").alias("toks")))
-        .select("doc_id", shingles("toks", 3).alias("sh_arr"))
-        .select("doc_id", F.explode("sh_arr").alias("s"))
-    )
-    # Round-8 fusion: the r7 form ran THREE shingle-keyed passes (the
-    # eval distinct + semi-join for n_hits, the min(doc_id) aggregate
-    # + join for n_novel, a per-doc count for n_sh). All three are
-    # answerable from ONE s-keyed aggregate — per shingle, its first
-    # owner and whether any eval doc carries it — joined back once:
-    # n_sh = COUNT(*), n_hits = SUM(in_bench), n_novel = SUM(fd =
-    # doc_id), collapsing 2 corpus-frame shuffles and a distinct
-    # (measured ~2 s of the funnel wall at sf0.1). No broadcast hint
-    # anywhere: the s-table is corpus-proportional (ADVICE r7) — AQE
-    # picks the join strategy from actual sizes.
-    stats_s = ex.groupBy("s").agg(
-        F.min("doc_id").alias("fd"),
-        F.max(
-            (F.col("doc_id") % _V4_EVAL_MOD == 0).cast("int")
-        ).alias("in_bench"),
-    )
-    doc_stats = (
-        ex.join(stats_s, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum("in_bench").alias("n_hits"),
-            F.sum(
-                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
+    def _text_leg() -> DataFrame:
+        # shingles() wants a column NAME, so tokenize into a named
+        # column first, then build the distinct shingle array in-row.
+        # Materialized: the exploded frame feeds the shingle-stats
+        # aggregate twice (the s-keyed pass and the join back) —
+        # without the barrier each consumer re-runs the
+        # tokenize+shingle projection over the whole corpus (measured
+        # ~4 s of the funnel's wall at sf0.1).
+        ex = materialize(
+            spread(d.select("doc_id", tokens("text").alias("toks")))
+            .select("doc_id", shingles("toks", 3).alias("sh_arr"))
+            .select("doc_id", F.explode("sh_arr").alias("s"))
         )
-    )
-    base = _assigned_base(spark, sf_dir)
-    semdrop = (
-        _cell_pairs(spark, sf_dir, base=base, min_cosine=_TAU)
-        .select(F.col("vec_b").alias("doc_id"))
-        .distinct()
-        .withColumn("__semdup", F.lit(True))
-    )
+        # Round-8 fusion: the r7 form ran THREE shingle-keyed passes
+        # (the eval distinct + semi-join for n_hits, the min(doc_id)
+        # aggregate + join for n_novel, a per-doc count for n_sh). All
+        # three are answerable from ONE s-keyed aggregate — per
+        # shingle, its first owner and whether any eval doc carries it
+        # — joined back once: n_sh = COUNT(*), n_hits = SUM(in_bench),
+        # n_novel = SUM(fd = doc_id), collapsing 2 corpus-frame
+        # shuffles and a distinct (measured ~2 s of the funnel wall at
+        # sf0.1). No broadcast hint anywhere: the s-table is
+        # corpus-proportional (ADVICE r7) — AQE picks the join
+        # strategy from actual sizes.
+        stats_s = ex.groupBy("s").agg(
+            F.min("doc_id").alias("fd"),
+            F.max(
+                (F.col("doc_id") % _V4_EVAL_MOD == 0).cast("int")
+            ).alias("in_bench"),
+        )
+        return (
+            ex.join(stats_s, "s")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sh"),
+                F.sum("in_bench").alias("n_hits"),
+                F.sum(
+                    F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+                ).alias("n_novel"),
+            )
+        )
+
+    def _embedding_leg() -> DataFrame:
+        base = _assigned_base(spark, sf_dir)
+        return (
+            _cell_pairs(spark, sf_dir, base=base, min_cosine=_TAU)
+            .select(F.col("vec_b").alias("doc_id"))
+            .distinct()
+            .withColumn("__semdup", F.lit(True))
+        )
+
+    # Optimization r13 (guide §2.6): the text funnel's corpus-sized
+    # shingle checkpoint and the SemDeDup leg's construction (scaled-K
+    # probe + Lloyd collect loop + assignment checkpoint — all eager
+    # driver-blocking jobs) are INDEPENDENT until the verdict join;
+    # building them sequentially serialized ~2 s of jobs behind ~1.5 s
+    # of jobs. Two driver threads let the scheduler overlap them; the
+    # plans and checkpoint contents are unchanged, so the result is
+    # identical (exceptAll both ways = 0; oracle re-gated at 3 SFs).
+    doc_stats, semdrop = build_concurrently(_text_leg, _embedding_leg)
     verdict = F.when(F.col("doc_id") % _V4_EVAL_MOD == 0, "eval").when(
         (F.coalesce("n_sh", F.lit(0)) > 0)
         & (
